@@ -1,38 +1,909 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 (plus the north-star
+LLM-pipeline extensions) is exposed as a ``queries()`` entry, with a
+DuckDB-runnable ANSI-SQL oracle in ``oracle_sql()`` wherever the semantics
+are SQL-expressible. Non-SQL-expressible ops (recursive chunker UDTF,
+MinHash/SimHash signatures, LSH ANN, winnowing fingerprints) ship without
+an oracle → rows-only check.
+
+Determinism discipline (so order-insensitive value-hashes match):
+- every aggregate over doubles goes through DECIMAL(38,6) (exact, order-
+  independent summation) and is cast back to double;
+- every window/top-k has a full tiebreak order;
+- every collected array is sorted;
+- identical expression *trees* on both sides, so double algebra is
+  bit-equal — no reliance on rounding.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+from sf_epa_data_ingestion_spark.functions import strings, text, vectors
+from sf_epa_data_ingestion_spark.operators import dedup, multimodal, mutate, relational, similarity
+from sf_epa_data_ingestion_spark.plans import epa_views
+from sf_epa_data_ingestion_spark.sources import readers
+from sf_epa_data_ingestion_spark.streaming import events as ev
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return readers.load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: VW_PDF_TO_DOWNLOAD semantics over the testdata star schema
+# (J1 inner join -> W1 window dedup -> J2 anti-join; epa_ingestion.py:447-456)
+# orders = EPA_PRODUCTS analog, lineitem = EPA_PDF_FILES analog,
+# "already-downloaded" = partkeys seen with l_returnflag='R'.
+# ---------------------------------------------------------------------------
+
+def q_pdf_to_download(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        lineitem.select("l_orderkey", "l_partkey", "l_linenumber", "l_shipdate"),
+        orders["o_orderkey"] == lineitem["l_orderkey"],
+        "inner",
+    ).drop("l_orderkey")
+    latest = relational.latest_per_key(
+        joined, ["o_orderkey"], [F.desc("l_shipdate"), F.asc("l_linenumber")]
+    )
+    # "already downloaded" = the specific (order, part) pair was returned —
+    # pair-level anti-join mirrors the reference's per-pdffile key (a file,
+    # not a product, is the unit of downloaded-ness).
+    processed = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_partkey")
+        .distinct()
+    )
+    return relational.anti_join(latest, processed, ["o_orderkey", "l_partkey"])
+
+
+ORACLE_PDF_TO_DOWNLOAD = """
+WITH updated AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+         o.o_orderpriority, l.l_partkey, l.l_linenumber, l.l_shipdate
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+                             ORDER BY l.l_shipdate DESC, l.l_linenumber ASC) = 1
+)
+SELECT u.* FROM updated u
+WHERE NOT EXISTS (SELECT 1 FROM lineitem p
+                  WHERE p.l_returnflag = 'R'
+                    AND p.l_orderkey = u.o_orderkey AND p.l_partkey = u.l_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation suite (A-series + the bench headline)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregate; decimal-exact sums -> double."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    agg = (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                )
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return agg
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_dims_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 star join (broadcast dims) + grouped rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_JOIN_DIMS_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_multiway_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 chained left joins + A1 array rollup (epa_ingestion.py:807-826 analog)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    flags = relational.group_collect(
+        _t(spark, sf_dir, "lineitem").dropDuplicates(["l_orderkey", "l_returnflag"]),
+        ["l_orderkey"],
+        "l_returnflag",
+        "return_flags",
+    )
+    out = relational.enrich_left_joins(
+        o,
+        [
+            (c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"]),
+            (n.withColumnRenamed("n_nationkey", "c_nationkey"), ["c_nationkey"]),
+            (r.withColumnRenamed("r_regionkey", "n_regionkey"), ["n_regionkey"]),
+            (flags.withColumnRenamed("l_orderkey", "o_orderkey"), ["o_orderkey"]),
+        ],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_name",
+        "n_name",
+        "r_name",
+        F.coalesce(F.col("return_flags"), F.array().cast("array<string>")).alias("return_flags"),
+    )
+
+
+ORACLE_MULTIWAY_LEFT_ENRICH = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name, r.r_name,
+       COALESCE(f.return_flags, CAST([] AS VARCHAR[])) AS return_flags
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN (SELECT l_orderkey, list_sort(list(DISTINCT l_returnflag)) AS return_flags
+           FROM lineitem GROUP BY l_orderkey) f
+       ON o.o_orderkey = f.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join idioms (J2/J3/semi) and filters
+# ---------------------------------------------------------------------------
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: incremental-work discovery — customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return relational.anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name", "c_acctbal")
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return relational.semi_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def q_join_computed_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: equi-join on a regex-derived key (epa_ingestion.py:493-500 analog):
+    parts matched to suppliers via the trailing word of p_name hashed onto
+    supplier nationkey space is meaningless — instead join parts to parts
+    of the same derived 'noun' with a smaller key set."""
+    p = _t(spark, sf_dir, "part")
+    dim = (
+        p.filter(F.col("p_size") <= 5)
+        .select(F.regexp_extract(F.col("p_name"), r"[a-z]+$", 0).alias("noun"))
+        .distinct()
+    )
+    return relational.join_on_computed_key(
+        p.select("p_partkey", "p_name", "p_brand"),
+        F.broadcast(dim),
+        F.regexp_extract(F.col("p_name"), r"[a-z]+$", 0),
+        F.col("noun"),
+    ).select("p_partkey", "p_name", "p_brand", "noun")
+
+
+ORACLE_JOIN_COMPUTED_KEY = """
+WITH dim AS (SELECT DISTINCT regexp_extract(p_name, '[a-z]+$') AS noun
+             FROM part WHERE p_size <= 5)
+SELECT p.p_partkey, p.p_name, p.p_brand, d.noun
+FROM part p JOIN dim d ON regexp_extract(p.p_name, '[a-z]+$') = d.noun
+"""
+
+
+def q_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 alone: latest lineitem per order (string-free typed variant)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return relational.latest_per_key(
+        l.select("l_orderkey", "l_partkey", "l_linenumber", "l_shipdate"),
+        ["l_orderkey"],
+        [F.desc("l_shipdate"), F.asc("l_linenumber")],
+    )
+
+
+ORACLE_WINDOW_DEDUP_LATEST = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_shipdate DESC, l_linenumber ASC) = 1
+"""
+
+
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: ARRAY_AGG per key (sorted for determinism)."""
+    p = _t(spark, sf_dir, "part").dropDuplicates(["p_brand", "p_type"])
+    return relational.group_collect(p, ["p_brand"], "p_type", "types").join(
+        _t(spark, sf_dir, "part").groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts")),
+        "p_brand",
+    )
+
+
+ORACLE_GROUP_COLLECT = """
+SELECT p_brand, list_sort(list(DISTINCT p_type)) AS types, COUNT(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P2: pushdown-able equality filter + named projection."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter((F.col("event_type") == "purchase") & (F.col("value") > 50.0)).select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+ORACLE_FILTER_PROJECT = """
+SELECT event_id, user_id, ts, value FROM events
+WHERE event_type = 'purchase' AND value > 50.0
+"""
+
+
+def q_like_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J7: theta-join on a computed suffix pattern
+    (m.STAGE_FILE_PATH LIKE '%' || c.RELATIVE_PATH analog)."""
+    p = _t(spark, sf_dir, "part")
+    dim = (
+        p.filter(F.col("p_size") == 1)
+        .select(F.regexp_extract(F.col("p_name"), r"[a-z]+$", 0).alias("w"))
+        .distinct()
+    )
+    return (
+        p.select("p_partkey", "p_name")
+        .join(F.broadcast(dim), strings.like_suffix(F.col("p_name"), F.col("w")))
+        .select("p_partkey", "p_name", "w")
+    )
+
+
+ORACLE_LIKE_SUFFIX = """
+WITH dim AS (SELECT DISTINCT regexp_extract(p_name, '[a-z]+$') AS w
+             FROM part WHERE p_size = 1)
+SELECT p.p_partkey, p.p_name, d.w
+FROM part p JOIN dim d ON p.p_name LIKE '%' || d.w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar / string / regex functions
+# ---------------------------------------------------------------------------
+
+def q_regexp_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: REGEXP_SUBSTR with NULL-on-miss parity."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        strings.regexp_substr(F.col("p_name"), r"g[a-z]+$").alias("extracted"),
+    )
+
+
+ORACLE_REGEXP_SUBSTR = """
+SELECT p_partkey, NULLIF(regexp_extract(p_name, 'g[a-z]+$'), '') AS extracted FROM part
+"""
+
+
+def q_clean_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: filename sanitation over a constructed dirty name."""
+    p = _t(spark, sf_dir, "part")
+    dirty = F.concat(F.col("p_name"), F.lit('/v?"'), F.col("p_brand"))
+    return p.select("p_partkey", strings.clean_filename(dirty).alias("filename"))
+
+
+ORACLE_CLEAN_FILENAME = r"""
+SELECT p_partkey,
+       substr(regexp_replace(regexp_replace(p_name || '/v?"' || p_brand,
+              '[<>:"/\\|?*]', '', 'g'), '\s+', '_', 'g'), 1, 200) AS filename
+FROM part
+"""
+
+
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F4/F7/F8: concat, URL building, date formatting, casing, length."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("od"),
+        F.concat_ws("/", F.lit("orders"), F.col("o_orderstatus"), F.col("o_orderpriority")).alias("path"),
+        F.upper(F.col("o_orderpriority")).alias("prio_uc"),
+        F.substring(F.col("o_orderpriority"), 1, 3).alias("prio3"),
+        F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
+    )
+
+
+ORACLE_SCALAR_SUITE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS od,
+       'orders' || '/' || o_orderstatus || '/' || o_orderpriority AS path,
+       upper(o_orderpriority) AS prio_uc,
+       substr(o_orderpriority, 1, 3) AS prio3,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mutation suite (U1-U4) as queries over derived target/source pairs
+# ---------------------------------------------------------------------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: MERGE matched-update + not-matched-insert (epa_ingestion.py:585-623)."""
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    source = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        )
+    )
+    return mutate.merge_upsert(target, source, on=["o_orderkey"])
+
+
+ORACLE_MERGE_UPSERT = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+), source AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+def q_update_from_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/U3: UPDATE ... FROM — escalate orders that have a returned line."""
+    o = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    return mutate.update_from_join(
+        o,
+        returned,
+        F.col("t.o_orderkey") == F.col("s.l_orderkey"),
+        {"o_orderpriority": F.lit("ESCALATED")},
+    )
+
+
+ORACLE_UPDATE_FROM_JOIN = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            THEN 'ESCALATED' ELSE o_orderpriority END AS o_orderpriority
+FROM orders o
+"""
+
+
+def q_delete_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/J6: DELETE ... USING — drop orders of negative-balance customers."""
+    o = _t(spark, sf_dir, "orders")
+    bad = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return mutate.delete_using(o, bad, ["o_custkey"])
+
+
+ORACLE_DELETE_USING = """
+SELECT o.* FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set operations
+# ---------------------------------------------------------------------------
+
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_totalprice"
+    ).limit(100)
+
+
+ORACLE_TOP_K = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey")
+        .subtract(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+ORACLE_SET_EXCEPT = """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+ORACLE_SET_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lateral / UDTF (J5) + chunker
+# ---------------------------------------------------------------------------
+
+def q_lateral_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5's lateral shape with an oracle-expressible table function (split)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+
+ORACLE_LATERAL_TOKENIZE = """
+SELECT doc_id, u.token FROM documents, unnest(string_split(text, ' ')) AS u(token)
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 chunker UDTF applied laterally (rows-only check: the recursive
+    splitter is not SQL-expressible; golden unit tests cover boundaries).
+    Small geometry so the small test documents actually produce multiple
+    chunks; production default stays 1512/256."""
+    d = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        d.select("doc_id", "text"), text_col="text", chunk_size=128, overlap=32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON + event-time windows (phase E)
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.tumbling_counts(_t(spark, sf_dir, "events"), width="1 hour")
+
+
+ORACLE_WINDOW_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sliding_counts(_t(spark, sf_dir, "events"), width="1 hour", slide="30 minutes")
+
+
+ORACLE_WINDOW_SLIDING = """
+WITH buckets AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events FROM buckets GROUP BY 1, 2
+"""
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.session_windows_batch(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+ORACLE_SESSION_WINDOWS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (north star)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=12, threshold=0.30)
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS sh
+  FROM norm, unnest(range(1, greatest(len(t) - 11, 1) + 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.n_common,
+       CAST(c.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= 0.30
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only: signatures depend on
+    Spark's murmur3 hash, not SQL-expressible)."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-near pairs (rows-only: xxhash64-based)."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north star)
+# ---------------------------------------------------------------------------
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+ORACLE_ANN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+  FROM q CROSS JOIN c WHERE query_id <> vec_id
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id ASC) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: approximate recall by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, k=10, dim=64)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.60, exact=True
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.60
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star)
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text.lang_id(F.col("text")).alias("pred_lang"))
+
+
+ORACLE_LANG_ID = rf"""
+WITH c AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '{text.LANG_MARKERS["en"]}')) AS c_en,
+         len(regexp_extract_all(lower(text), '{text.LANG_MARKERS["de"]}')) AS c_de,
+         len(regexp_extract_all(lower(text), '{text.LANG_MARKERS["fr"]}')) AS c_fr,
+         len(regexp_extract_all(lower(text), '{text.LANG_MARKERS["es"]}')) AS c_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+            WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM c
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    feats = text.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_calc"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+ORACLE_QUALITY_SCORE = rf"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_calc,
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(lower(text), '{text.LANG_MARKERS["en"]}')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+  CAST(n_punct AS DOUBLE) / CAST(NULLIF(n_chars_calc, 0) AS DOUBLE) AS punct_ratio,
+  CAST(n_stop AS DOUBLE) / CAST(NULLIF(n_tokens, 0) AS DOUBLE) AS stopword_ratio,
+  least(CAST(n_chars_calc AS DOUBLE) / 500.0, 1.0) * 0.4
+  + greatest(0.0, 1.0 - COALESCE(CAST(n_punct AS DOUBLE) / CAST(NULLIF(n_chars_calc,0) AS DOUBLE), 1.0) * 4) * 0.3
+  + least(COALESCE(CAST(n_stop AS DOUBLE) / CAST(NULLIF(n_tokens,0) AS DOUBLE), 0.0) * 5, 1.0) * 0.3 AS quality
+FROM f
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_ws(F.col("text")).alias("n_ws"),
+        text.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+ORACLE_TOKEN_COUNT = rf"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws,
+  len(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS n_bpe
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (rows-only: pandas UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_udf(F.col("text")).alias("fingerprints"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (north star; codecs stubbed, plumbing real)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return multimodal.decode_features(assets)
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id AS asset_id, 'text' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       'text:' || substr(sha256(text), 1, 16) AS feature
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pdf_to_download(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pdf_to_download": q_pdf_to_download,
+        "pricing_summary": q_pricing_summary,
+        "join_dims_rollup": q_join_dims_rollup,
+        "multiway_left_enrich": q_multiway_left_enrich,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "join_computed_key": q_join_computed_key,
+        "window_dedup_latest": q_window_dedup_latest,
+        "group_collect": q_group_collect,
+        "filter_project": q_filter_project,
+        "like_suffix": q_like_suffix,
+        "regexp_substr": q_regexp_substr,
+        "clean_filename": q_clean_filename,
+        "scalar_suite": q_scalar_suite,
+        "merge_upsert": q_merge_upsert,
+        "update_from_join": q_update_from_join,
+        "delete_using": q_delete_using,
+        "top_k": q_top_k,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "lateral_tokenize": q_lateral_tokenize,
+        "chunk_documents": q_chunk_documents,
+        "json_extract": q_json_extract,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "session_windows": q_session_windows,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pdf_to_download": ORACLE_PDF_TO_DOWNLOAD,
+        "pricing_summary": ORACLE_PRICING_SUMMARY,
+        "join_dims_rollup": ORACLE_JOIN_DIMS_ROLLUP,
+        "multiway_left_enrich": ORACLE_MULTIWAY_LEFT_ENRICH,
+        "anti_join": ORACLE_ANTI_JOIN,
+        "semi_join": ORACLE_SEMI_JOIN,
+        "join_computed_key": ORACLE_JOIN_COMPUTED_KEY,
+        "window_dedup_latest": ORACLE_WINDOW_DEDUP_LATEST,
+        "group_collect": ORACLE_GROUP_COLLECT,
+        "filter_project": ORACLE_FILTER_PROJECT,
+        "like_suffix": ORACLE_LIKE_SUFFIX,
+        "regexp_substr": ORACLE_REGEXP_SUBSTR,
+        "clean_filename": ORACLE_CLEAN_FILENAME,
+        "scalar_suite": ORACLE_SCALAR_SUITE,
+        "merge_upsert": ORACLE_MERGE_UPSERT,
+        "update_from_join": ORACLE_UPDATE_FROM_JOIN,
+        "delete_using": ORACLE_DELETE_USING,
+        "top_k": ORACLE_TOP_K,
+        "set_except": ORACLE_SET_EXCEPT,
+        "set_intersect": ORACLE_SET_INTERSECT,
+        "lateral_tokenize": ORACLE_LATERAL_TOKENIZE,
+        "json_extract": ORACLE_JSON_EXTRACT,
+        "window_tumbling": ORACLE_WINDOW_TUMBLING,
+        "window_sliding": ORACLE_WINDOW_SLIDING,
+        "session_windows": ORACLE_SESSION_WINDOWS,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
+        "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+        "lang_id": ORACLE_LANG_ID,
+        "quality_score": ORACLE_QUALITY_SCORE,
+        "token_count": ORACLE_TOKEN_COUNT,
+        "multimodal_meta": ORACLE_MULTIMODAL_META,
+    }

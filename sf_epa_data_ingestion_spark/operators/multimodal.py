@@ -1,0 +1,166 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The reference's binary path is PDFs in a file stage queried through a
+directory table (epa_ingestion.py:485-494) and parsed by a warehouse
+built-in (PARSE_DOCUMENT, epa_ingestion.py:763). Generalized here for
+training-data pipelines: every asset is a row with
+
+    asset_id bigint, modality string, content binary,
+    meta struct<width int, height int, sample_rate int,
+               duration_ms bigint, mime string>
+
+The Spark-side plumbing (schema, partition sizing, UDF signatures, batch
+shapes) is real and tested; the actual codec work is stubbed because
+image/audio libraries are not in this environment — each stub either
+raises ``NotImplementedError`` (strict mode) or produces a deterministic
+fake derived from the bytes (test mode), clearly marked below.
+
+Scale notes: binary rows are large — ``mapInPandas`` streams Arrow batches
+so executor memory holds one batch, not one partition; keep
+``spark.sql.files.maxPartitionBytes`` at 128 MB so scan tasks stay bounded,
+and avoid shuffling content columns (project metadata first, join content
+back by id only when needed).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ASSET_META = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("content", BinaryType()),
+        StructField("meta", ASSET_META),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("feature", StringType()),
+    ]
+)
+
+
+def _fake_decode(content: bytes, modality: str) -> str:
+    """STUB — deterministic fake standing in for a real decoder
+    (PIL/librosa/ffmpeg are not installed in this container). Produces a
+    stable pseudo-feature from the bytes so plumbing is end-to-end
+    testable. Replace the body with the real codec in production."""
+    h = hashlib.sha256(content or b"").hexdigest()
+    return f"{modality}:{h[:16]}"
+
+
+def decode_features(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode/feature-extract each asset via ``mapInPandas``.
+
+    ``strict=True`` raises NotImplementedError at the decode site — the
+    documented behavior when real codecs are required but unavailable.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real image/audio/video decoding requires codec libraries "
+                    "not present in this environment; run with strict=False "
+                    "for the deterministic fake path"
+                )
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                    "digest": pdf["content"].map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                    "feature": [
+                        _fake_decode(c, m)
+                        for c, m in zip(pdf["content"], pdf["modality"])
+                    ],
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB image resize: passes bytes through and records the requested
+    geometry in ``meta`` (real implementation: PIL in the pandas UDF).
+    The Spark plumbing — struct update without shuffling content — is real."""
+    return assets.withColumn(
+        "meta",
+        F.when(
+            F.col("modality") == "image",
+            F.struct(
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                F.col("meta.sample_rate").alias("sample_rate"),
+                F.col("meta.duration_ms").alias("duration_ms"),
+                F.col("meta.mime").alias("mime"),
+            ),
+        ).otherwise(F.col("meta")),
+    )
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """STUB video frame sampling: emits one row per sampled timestamp with
+    a deterministic fake frame digest (real implementation: ffmpeg/pyav in
+    mapInPandas). Output schema: asset_id, frame_ts_ms, frame_digest."""
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("frame_ts_ms", LongType(), False),
+            StructField("frame_digest", StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "video":
+                    continue
+                dur = (r["meta"]["duration_ms"] or 0) if r["meta"] is not None else 0
+                for ts in range(0, int(dur), every_ms):
+                    rows.append(
+                        {
+                            "asset_id": r["asset_id"],
+                            "frame_ts_ms": ts,
+                            "frame_digest": _fake_decode(
+                                (r["content"] or b"") + ts.to_bytes(8, "little"), "frame"
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_ts_ms", "frame_digest"])
+
+    return assets.mapInPandas(gen, schema=out_schema)

@@ -1,0 +1,110 @@
+"""Hybrid search service: lexical (TF-IDF/BM25) + semantic (cosine) with
+attribute filters — the Spark-native equivalent of the reference's managed
+Cortex Search service (X1, epa_ingestion.py:838-865: ``ON chunk``,
+``ATTRIBUTES productname, signal_word, category_epa_type, companyname``,
+``TARGET_LAG = '1 minute'``).
+
+Design: the *index* is two plain DataFrames/tables —
+- postings(token, id, tf)      one shuffle to build (explode + groupBy)
+- stats(token, df, idf)        tiny, broadcast at query time
+kept fresh by the streaming job in ``streaming/freshness.py`` (the
+TARGET_LAG analog). Queries never scan raw text: they broadcast the query
+terms against the postings table (partition-pruned by token at scale if the
+postings table is bucketed/partitioned by token).
+
+Retrieval scoring is deterministic TF-IDF (ranking parity with the
+proprietary Cortex ranker is explicitly out of scope — SURVEY §7 hard-part
+7; we test top-k stability instead).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+from ..functions.text import tokens
+
+
+def _norm_tokens(col: Column) -> Column:
+    return tokens(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "))
+
+
+def build_postings(docs: DataFrame, id_col: str = "id", text_col: str = "chunk") -> DataFrame:
+    """Posting list: (token, id, tf). One explode + one groupBy shuffle."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(_norm_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def build_token_stats(postings: DataFrame, n_docs: int) -> DataFrame:
+    """(token, df, idf) with idf = ln((N+1)/(df+1)) + 1 (smooth, positive)."""
+    return postings.groupBy("token").agg(F.count(F.lit(1)).alias("df")).select(
+        "token",
+        "df",
+        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1).cast("double")) + 1.0).alias("idf"),
+    )
+
+
+def lexical_search(
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k ids by sum of tf*idf over query terms.
+
+    Query terms are a literal in-plan array → the postings scan is filtered
+    by ``token IN (...)`` (pushed to the scan); the per-doc sum is one
+    partial-aggregated shuffle. Ties break by id for determinism.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    hits = (
+        postings.filter(F.col("token").isin(terms))
+        .join(broadcast(stats.filter(F.col("token").isin(terms))), "token")
+        .groupBy("id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return hits.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
+
+
+def hybrid_search(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    query_vec: list[float] | None = None,
+    vec_col: str = "embedding",
+    attr_filters: dict[str, object] | None = None,
+    k: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "id",
+) -> DataFrame:
+    """Hybrid ranking: alpha * lexical + (1-alpha) * cosine, after attribute
+    filtering (the ATTRIBUTES clause analog — plain pushdown filters)."""
+    from ..functions.vectors import cosine
+
+    base = docs
+    for attr, val in (attr_filters or {}).items():
+        if isinstance(val, (list, tuple)):
+            base = base.filter(F.arrays_overlap(F.col(attr), F.array(*[F.lit(v) for v in val])))
+        else:
+            base = base.filter(F.col(attr) == F.lit(val))
+
+    lex = lexical_search(postings, stats, query, k=max(k * 10, 100)).withColumnRenamed("score", "lex_score")
+    out = base.join(lex, base[id_col] == lex["id"], "inner").drop(lex["id"])
+    if query_vec is not None:
+        qv = F.array(*[F.lit(float(v)) for v in query_vec])
+        out = out.withColumn("sem_score", cosine(F.col(vec_col), qv))
+    else:
+        out = out.withColumn("sem_score", F.lit(0.0))
+    out = out.withColumn(
+        "score", F.round(F.lit(alpha) * F.col("lex_score") + F.lit(1.0 - alpha) * F.col("sem_score"), 6)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (north-star scope).
+
+Two paths:
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Query set × corpus join with expression-level dot products, then a
+  per-query window top-k. Use when |queries| is small or as the verifier.
+- ``lsh_topk``: random-hyperplane LSH — the 100 TB path. Sign-bit
+  signatures bucket the corpus; each query only scores its own buckets.
+  Recall < 1 by construction; multi-probe (``n_tables``) trades compute
+  for recall.
+- ``embedding_near_dup_pairs``: corpus self-similarity above a cosine
+  threshold (near-duplicate detection by embedding).
+
+Scale notes: brute force is O(|Q| * |C|) — fine for |Q| small since the
+corpus never shuffles (queries broadcast). LSH replaces the cross join with
+an equi-join on (table, signature): one shuffle of corpus + queries, bucket-
+bounded pairwise work, AQE handles skewed buckets. Hyperplanes are derived
+from a fixed seed so results are deterministic across runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+from ..functions.vectors import cosine, to_double_array
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query.
+
+    Plan shape: broadcast(queries) × corpus → map-side score → single
+    shuffle for the per-query window. Ties broken by corpus id for
+    determinism. Self-matches (same id) are excluded.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.join(broadcast(q), F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            corpus_id,
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a fixed seed
+    (splitmix64-style integer mix per coordinate — reproducible anywhere)."""
+    vals = []
+    for d in range(dim):
+        x = (table * 1_000_003 + bit * 10_007 + d * 101 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        vals.append((x / 2**64) * 2.0 - 1.0)
+    return vals
+
+
+def _signature(vec: Column, table: int, bits: int, dim: int) -> Column:
+    """Sign-bit signature: bit b set iff dot(vec, plane_b) > 0."""
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(table, b, dim)])
+        d = F.aggregate(
+            F.zip_with(to_double_array(vec), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: score only corpus vectors sharing an LSH
+    bucket with the query in any of ``n_tables`` tables."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def with_sigs(df: DataFrame, id_col: str) -> DataFrame:
+        sigs = F.array(*[_signature(F.col(vec_col), t, bits, dim) for t in range(n_tables)])
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("table", "sig")
+        )
+
+    c = with_sigs(corpus, corpus_id).withColumnRenamed(vec_col, "__cvec")
+    q = with_sigs(queries, query_id).withColumnRenamed(vec_col, "__qvec")
+    cand = (
+        c.join(broadcast(q), ["table", "sig"])
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .dropDuplicates([query_id, corpus_id])
+    )
+    scored = cand.select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    n_tables: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs of near-identical embeddings (cosine >= threshold).
+
+    ``exact=True`` does the full self-join (use for verification / small
+    corpora, and as the SQL-oracle-comparable mode); default goes through
+    LSH buckets so the pairwise work is bucket-bounded.
+    """
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    if exact:
+        a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(c.select(vec_col).first()[0])
+        sigs = F.array(*[_signature(F.col(vec_col), t, bits, dim) for t in range(n_tables)])
+        banded = c.select(F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("table", "sig"))
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{vec_col}").alias("__va"),
+                F.col(f"b.{vec_col}").alias("__vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,112 @@
+"""Batch sources: parquet tables, CSV id-lists, binary-file stages.
+
+Reference parity (citations into /root/reference/):
+- S1 warehouse table scan (epa_ingestion.py:90-104)  -> ``load_table``
+- S2 view scan (epa_ingestion.py:467-478)            -> ``register_views`` + spark.table
+- S6 stage directory catalog (epa_ingestion.py:485-494) -> ``load_binary_stage``
+- S9 CSV id list (EPA_LIST.csv)                      -> ``load_id_csv``
+
+Every reader is a plain declarative ``spark.read`` so Catalyst keeps
+predicate pushdown / column pruning / partition pruning. Nothing here
+materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated synthetic tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). Footer-only metadata
+    read on the driver — no data IO."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Columnar scan; filters/projections push down.
+
+    Tables with nanosecond-precision timestamps (the driver's ``events``
+    table) are read via ``spark.sql.legacy.parquet.nanosAsLong`` and the
+    raw nanos are truncated to microsecond TIMESTAMP_NTZ — the same
+    floor-truncation DuckDB applies, so oracle values line up exactly.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nanos_timestamp_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works on it.
+
+    Mirrors the reference's named-view discipline (CREATE OR REPLACE VIEW,
+    epa_ingestion.py:432, 484) — views are metadata only, re-planned per
+    query, so pushdown still reaches the scans.
+    """
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def load_id_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S9: header'd CSV of ids (EPA_LIST.csv shape: one ``EPA`` column)."""
+    return spark.read.option("header", True).csv(path)
+
+
+def load_binary_stage(spark: SparkSession, stage_dir: str, glob: str | None = None) -> DataFrame:
+    """S6: the stage *directory table*.
+
+    The reference queried ``directory(@PDF_STORE)`` for
+    RELATIVE_PATH/SIZE/LAST_MODIFIED/MD5/FILE_URL (epa_ingestion.py:485-494).
+    Spark's binaryFile source gives path/modificationTime/length/content;
+    the remaining catalog columns are derived declaratively.
+
+    Scale note: binaryFile scans parallelize per-file; at 100 TB of PDFs
+    the listing itself is distributed by the InMemoryFileIndex and content
+    is only read when the ``content`` column survives pruning.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(stage_dir)
+    return df.select(
+        F.regexp_replace(F.col("path"), r"^.*?://", "").alias("full_path"),
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("relative_path"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("last_modified"),
+        F.md5(F.col("content")).alias("md5"),
+        F.col("content"),
+    )
