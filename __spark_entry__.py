@@ -52,8 +52,11 @@ def q_pdf_to_download(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders["o_orderkey"] == lineitem["l_orderkey"],
         "inner",
     ).drop("l_orderkey")
+    # l_partkey completes the total order: the synthetic lineitem contains
+    # duplicate (l_orderkey, l_shipdate, l_linenumber) tuples, and a
+    # non-total sort makes the row_number pick engine-dependent.
     latest = relational.latest_per_key(
-        joined, ["o_orderkey"], [F.desc("l_shipdate"), F.asc("l_linenumber")]
+        joined, ["o_orderkey"], [F.desc("l_shipdate"), F.asc("l_linenumber"), F.asc("l_partkey")]
     )
     # "already downloaded" = the specific (order, part) pair was returned —
     # pair-level anti-join mirrors the reference's per-pdffile key (a file,
@@ -72,7 +75,7 @@ WITH updated AS (
          o.o_orderpriority, l.l_partkey, l.l_linenumber, l.l_shipdate
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
-                             ORDER BY l.l_shipdate DESC, l.l_linenumber ASC) = 1
+                             ORDER BY l.l_shipdate DESC, l.l_linenumber ASC, l.l_partkey ASC) = 1
 )
 SELECT u.* FROM updated u
 WHERE NOT EXISTS (SELECT 1 FROM lineitem p
@@ -264,17 +267,19 @@ FROM part p JOIN dim d ON regexp_extract(p.p_name, '[a-z]+$') = d.noun
 def q_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 alone: latest lineitem per order (string-free typed variant)."""
     l = _t(spark, sf_dir, "lineitem")
+    # l_partkey completes the total order (duplicate shipdate+linenumber
+    # tuples exist in the synthetic data; see q_pdf_to_download).
     return relational.latest_per_key(
         l.select("l_orderkey", "l_partkey", "l_linenumber", "l_shipdate"),
         ["l_orderkey"],
-        [F.desc("l_shipdate"), F.asc("l_linenumber")],
+        [F.desc("l_shipdate"), F.asc("l_linenumber"), F.asc("l_partkey")],
     )
 
 
 ORACLE_WINDOW_DEDUP_LATEST = """
 SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate FROM lineitem
 QUALIFY row_number() OVER (PARTITION BY l_orderkey
-                           ORDER BY l_shipdate DESC, l_linenumber ASC) = 1
+                           ORDER BY l_shipdate DESC, l_linenumber ASC, l_partkey ASC) = 1
 """
 
 

@@ -102,9 +102,10 @@ def split_text(
         cur.append(atom)
         cur_len += len(atom)
     if cur:
-        tail = "".join(cur)
-        if not chunks or not chunks[-1].endswith(tail):
-            chunks.append(tail)
+        # the buffer always holds at least one atom appended after the last
+        # emit (carry-over alone is never left as the tail), so this is
+        # never a pure duplicate of the previous chunk.
+        chunks.append("".join(cur))
     return [c for c in chunks if c.strip()]
 
 

@@ -27,6 +27,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from sf_epa_data_ingestion_spark.functions.binding import let
+from sf_epa_data_ingestion_spark.partitioning import spread
+
 # MinHash universe: (a*h + b) mod P over a base 32-bit hash, P Mersenne prime.
 _P = (1 << 31) - 1
 
@@ -50,25 +53,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def char_shingles(col: Column, k: int = 8) -> Column:
     """Distinct character k-grams of the normalized text, as array<string>.
-    Pure expressions: sequence over offsets -> substring -> dedupe."""
-    t = normalized_text(col)
-    n = F.length(t)
-    offsets = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(offsets, lambda i: t.substr(i, F.lit(k))))
+    Pure expressions: sequence over offsets -> substring -> dedupe.
+    The normalized text is ``let``-bound: referencing it directly from the
+    offset lambda would re-run the normalization regex once per offset."""
+    return let(
+        normalized_text(col),
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))),
+                lambda i: t.substr(i, F.lit(k)),
+            )
+        ),
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash: for permutation i, min over shingles of (a_i*h + b_i) mod P,
     h = 32-bit murmur of the shingle. Fixed (a_i, b_i) derived from i keep
-    the signature deterministic across runs/engines."""
-    base = F.transform(shingles, lambda s: F.abs(F.hash(s)).cast("long"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(base, lambda h: ((i * 2 + 1) * h + i * i + 7) % F.lit(_P))
+    the signature deterministic across runs/engines.
+    The hashed-shingle array is ``let``-bound: the outer transform's lambda
+    would otherwise re-evaluate it (shingling included) once per
+    permutation — 64x per row."""
+    return let(
+        F.transform(shingles, lambda s: F.abs(F.hash(s)).cast("long")),
+        lambda base: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(base, lambda h: ((i * 2 + 1) * h + i * i + 7) % F.lit(_P))
+            ),
         ),
     )
-    return sig
 
 
 def minhash_lsh_pairs(
@@ -89,10 +103,22 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    # Two exchanges around the signature projection, both deliberate:
+    # the first spreads the expensive expression across cores (small-file
+    # scans are 1 task), the second is a MATERIALIZATION BARRIER — sig is
+    # a higher-order-function tree (not codegen'd, no subexpression
+    # elimination), and without the barrier CollapseProject inlines it
+    # into every downstream reference (16 band hashes + the size filter),
+    # recomputing it ~17x per row. Both use explicit counts (spread) so
+    # AQE's byte-based coalescing can't collapse the CPU-bound stage.
+    sig = (
+        spread(df, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
+        )
+    )
+    sig = spread(sig, F.col("id")).filter(F.size("sig") > 0)
 
     banded = sig.select(
         "id",
@@ -104,10 +130,20 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    banded = spread(banded, "band_id", "band_hash")  # parallelize bucket-pair work (see ngram note)
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # Agreement is computed IN the join projection so only narrow
+    # (id_a, id_b, est) rows reach the dedup shuffle — carrying both full
+    # signatures through dropDuplicates multiplies shuffle bytes ~100x.
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -117,18 +153,9 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
-    )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
     )
 
 
@@ -136,6 +163,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """64-bit SimHash over whitespace tokens: per bit, sum +-1 across token
     xxhash64 values; bit set iff the sum is positive. All expression-level:
     fold token-hash array into a 64-wide counter array, then pack bits."""
+    # Signature computation is a heavy per-row expression (64-wide counter
+    # fold per token); spread rows across cores first — a small-file scan
+    # would otherwise compute every signature in one task.
+    df = spread(df, F.col(id_col))
     toks = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -165,7 +196,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.lit(0).cast("long"),
         lambda acc, v: acc.bitwiseXOR(v),
     )
-    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+    # trailing repartition = materialization barrier: `packed` is an
+    # interpreted higher-order expression; callers project it into several
+    # downstream expressions (4 block shifts + hamming), and without the
+    # barrier CollapseProject would recompute it per reference.
+    return spread(df.select(F.col(id_col).alias("id"), packed.alias("simhash")), F.col("id"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
@@ -187,23 +222,19 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ).alias("block_id", "block_val"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.block_id") == F.col("b.block_id"))
             & (F.col("a.block_val") == F.col("b.block_val"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
+        # filter in the join projection: only near pairs reach the dedup
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
@@ -218,11 +249,27 @@ def ngram_jaccard_pairs(
     shingle), so disjoint docs never pair up. Returns
     (id_a, id_b, n_common, jaccard) above ``threshold``.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(char_shingles(F.col(text_col), k)).alias("sh"))
-        .dropDuplicates(["id", "sh"])
+    shingle_arrays = df.select(
+        F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("shs")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # char_shingles is already array_distinct -> explode yields unique
+    # (id, sh) rows; no dedup shuffle needed. Sizes come from the same
+    # expression (per-row, no groupBy shuffle); AQE broadcasts them into
+    # the final join when small (never hinted: at full scale sizes is one
+    # row per document and must stay a shuffle join).
+    # Join on a 64-bit hash of the shingle, not the string: narrower
+    # shuffle rows and cheaper key compares. Collision odds across the
+    # distinct-shingle universe are ~|S|^2/2^65 — immaterial.
+    # Explicit repartition on the join key: the scan side may be few
+    # partitions (small files), and the join's row EXPLOSION (sum over
+    # shingles of df^2) happens after plan-time size estimates — without
+    # this the whole pairwise stage can land on one task.
+    sh = spread(
+        shingle_arrays.select("id", F.transform("shs", lambda s: F.xxhash64(s)).alias("shs"))
+        .select("id", F.explode("shs").alias("sh")),
+        "sh",
+    )
+    sizes = shingle_arrays.select("id", F.size("shs").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))

@@ -26,7 +26,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
 
+from ..functions.binding import let
 from ..functions.vectors import cosine, to_double_array
+from ..partitioning import spread
 
 
 def brute_force_topk(
@@ -76,18 +78,29 @@ def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
     return vals
 
 
-def _signature(vec: Column, table: int, bits: int, dim: int) -> Column:
-    """Sign-bit signature: bit b set iff dot(vec, plane_b) > 0."""
+def _signature_of(v: Column, table: int, bits: int, dim: int) -> Column:
+    """Sign-bit signature: bit b set iff dot(v, plane_b) > 0. ``v`` must be
+    a cheap reference (lambda variable / attribute) — it is read bits times."""
     sig = F.lit(0).cast("long")
     for b in range(bits):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(table, b, dim)])
+        plane = F.array(*[F.lit(x) for x in _hyperplane(table, b, dim)])
         d = F.aggregate(
-            F.zip_with(to_double_array(vec), plane, lambda x, y: x * y),
+            F.zip_with(v, plane, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
     return sig
+
+
+def _signatures(vec: Column, n_tables: int, bits: int, dim: int) -> Column:
+    """All n_tables signatures as one array. The double-cast vector is
+    ``let``-bound so the cast runs once per row, not n_tables*bits times
+    (HOF lambdas re-evaluate referenced child expressions per use)."""
+    return let(
+        to_double_array(vec),
+        lambda v: F.array(*[_signature_of(v, t, bits, dim) for t in range(n_tables)]),
+    )
 
 
 def lsh_topk(
@@ -107,8 +120,11 @@ def lsh_topk(
         dim = len(corpus.select(vec_col).first()[0])
 
     def with_sigs(df: DataFrame, id_col: str) -> DataFrame:
-        sigs = F.array(*[_signature(F.col(vec_col), t, bits, dim) for t in range(n_tables)])
-        return df.select(
+        sigs = _signatures(F.col(vec_col), n_tables, bits, dim)
+        # spread before the (interpreted, expensive) signature expression
+        # so it parallelizes beyond the scan's partition count; explicit
+        # count so AQE byte-based coalescing can't serialize the stage
+        return spread(df, F.col(id_col)).select(
             F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("table", "sig")
         )
 
@@ -149,13 +165,18 @@ def embedding_near_dup_pairs(
     """
     c = corpus.select(F.col(id_col), F.col(vec_col))
     if exact:
-        a = c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        # spread the O(n^2) nested-loop probe across cores (a small-file
+        # scan would run it in one task; explicit count so AQE can't
+        # coalesce the byte-small but CPU-heavy exchange)
+        a = spread(c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a")
         b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         dim = len(c.select(vec_col).first()[0])
-        sigs = F.array(*[_signature(F.col(vec_col), t, bits, dim) for t in range(n_tables)])
-        banded = c.select(F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("table", "sig"))
+        sigs = _signatures(F.col(vec_col), n_tables, bits, dim)
+        banded = spread(c, F.col(id_col)).select(
+            F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("table", "sig")
+        )
         a, b = banded.alias("a"), banded.alias("b")
         pairs = (
             a.join(

@@ -1,0 +1,86 @@
+"""Behavioral tests for dedup + similarity operators on crafted corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators import dedup, similarity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = _docs(spark, ["Hello  World", "hello world", "HELLO\tWORLD", "other doc"])
+    out = dedup.exact_dedup(df).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    assert by_keep == {0: 3, 3: 1}
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    df = _docs(spark, [base, base, "completely different text about spark engines " * 8])
+    out = dedup.minhash_lsh_pairs(df)
+    rows = out.collect()
+    pair = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in rows}
+    assert pair[(0, 1)] == 1.0
+    assert (0, 2) not in pair and (1, 2) not in pair
+
+
+def test_simhash_identical_zero_hamming(spark):
+    base = "spark native minhash engine " * 10
+    df = _docs(spark, [base, base, "unrelated words entirely here " * 10])
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(0, 1)}
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = _docs(spark, ["abcdefgh", "abcdefgh", "zzzzzzzz"])
+    out = dedup.ngram_jaccard_pairs(df, k=8, threshold=0.5).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r["id_a"], r["id_b"], r["jaccard"]) == (0, 1, 1.0)
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(df, queries, k=3).collect()
+    for qid in (0, 1):
+        got = [r["vec_id"] for r in sorted((r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])]
+        sims = vecs @ vecs[qid] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[qid]))
+        sims_rounded = [(round(s, 6), i) for i, s in enumerate(sims) if i != qid]
+        expect = [i for _, i in sorted(sims_rounded, key=lambda t: (-t[0], t[1]))[:3]]
+        assert got == expect
+
+
+def test_lsh_topk_finds_identical_vector(spark):
+    # an exact duplicate vector always lands in the same buckets -> recalled
+    vec = [1.0, -2.0, 0.5, 3.0]
+    other = [[float(i + j) for j in range(4)] for i in range(5)]
+    rows = [(0, vec), (1, vec)] + [(i + 2, v) for i, v in enumerate(other)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_topk(df, queries, k=3, dim=4).collect()
+    assert any(r["vec_id"] == 1 and r["cosine_sim"] == 1.0 for r in out)
+
+
+def test_embedding_near_dup_exact_threshold(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    out = similarity.embedding_near_dup_pairs(df, threshold=0.99, exact=True).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine_sim"]) for r in out] == [(0, 1, 1.0)]

@@ -1,0 +1,89 @@
+"""Tests for the hybrid search index and the streaming freshness job."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sf_epa_data_ingestion_spark.operators import search
+from sf_epa_data_ingestion_spark.streaming import events as ev
+from sf_epa_data_ingestion_spark.streaming.freshness import start_freshness_job, stream_postings
+
+DOCS = [
+    (1, "spark engine shuffles data across executors", "DANGER"),
+    (2, "the pesticide label warns about toxicity", "CAUTION"),
+    (3, "spark spark spark tuning guide", "CAUTION"),
+]
+
+
+def _index(spark):
+    docs = spark.createDataFrame(DOCS, ["id", "chunk", "signal_word"])
+    postings = search.build_postings(docs)
+    stats = search.build_token_stats(postings, n_docs=3)
+    return docs, postings, stats
+
+
+def test_lexical_search_ranks_by_tfidf(spark):
+    _, postings, stats = _index(spark)
+    out = search.lexical_search(postings, stats, "spark", k=2).collect()
+    ids = [r["id"] for r in sorted(out, key=lambda r: -r["score"])]
+    assert ids[0] == 3  # tf=3 beats tf=1
+    assert set(ids) == {1, 3}
+
+
+def test_hybrid_search_attribute_filter(spark):
+    docs, postings, stats = _index(spark)
+    out = search.hybrid_search(
+        docs, postings, stats, "spark", attr_filters={"signal_word": "CAUTION"}
+    ).collect()
+    assert [r["id"] for r in out] == [3]  # doc 1 filtered out by attribute
+
+
+def test_session_windows_batch_gap_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 10, t0),
+        (2, 10, t0 + dt.timedelta(minutes=10)),   # same session
+        (3, 10, t0 + dt.timedelta(minutes=50)),   # gap 40 > 30 -> new session
+        (4, 11, t0),                               # other user
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = ev.session_windows_batch(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[10]) == 2
+    assert sorted(r["n_events"] for r in by_user[10]) == [1, 2]
+    assert len(by_user[11]) == 1
+
+
+def test_freshness_job_available_now(spark, tmp_path):
+    chunks_path = os.path.join(str(tmp_path), "chunks")
+    out_path = os.path.join(str(tmp_path), "postings")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    schema = StructType(
+        [StructField("CHUNK_ID", LongType()), StructField("CHUNK", StringType())]
+    )
+    spark.createDataFrame([(1, "alpha beta"), (2, "beta gamma")], schema).write.mode(
+        "overwrite"
+    ).parquet(chunks_path)
+
+    delta = stream_postings(spark, chunks_path, schema)
+    q = start_freshness_job(delta, out_path, ckpt, available_now=True)
+    q.awaitTermination(120)
+    postings = spark.read.parquet(out_path)
+    got = {(r["token"], r["id"]): r["tf"] for r in postings.collect()}
+    assert got[("beta", 1)] == 1 and got[("beta", 2)] == 1
+    assert ("alpha", 1) in got and ("gamma", 2) in got
+
+    # incremental: append a new chunk file, catch up again, index extends
+    spark.createDataFrame([(3, "delta alpha")], schema).write.mode("append").parquet(chunks_path)
+    q2 = start_freshness_job(stream_postings(spark, chunks_path, schema), out_path, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    got2 = {(r["token"], r["id"]) for r in spark.read.parquet(out_path).collect()}
+    assert ("delta", 3) in got2 and ("alpha", 3) in got2
