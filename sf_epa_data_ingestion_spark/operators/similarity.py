@@ -27,8 +27,34 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
 
 from ..functions.binding import let
-from ..functions.vectors import cosine, to_double_array
+from ..functions.vectors import to_double_array
 from ..partitioning import spread
+
+
+def _with_vec_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str) -> DataFrame:
+    """Project the double-cast vector and its L2 norm as columns, computed
+    once per ROW — pair joins downstream then do a single dot-product fold
+    per pair instead of cosine()'s three (dot + both norms). The fold and
+    sqrt are the same expression trees cosine() uses, so
+    dot/(na*nb) stays bit-identical to cosine(a, b)."""
+    return df.select(
+        "*",
+        to_double_array(F.col(vec_col)).alias(out_vec),
+        let(
+            to_double_array(F.col(vec_col)),
+            lambda v: F.sqrt(
+                F.aggregate(
+                    F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+                )
+            ),
+        ).alias(out_norm),
+    ).drop(vec_col)
+
+
+def _pair_cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """cosine from precomputed double arrays + norms (attribute reads)."""
+    d = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return d / F.nullif(na * nb, F.lit(0.0))
 
 
 def brute_force_topk(
@@ -45,14 +71,21 @@ def brute_force_topk(
     shuffle for the per-query window. Ties broken by corpus id for
     determinism. Self-matches (same id) are excluded.
     """
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("__qvec"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cvec"))
+    q = _with_vec_norm(queries.select(F.col(query_id), F.col(vec_col)), vec_col, "__qvec", "__qn")
+    c = _with_vec_norm(
+        spread(corpus.select(F.col(corpus_id), F.col(vec_col)), F.col(corpus_id)),
+        vec_col,
+        "__cvec",
+        "__cn",
+    )
     scored = (
         c.join(broadcast(q), F.col(query_id) != F.col(corpus_id))
         .select(
             query_id,
             corpus_id,
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+            F.round(
+                _pair_cosine(F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))
@@ -119,17 +152,20 @@ def lsh_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
-    def with_sigs(df: DataFrame, id_col: str) -> DataFrame:
-        sigs = _signatures(F.col(vec_col), n_tables, bits, dim)
-        # spread before the (interpreted, expensive) signature expression
-        # so it parallelizes beyond the scan's partition count; explicit
-        # count so AQE byte-based coalescing can't serialize the stage
-        return spread(df, F.col(id_col)).select(
-            F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("table", "sig")
+    def with_sigs(df: DataFrame, id_col: str, vtag: str, ntag: str) -> DataFrame:
+        # double-cast vector + norm once per row (pair scoring is then a
+        # single fold); spread before the (interpreted, expensive)
+        # signature expression so it parallelizes beyond the scan's
+        # partition count — explicit count so AQE byte-based coalescing
+        # can't serialize the stage
+        dn = _with_vec_norm(spread(df, F.col(id_col)), vec_col, vtag, ntag)
+        sigs = _signatures(F.col(vtag), n_tables, bits, dim)
+        return dn.select(
+            F.col(id_col), vtag, ntag, F.posexplode(sigs).alias("table", "sig")
         )
 
-    c = with_sigs(corpus, corpus_id).withColumnRenamed(vec_col, "__cvec")
-    q = with_sigs(queries, query_id).withColumnRenamed(vec_col, "__qvec")
+    c = with_sigs(corpus, corpus_id, "__cvec", "__cn")
+    q = with_sigs(queries, query_id, "__qvec", "__qn")
     cand = (
         c.join(broadcast(q), ["table", "sig"])
         .filter(F.col(query_id) != F.col(corpus_id))
@@ -138,7 +174,9 @@ def lsh_topk(
     scored = cand.select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        F.round(
+            _pair_cosine(F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))
     return (
@@ -164,18 +202,24 @@ def embedding_near_dup_pairs(
     LSH buckets so the pairwise work is bucket-bounded.
     """
     c = corpus.select(F.col(id_col), F.col(vec_col))
+    # double-cast vectors + norms computed once per ROW (not per pair);
+    # pair scoring below is then a single dot-product fold.
+    cn = _with_vec_norm(c, vec_col, "__v", "__n")
     if exact:
         # spread the O(n^2) nested-loop probe across cores (a small-file
         # scan would run it in one task; explicit count so AQE can't
         # coalesce the byte-small but CPU-heavy exchange)
-        a = spread(c.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a")
-        b = c.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        a = spread(
+            cn.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        b = cn.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         dim = len(c.select(vec_col).first()[0])
-        sigs = _signatures(F.col(vec_col), n_tables, bits, dim)
-        banded = spread(c, F.col(id_col)).select(
-            F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("table", "sig")
+        sigs = _signatures(F.col("__v"), n_tables, bits, dim)
+        banded = spread(cn, F.col(id_col)).select(
+            F.col(id_col), "__v", "__n", F.posexplode(sigs).alias("table", "sig")
         )
         a, b = banded.alias("a"), banded.alias("b")
         pairs = (
@@ -188,14 +232,20 @@ def embedding_near_dup_pairs(
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col(f"a.{vec_col}").alias("__va"),
-                F.col(f"b.{vec_col}").alias("__vb"),
+                F.col("a.__v").alias("__va"),
+                F.col("a.__n").alias("__na"),
+                F.col("b.__v").alias("__vb"),
+                F.col("b.__n").alias("__nb"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
     return (
         pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim")
+            "id_a",
+            "id_b",
+            F.round(
+                _pair_cosine(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
