@@ -25,7 +25,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from sf_epa_data_ingestion_spark.functions import strings, text, vectors
-from sf_epa_data_ingestion_spark.operators import dedup, multimodal, mutate, relational, similarity
+from sf_epa_data_ingestion_spark.operators import (
+    dedup,
+    multimodal,
+    mutate,
+    relational,
+    search,
+    similarity,
+)
 from sf_epa_data_ingestion_spark.plans import epa_views
 from sf_epa_data_ingestion_spark.sources import readers
 from sf_epa_data_ingestion_spark.streaming import events as ev
@@ -802,6 +809,99 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid search service (X1, epa_ingestion.py:838-865 analog)
+# ---------------------------------------------------------------------------
+
+SEARCH_QUERY = "spark hash join table"
+
+
+def q_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 index build: postings (token, id, tf) joined with token stats
+    (df, idf). The searchable index IS two DataFrames; freshness comes from
+    streaming/freshness.py."""
+    d = _t(spark, sf_dir, "documents")
+    postings = search.build_postings(d, id_col="doc_id", text_col="text")
+    stats = search.build_token_stats(postings, n_docs=d.count())
+    return postings.join(stats, "token").select(
+        "token", F.col("id").alias("doc_id"), "tf", "df", F.round("idf", 6).alias("idf")
+    )
+
+
+ORACLE_SEARCH_POSTINGS = r"""
+WITH toks AS (
+  SELECT doc_id, u.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT token, COUNT(*) AS df,
+         ln(CAST((SELECT COUNT(*) FROM documents) + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0 AS idf
+  FROM postings GROUP BY token
+)
+SELECT p.token, p.doc_id, p.tf, s.df, round(s.idf, 6) AS idf
+FROM postings p JOIN stats s USING (token)
+"""
+
+
+def q_search_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 retrieval: top-k docs by sum(tf*idf) over the query terms."""
+    d = _t(spark, sf_dir, "documents")
+    postings = search.build_postings(d, id_col="doc_id", text_col="text")
+    stats = search.build_token_stats(postings, n_docs=d.count())
+    return search.lexical_search(postings, stats, SEARCH_QUERY, k=10).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+
+
+ORACLE_SEARCH_LEXICAL = rf"""
+WITH toks AS (
+  SELECT doc_id, u.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT token, COUNT(*) AS df,
+         ln(CAST((SELECT COUNT(*) FROM documents) + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0 AS idf
+  FROM postings GROUP BY token
+), hits AS (
+  SELECT p.doc_id, round(SUM(p.tf * s.idf), 6) AS score
+  FROM postings p JOIN stats s USING (token)
+  WHERE p.token IN ({", ".join("'" + t + "'" for t in sorted(set(SEARCH_QUERY.split())))})
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM hits
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 10
+"""
+
+
+def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 hybrid ranking (rows-only: alpha-blended lexical + cosine over the
+    docs x embeddings join; ranker parity with the proprietary service is
+    out of scope per SURVEY §7, so the check is shape + determinism)."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
+        F.col("doc_id").alias("id"), "text", "lang", "embedding"
+    )
+    postings = search.build_postings(docs, id_col="id", text_col="text")
+    stats = search.build_token_stats(postings, n_docs=docs.count())
+    qv = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
+    return search.hybrid_search(
+        docs,
+        postings,
+        stats,
+        SEARCH_QUERY,
+        query_vec=qv,
+        attr_filters={"lang": "en"},
+        k=10,
+    ).select("id", "lex_score", "sem_score", "score")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (north star; codecs stubbed, plumbing real)
 # ---------------------------------------------------------------------------
 
@@ -872,6 +972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "search_postings": q_search_postings,
+        "search_lexical": q_search_lexical,
+        "search_hybrid": q_search_hybrid,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -910,5 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ORACLE_LANG_ID,
         "quality_score": ORACLE_QUALITY_SCORE,
         "token_count": ORACLE_TOKEN_COUNT,
+        "search_postings": ORACLE_SEARCH_POSTINGS,
+        "search_lexical": ORACLE_SEARCH_LEXICAL,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
     }
