@@ -1,0 +1,70 @@
+"""Physical-plan audits (PLANS.md pinned as tests).
+
+These assert the *shape* Catalyst compiles our declared plans to — the
+properties the 100 TB design in SCALE.md relies on. They run at sf0.001:
+plan shape is scale-independent for everything asserted here except
+AQE-dynamic choices, which we pin via hints or explicit structure.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    p = plan_of(spark, "filter_project")
+    assert "EqualTo(event_type,purchase)" in p, "equality filter not pushed to scan"
+    assert "GreaterThan(value,50.0)" in p, "range filter not pushed to scan"
+    # widest events column must be pruned from the scan
+    assert "props" not in p, "column pruning failed: props read but unused"
+
+
+def test_pricing_summary_pushdown(spark):
+    p = plan_of(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p
+    # untouched wide columns pruned
+    assert "l_comment" not in p
+
+
+def test_star_join_broadcasts(spark):
+    p = plan_of(spark, "join_dims_rollup")
+    assert p.count("BroadcastHashJoin") >= 2, "dimension joins must broadcast"
+    assert "SortMergeJoin" not in p
+
+
+def test_anti_join_is_broadcast_anti(spark):
+    p = plan_of(spark, "anti_join")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_partial_aggregation(spark):
+    p = plan_of(spark, "pricing_summary")
+    # map-side partial agg + final agg around the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_ngram_join_is_hash_not_sortmerge(spark):
+    p = plan_of(spark, "ngram_jaccard")
+    assert "ShuffledHashJoin" in p, "shingle self-join must hash-probe (SHUFFLE_HASH hint)"
+
+
+def test_minhash_has_no_pushed_filter_into_signature(spark):
+    # the null-text filter must sit at the scan, not on size(sig)
+    p = plan_of(spark, "minhash_lsh")
+    assert "IsNotNull(text)" in p, "null filter should push to the documents scan"
