@@ -290,9 +290,14 @@ def ngram_jaccard_pairs(
         ),
         "id",
     )
+    # factor=4 oversubscription: the join+partial-agg stage builds a hash
+    # table over ~|pairs|/partitions groups per task; 4x more (smaller)
+    # tasks measured 2.4x faster at sf0.1 (28s -> 12s) from cache-resident
+    # agg tables, and bounds both SHJ build size and skew.
     sh = spread(
         hashed.select("id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")),
         "sh",
+        factor=4,
     )
     # SHUFFLE_HASH: sort-merge on a key with heavy duplicates (df up to
     # ~10^3 per shingle) re-walks the buffered right group per left row —
