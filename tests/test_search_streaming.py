@@ -87,3 +87,61 @@ def test_freshness_job_available_now(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {(r["token"], r["id"]) for r in spark.read.parquet(out_path).collect()}
     assert ("delta", 3) in got2 and ("alpha", 3) in got2
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches
+    (two availableNow runs over a growing directory, same checkpoint)."""
+    import datetime as dt
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from sf_epa_data_ingestion_spark.streaming.stateful import running_user_stats
+
+    src = os.path.join(str(tmp_path), "events")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    out = os.path.join(str(tmp_path), "out")
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            running_user_stats(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, e: b.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(10, t0, 1.0), (10, t0 + dt.timedelta(minutes=1), 2.0), (11, t0, 5.0)], schema
+    ).write.mode("overwrite").parquet(src)
+    run_once()
+
+    spark.createDataFrame([(10, t0 + dt.timedelta(minutes=2), 4.0)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        if r["user_id"] not in latest or r["n_events"] > latest[r["user_id"]]["n_events"]:
+            latest[r["user_id"]] = r
+    # user 10: 2 events in batch 1, +1 in batch 2 -> state carried
+    assert latest[10]["n_events"] == 3
+    assert latest[10]["total_value"] == 7.0
+    assert latest[11]["n_events"] == 1
