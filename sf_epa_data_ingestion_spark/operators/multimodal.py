@@ -113,6 +113,70 @@ def decode_features(assets: DataFrame, strict: bool = False) -> DataFrame:
     return assets.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+def parse_documents(
+    files: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    strict: bool = False,
+) -> DataFrame:
+    """F3: PDF -> layout text (the reference's ``PARSE_DOCUMENT(@stage,
+    relative_path, {'mode':'LAYOUT'})``, epa_ingestion.py:763-764), as an
+    Arrow-batched pandas UDF over a ``binaryFile``-shaped DataFrame.
+
+    Uses ``pypdf`` when installed. In this container it is not, so the
+    fallback (strict=False) extracts printable-ASCII runs >= 4 chars from
+    the raw bytes — deterministic, and sufficient to drive the downstream
+    chunk/index plumbing end-to-end in tests. ``strict=True`` raises
+    NotImplementedError when no real parser is available (the documented
+    production posture).
+    """
+    out_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("text", StringType()),
+            StructField("parse_status", StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import pypdf  # type: ignore
+
+            have_pypdf = True
+        except ImportError:
+            have_pypdf = False
+        import io as _io
+        import re as _re
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    if have_pypdf:
+                        reader = pypdf.PdfReader(_io.BytesIO(blob))
+                        text = "\n\n".join(p.extract_text() or "" for p in reader.pages)
+                        status = "pypdf"
+                    elif strict:
+                        raise NotImplementedError(
+                            "PDF parsing requires pypdf, which is not installed; "
+                            "run with strict=False for the ASCII-run fallback"
+                        )
+                    else:
+                        runs = _re.findall(rb"[\x20-\x7e]{4,}", blob or b"")
+                        text = "\n".join(r.decode("ascii") for r in runs)
+                        status = "ascii-fallback"
+                    rows.append({"path": path, "text": text, "parse_status": status})
+                except NotImplementedError:
+                    raise
+                except Exception as exc:  # noqa: BLE001 — errors become data
+                    rows.append({"path": path, "text": None, "parse_status": f"error: {exc}"})
+            yield pd.DataFrame(rows, columns=["path", "text", "parse_status"])
+
+    return files.select(
+        F.col(path_col).alias(path_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(gen, schema=out_schema)
+
+
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     """STUB image resize: passes bytes through and records the requested
     geometry in ``meta`` (real implementation: PIL in the pandas UDF).
