@@ -64,6 +64,14 @@ def test_ngram_join_is_hash_not_sortmerge(spark):
     assert "ShuffledHashJoin" in p, "shingle self-join must hash-probe (SHUFFLE_HASH hint)"
 
 
+def test_flagship_window_group_limit_pushdown(spark):
+    p = plan_of(spark, "pdf_to_download")
+    # rank<=1 cutoff applied map-side before the window exchange
+    assert p.count("WindowGroupLimit") >= 2, "row_number=1 must push a group limit"
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+    assert p.count("Exchange") <= 4, f"unexpected extra shuffles:\n{p}"
+
+
 def test_minhash_has_no_pushed_filter_into_signature(spark):
     # the null-text filter must sit at the scan, not on size(sig)
     p = plan_of(spark, "minhash_lsh")
