@@ -65,11 +65,16 @@ def test_ngram_join_is_hash_not_sortmerge(spark):
 
 
 def test_flagship_window_group_limit_pushdown(spark):
+    import re
+
     p = plan_of(spark, "pdf_to_download")
     # rank<=1 cutoff applied map-side before the window exchange
-    assert p.count("WindowGroupLimit") >= 2, "row_number=1 must push a group limit"
+    assert "WindowGroupLimit" in p, "row_number=1 must push a group limit"
     assert "LeftAnti" in p and "BroadcastHashJoin" in p
-    assert p.count("Exchange") <= 4, f"unexpected extra shuffles:\n{p}"
+    # detail section lists each node once: at most 2 real shuffle exchanges
+    # (window partitioning + done-set dedup); joins are all broadcast
+    shuffles = re.findall(r"^\(\d+\) Exchange\b", p, flags=re.M)
+    assert len(shuffles) <= 2, f"unexpected extra shuffles:\n{p}"
 
 
 def test_minhash_has_no_pushed_filter_into_signature(spark):
