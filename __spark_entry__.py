@@ -29,7 +29,9 @@ from sf_epa_data_ingestion_spark.operators import (
     dedup,
     multimodal,
     mutate,
+    profiling,
     relational,
+    sampling,
     search,
     similarity,
 )
@@ -809,6 +811,109 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sampling / splitting / profiling (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+_HASH_UNIT_SQL = "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 13)) AS UBIGINT) / 4503599627370496.0"
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic ~20% sample of documents (same rows on any
+    engine/partitioning — unlike df.sample)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.sample_by_hash(d, "doc_id", 0.20).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_SAMPLE_HASH = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_HASH_UNIT_SQL.format(k="doc_id")} < 0.20
+"""
+
+
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test tags by key hash (keys never change split)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.train_val_test_split(d, "doc_id", val_fraction=0.1, test_fraction=0.1).select(
+        "doc_id", "split"
+    )
+
+
+ORACLE_TRAIN_VAL_TEST = f"""
+SELECT doc_id,
+       CASE WHEN {_HASH_UNIT_SQL.format(k="doc_id")} < 0.1 THEN 'test'
+            WHEN {_HASH_UNIT_SQL.format(k="doc_id")} < 0.2 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic quotas (en kept at 30%, de at 80%)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample_by_hash(
+        d, "doc_id", "lang", {"en": 0.30, "de": 0.80}
+    ).select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'de' AND {_HASH_UNIT_SQL.format(k="doc_id")} < 0.80)
+   OR (lang = 'en' AND {_HASH_UNIT_SQL.format(k="doc_id")} < 0.30)
+"""
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return profiling.column_profile(o, ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+
+ORACLE_COLUMN_PROFILE = """
+SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT o_orderstatus) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_custkey) FROM orders
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return profiling.exact_percentiles(
+        l, "l_extendedprice", group_col="l_returnflag", percentiles=(0.25, 0.5, 0.75, 0.95)
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return profiling.heavy_hitters(p, "p_type", k=5, by="p_brand")
+
+
+ORACLE_HEAVY_HITTERS = """
+SELECT p_brand, p_type AS value, COUNT(*) AS n,
+       CAST(row_number() OVER (PARTITION BY p_brand
+                               ORDER BY COUNT(*) DESC, p_type ASC) AS BIGINT) AS rank
+FROM part GROUP BY p_brand, p_type
+QUALIFY rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hybrid search service (X1, epa_ingestion.py:838-865 analog)
 # ---------------------------------------------------------------------------
 
@@ -972,6 +1077,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "sample_hash": q_sample_hash,
+        "train_val_test": q_train_val_test,
+        "stratified_sample": q_stratified_sample,
+        "column_profile": q_column_profile,
+        "percentiles": q_percentiles,
+        "heavy_hitters": q_heavy_hitters,
         "search_postings": q_search_postings,
         "search_lexical": q_search_lexical,
         "search_hybrid": q_search_hybrid,
@@ -1013,6 +1124,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ORACLE_LANG_ID,
         "quality_score": ORACLE_QUALITY_SCORE,
         "token_count": ORACLE_TOKEN_COUNT,
+        "sample_hash": ORACLE_SAMPLE_HASH,
+        "train_val_test": ORACLE_TRAIN_VAL_TEST,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "column_profile": ORACLE_COLUMN_PROFILE,
+        "percentiles": ORACLE_PERCENTILES,
+        "heavy_hitters": ORACLE_HEAVY_HITTERS,
         "search_postings": ORACLE_SEARCH_POSTINGS,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
         "multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -1,0 +1,77 @@
+"""Dataset profiling for training-data pipelines: column statistics,
+exact percentiles, and heavy hitters.
+
+A corpus-curation loop needs fast answers to "what's in this table":
+null/blank rates, distinct counts, length distributions, and the most
+frequent values per dimension (heavy hitters drive dedup and filtering
+decisions). Everything here is exact and grouped-aggregate-shaped, so
+it is one partial-aggregated shuffle per call and oracle-checkable;
+approximate variants (approx_count_distinct / percentile_approx /
+count-min) are drop-in swaps at the 100 TB tier where exactness stops
+mattering — noted per function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column rows / nulls / distincts, long format (column, metric
+    rows stack via unions of tiny aggregates — one job, Catalyst merges
+    the scans). Exact count_distinct; swap to approx_count_distinct at
+    the 100 TB tier (one pass, fixed memory)."""
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact linear-interpolated percentiles (SQL percentile_cont
+    semantics — matches DuckDB quantile_cont bit-for-bit on the same
+    doubles). One shuffle; at 100 TB use percentile_approx with a
+    bounded accuracy knob instead."""
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    if group_col:
+        return df.groupBy(group_col).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 10, by: str | None = None
+) -> DataFrame:
+    """Top-k most frequent values (optionally per group ``by``), exact:
+    count + rank window, ties broken by value for determinism. At 100 TB
+    swap the exact count for a count-min sketch + candidate verify pass."""
+    keys = [F.col(by)] if by else []
+    counted = df.groupBy(*keys, F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.asc("value"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*([by] if by else []), "value", "n", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,62 @@
+"""Unit tests for deterministic sampling/splitting and profiling ops."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators import profiling, sampling
+
+
+def test_sample_by_hash_is_partition_invariant(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in sampling.sample_by_hash(df, "k", 0.3).collect()}
+    b = {r["k"] for r in sampling.sample_by_hash(df.repartition(17), "k", 0.3).collect()}
+    assert a == b  # df.sample would fail this
+    assert 0.2 < len(a) / 2000 < 0.4
+
+
+def test_split_is_stable_under_append(spark):
+    base = spark.range(0, 1000).select(F.col("id").alias("k"))
+    first = {r["k"]: r["split"] for r in sampling.train_val_test_split(base, "k").collect()}
+    grown = spark.range(0, 1500).select(F.col("id").alias("k"))
+    second = {r["k"]: r["split"] for r in sampling.train_val_test_split(grown, "k").collect()}
+    # appending rows never reassigns an existing key's split
+    assert all(second[k] == v for k, v in first.items())
+    assert set(second.values()) == {"train", "val", "test"}
+
+
+def test_stratified_sample_respects_strata(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "fr")) for i in range(1000)],
+        ["k", "lang"],
+    )
+    out = sampling.stratified_sample_by_hash(df, "k", "lang", {"en": 1.0, "de": 0.0})
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"}  # de sampled at 0, fr not listed -> dropped
+    assert out.count() == 500  # en fraction 1.0 keeps every en row
+
+
+def test_column_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["k", "v"]
+    )
+    prof = {r["column"]: r for r in profiling.column_profile(df, ["k", "v"]).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_null"] == 0 and prof["k"]["n_distinct"] == 4
+    assert prof["v"]["n_null"] == 1 and prof["v"]["n_distinct"] == 2
+
+
+def test_exact_percentiles_interpolation(spark):
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], ["x"])
+    (row,) = profiling.exact_percentiles(df, "x", percentiles=(0.5,)).collect()
+    assert row["p50"] == 2.5  # percentile_cont linear interpolation
+
+
+def test_heavy_hitters_rank_and_ties(spark):
+    df = spark.createDataFrame(
+        [("g", "x")] * 3 + [("g", "y")] * 3 + [("g", "z")], ["grp", "v"]
+    )
+    rows = profiling.heavy_hitters(df, "v", k=2, by="grp").collect()
+    assert [(r["value"], r["n"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+        ("x", 3, 1),  # tie with y broken by value asc
+        ("y", 3, 2),
+    ]
