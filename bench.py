@@ -44,6 +44,10 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+        # Isolate queries: drop persisted intermediates (several operators
+        # persist() shared subtrees) so later queries are timed against a
+        # cold cache and the heap doesn't accumulate 47 queries of blocks.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -71,6 +71,16 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash: for permutation i, min over shingles of (a_i*h + b_i) mod P,
     h = 32-bit murmur of the shingle. Fixed (a_i, b_i) derived from i keep
     the signature deterministic across runs/engines.
+
+    Pure-expression form (higher-order functions, JVM-side). HOF lambdas
+    are interpreted, not codegen'd — ``num_hashes * |shingles|`` lambda
+    dispatches per row — but this path is used deliberately: an
+    Arrow/numpy pandas-UDF variant of the same arithmetic was measured
+    ~2x faster, yet intermittently lost its ArrowEvalPython extraction
+    during physical planning in warm sessions (Spark 4.1,
+    INTERNAL_ERROR "Cannot evaluate expression" when the cached/
+    checkpointed signature subtree was materialized), so the pipeline
+    stays expression-only here for reliability.
     The hashed-shingle array is ``let``-bound: the outer transform's lambda
     would otherwise re-evaluate it (shingling included) once per
     permutation — 64x per row."""
@@ -268,63 +278,143 @@ def ngram_jaccard_pairs(
     k: int = 8,
     threshold: float = 0.30,
 ) -> DataFrame:
-    """Exact character-k-gram Jaccard similarity for all pairs sharing at
-    least one shingle. Candidate generation = shingle equi-join (shuffle on
-    shingle), so disjoint docs never pair up. Returns
-    (id_a, id_b, n_common, jaccard) above ``threshold``.
+    """Exact character-k-gram Jaccard similarity via **prefix filtering**
+    (AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    Returns (id_a, id_b, n_common, jaccard) above ``threshold``.
+
+    A naive shingle equi-join explodes as sum over shingles of df^2 —
+    dominated by boilerplate shingles shared by hundreds of docs (measured
+    114M join rows at sf0.1 on ~1.4M shingle rows). Prefix filtering makes
+    candidate generation subquadratic while staying EXACT:
+
+    1. order every doc's shingle set by ascending global document
+       frequency (rarest first; ties broken by shingle hash — any global
+       total order works),
+    2. join only on each doc's PREFIX = first ``n - ceil(t*n) + 1``
+       shingles. Completeness: if J(a,b) >= t then the overlap o satisfies
+       o >= t*|a| and o >= t*|b| (from o(1+t) >= t(|a|+|b|) and |b| >= o),
+       and the globally-smallest common shingle sits within the first
+       ``n - o + 1`` positions of both ordered sets — i.e. inside both
+       prefixes. Rarest-first ordering pushes the high-df boilerplate
+       shingles out of the prefixes, which is exactly where the df^2
+       blow-up lived.
+    3. verify every candidate pair exactly with ``array_intersect`` on the
+       full shingle-hash arrays.
+
+    Shingles are joined/compared as 64-bit xxhash values, not strings:
+    narrower shuffle rows, and collision odds across the distinct-shingle
+    universe are ~|S|^2/2^65 — immaterial.
+
+    Scale notes (100 TB): the df table and the ordered arrays are one
+    groupBy each over the shingle rows (linear). Candidate volume is
+    sum over PREFIX shingles of df_prefix^2 — data-dependent but typically
+    orders of magnitude below the full join (measured 114M -> ~2M at
+    sf0.1). Hot prefixes are still bounded by AQE skew splitting plus the
+    spread() oversubscription below.
     """
-    # char_shingles is already array_distinct -> explode yields unique
-    # (id, sh) rows; no dedup shuffle needed.
-    # Join on a 64-bit hash of the shingle, not the string: narrower
-    # shuffle rows and cheaper key compares. Collision odds across the
-    # distinct-shingle universe are ~|S|^2/2^65 — immaterial.
-    # The shingle-hash array is computed once behind an exchange barrier
-    # (spread): the projection after it reads the array twice (size +
-    # explode), and without the barrier CollapseProject would inline the
-    # whole shingling expression into both references.
-    # Set sizes ride ALONG the shingle rows (n_sh next to each sh), so the
-    # per-pair aggregation below groups by (ids, sizes) and can compute +
-    # threshold-filter Jaccard immediately — no post-aggregation joins
-    # back to a sizes table, which would re-shingle the corpus and drag
-    # the full pair set through two more joins.
-    # Explicit repartition on the join key (spread): the scan side may be
-    # few partitions (small files), and the join's row EXPLOSION (sum over
-    # shingles of df^2) happens after plan-time size estimates — without
-    # this the whole pairwise stage can land on one task.
-    hashed = spread(
+    eps = 1e-9  # float-safe slack on the filter inequalities
+    # Distinct (id, shingle-hash) rows. char_shingles is array_distinct so
+    # the explode yields unique rows per doc; no dedup shuffle needed. The
+    # spread() is a materialization barrier for the shingling expression
+    # (interpreted HOF — see minhash notes) and parallelizes the scan.
+    # persist: two consumers (dfreq + the df-attach join) would otherwise
+    # each re-run the interpreted shingling. Rows are narrow (id, int64).
+    sh = spread(
         df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("id"),
-            F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("shs"),
+            F.explode(
+                F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+            ).alias("sh"),
         ),
         "id",
+    ).persist()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # Rebuild each doc's shingle set as an array sorted by (df asc, sh):
+    # one shuffle to attach df, one to regroup per doc.
+    # persist: three consumers (prefix explode + both verify joins). This
+    # is one row per DOC (not per shingle) — small relative to the corpus.
+    ordered = (
+        sh.join(dfreq, "sh")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ord"))
+        .select(
+            "id",
+            F.transform("ord", lambda s: s["sh"]).alias("shs"),
+            F.size("ord").alias("n_sh"),
+        )
     )
-    # factor=4 oversubscription: the join+partial-agg stage builds a hash
-    # table over ~|pairs|/partitions groups per task; 4x more (smaller)
-    # tasks measured 2.4x faster at sf0.1 (28s -> 12s) from cache-resident
-    # agg tables, and bounds both SHJ build size and skew.
-    sh = spread(
-        hashed.select("id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")),
-        "sh",
-        factor=4,
+    ordered = spread(ordered, "id").persist()
+
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)).cast("int") + F.lit(1)
+    # posexplode: the 0-based prefix position feeds the PPJoin positional
+    # filter below. factor=4 oversubscription keeps join build sides
+    # cache-resident and bounds skew on hot prefix shingles.
+    pref = ordered.select(
+        "id", "n_sh", F.posexplode(F.slice("shs", F.lit(1), prefix_len)).alias("pos", "sh")
     )
-    # persist: both self-join sides re-derive the shingle rows otherwise.
-    sh = sh.persist()
-    # SHUFFLE_HASH: sort-merge on a key with heavy duplicates (df up to
-    # ~10^3 per shingle) re-walks the buffered right group per left row —
-    # measured ~5x slower than hash probing here. The per-partition build
-    # side is |sh rows| / spread partitions, which scales down with
-    # cluster size; bump spread(factor=) if build partitions outgrow
-    # executor memory at extreme scale.
-    a, b = sh.alias("a"), sh.hint("SHUFFLE_HASH").alias("b")
-    return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+    pref = spread(pref, "sh", factor=4).persist()
+    # SHUFFLE_HASH: sort-merge on a key with heavy duplicates re-walks the
+    # buffered right group per left row — hash probing wins here.
+    a, b = pref.alias("a"), pref.hint("SHUFFLE_HASH").alias("b")
+    # Candidate pairs, then the PPJoin POSITIONAL filter: the globally
+    # smallest common shingle of a qualifying pair sits at positions
+    # (pa, pb) in the two ordered sets, and every other common shingle
+    # sorts after it in both — so overlap <= 1 + min(n_a-1-pa, n_b-1-pb).
+    # J >= t needs overlap >= t/(1+t) * (n_a+n_b); prune pairs whose first
+    # shared prefix shingle appears too late. Random pairs share only
+    # boilerplate (high-df) shingles, which sort LAST — this is where the
+    # bulk of the false candidates die (measured 2.2M -> 0.77M at sf0.1).
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J >= t forces t*|a| <= |b| and t*|b| <= |a|
+            & (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(threshold) - F.lit(eps))
+            & (F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(threshold) - F.lit(eps)),
+        )
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.min("a.pos").alias("pa"), F.min("b.pos").alias("pb"))
+        .filter(
+            F.lit(1.0)
+            + F.least(F.col("n_a") - 1 - F.col("pa"), F.col("n_b") - 1 - F.col("pb"))
+            >= F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b")) - F.lit(eps)
+        )
+        .select("id_a", "id_b")
+    )
+    # Exact verification. The two shingle-array attachments resolve to
+    # broadcast/hash joins of the per-doc table onto the candidate pairs.
+    # CRITICAL plan shape: the intersect is projected ONCE into a narrow
+    # row behind an exchange barrier (spread) BEFORE the jaccard filter —
+    # array_intersect is not codegen'd, and CollapseProject would inline
+    # it into the filter predicate + both output columns (4 evaluations).
+    # Equally important: never persist() the array-carrying pair rows —
+    # the in-memory columnar cache is pathological on wide array columns
+    # (measured 199s to cache what streams through the join in 0.5s).
+    verified = (
+        cand.join(
+            ordered.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            ordered.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
+    return (
+        spread(verified, "id_a", "id_b")
         .select(
             "id_a",
             "id_b",
