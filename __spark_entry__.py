@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from sf_epa_data_ingestion_spark.functions import strings, text, vectors
 from sf_epa_data_ingestion_spark.operators import (
+    cleaning,
     dedup,
     multimodal,
     mutate,
@@ -1030,6 +1031,168 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Corpus cleaning (training-data pipeline ops). The synthetic documents
+# contain no PII/HTML/URLs, so the PII/HTML/URL queries append a
+# DETERMINISTIC augmentation derived from doc_id — built identically in
+# Spark and the oracle SQL — so the driver's value-hash actually exercises
+# the regex chains instead of passing on unchanged text.
+# ---------------------------------------------------------------------------
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call (555) 867-5309 or 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+        F.lit(" ssn 123-45-6789 tel 415-555-2671"),
+    )
+    return d.select("doc_id", cleaning.redact_pii(aug).alias("clean"))
+
+
+ORACLE_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com call (555) 867-5309 or 10.0.0.'
+              || CAST(doc_id % 255 AS VARCHAR)
+              || ' ssn 123-45-6789 tel 415-555-2671' AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+      '\(\d{3}\) ?\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean
+FROM aug
+"""
+
+
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat_ws(
+        "",
+        F.lit('<div class="doc">'),
+        F.col("text"),
+        F.lit('</div> <script>var x = 1 < 2;</script> AT&amp;T says &lt;hello&gt; &quot;hi&quot;'),
+    )
+    return d.select("doc_id", cleaning.strip_html(aug).alias("clean"))
+
+
+ORACLE_STRIP_HTML = r"""
+WITH aug AS (
+  SELECT doc_id,
+         '<div class="doc">' || text
+           || '</div> <script>var x = 1 < 2;</script> AT&amp;T says &lt;hello&gt; &quot;hi&quot;' AS t
+  FROM documents
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '(?s)<script.*?</script>', ' ', 'g'),
+          '(?s)<style.*?</style>', ' ', 'g'),
+        '<[^>]+>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+    '\s+', ' ', 'g')) AS clean
+FROM aug
+"""
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" see https://Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and http://mirror.example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com"),
+    )
+    return cleaning.extract_url_domains(d.select("doc_id", aug.alias("text")))
+
+
+ORACLE_URL_DOMAINS = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://Example' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com/p/' || CAST(doc_id AS VARCHAR)
+              || ' and http://mirror.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS t
+  FROM documents
+), urls AS (
+  SELECT doc_id AS id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url FROM aug
+), domains AS (
+  SELECT id, lower(regexp_extract(url, '^https?://([^/\s]+)', 1)) AS domain FROM urls
+)
+SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT id) AS n_docs
+FROM domains WHERE domain <> '' GROUP BY domain
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cleaning.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id AS id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens,
+  CASE WHEN len(t) > 0
+       THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+       ELSE 0.0 END AS repetition_ratio
+FROM toks
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-4-gram overlap of the corpus (doc_id % 11 != 0) against a
+    benchmark stand-in (doc_id % 11 = 0). n=4 on the synthetic word-salad
+    corpus yields a non-trivial contaminated set (~60 docs at sf0.01);
+    real pipelines use 8-13-grams on natural text."""
+    d = _t(spark, sf_dir, "documents")
+    return cleaning.contamination_screen(
+        d.filter(F.col("doc_id") % 11 != 0), d.filter(F.col("doc_id") % 11 == 0), n=4
+    )
+
+
+ORACLE_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+3], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0
+)
+SELECT g.doc_id AS id, COUNT(*) AS n_hits
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % 11 <> 0
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1087,6 +1250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_lexical": q_search_lexical,
         "search_hybrid": q_search_hybrid,
         "multimodal_meta": q_multimodal_meta,
+        "pii_redact": q_pii_redact,
+        "strip_html": q_strip_html,
+        "url_domains": q_url_domains,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
     }
 
 
@@ -1133,4 +1301,9 @@ def oracle_sql() -> dict[str, str]:
         "search_postings": ORACLE_SEARCH_POSTINGS,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
+        "pii_redact": ORACLE_PII_REDACT,
+        "strip_html": ORACLE_STRIP_HTML,
+        "url_domains": ORACLE_URL_DOMAINS,
+        "repetition_stats": ORACLE_REPETITION_STATS,
+        "contamination": ORACLE_CONTAMINATION,
     }

@@ -1,0 +1,188 @@
+"""Corpus-cleaning operators for training-data pipelines (north-star scope).
+
+The reference pipeline ingests raw documents and enriches them
+(epa_ingestion.py:751-826); a 100 TB training-data pipeline additionally
+needs the standard *cleaning* passes before dedup/tokenization:
+
+- ``redact_pii``            regex redaction of emails / IPs / SSNs / phones
+- ``strip_html``            tag removal + entity decode + whitespace collapse
+- ``extract_url_domains``   URL harvesting -> per-domain frequency table
+- ``repetition_stats``      per-doc token repetition (boilerplate signal)
+- ``contamination_screen``  word-n-gram overlap against a benchmark corpus
+
+Everything is built from JVM-side expressions (regexp_replace /
+regexp_extract_all / split / higher-order array functions) — no Python in
+the hot path, so the passes stay inside whole-stage codegen and scale with
+executor count. Regex patterns deliberately avoid lookarounds and
+backreferences so the exact same pattern runs under Java regex (Spark) and
+RE2 (DuckDB oracle) with identical match sets.
+
+Scale notes (100 TB): every operator here is embarrassingly parallel
+(per-row expressions) except the two aggregations — the domain count is a
+map-side-combinable groupBy on a low-cardinality key, and the
+contamination screen shuffles only (doc_id, shingle-hash) pairs for the
+probe side while the benchmark side is a distinct-shingle table that
+Catalyst broadcasts when small (the common case: benchmarks are MBs, the
+corpus is TBs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from sf_epa_data_ingestion_spark.partitioning import spread
+
+#: (pattern, replacement) pairs applied in order. Order matters: SSNs
+#: (3-2-4 with dashes) are redacted before generic phones (3-3-4) so the
+#: narrower pattern wins; emails go first so their digit runs cannot be
+#: half-eaten by the phone pass.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    (r"\(\d{3}\) ?\d{3}[-. ]\d{4}", "<PHONE>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+#: HTML entities decoded after tag removal; ``&amp;`` must come last so
+#: double-escaped entities don't get unescaped twice into live markup.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace common PII shapes with typed placeholder tokens.
+
+    Chained ``regexp_replace`` (each replaces ALL matches — parity note:
+    DuckDB needs the explicit ``'g'`` flag for the same behavior)."""
+    out = col
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def strip_html(col: Column) -> Column:
+    """Markup -> plain text: drop script/style blocks wholesale, replace
+    remaining tags with a space, decode the common entities, collapse
+    whitespace. ``(?s)`` makes ``.`` span newlines inside blocks; ``.*?``
+    keeps block matches non-greedy (both supported by Java regex and RE2).
+    """
+    out = F.regexp_replace(col, r"(?s)<script.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?s)<style.*?</style>", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for entity, ch in HTML_ENTITIES:
+        # literal, not regex: replace() to avoid escaping concerns
+        out = F.replace(out, F.lit(entity), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+#: URL shape: scheme + host (no whitespace), optional path. The domain is
+#: capture-group 1 of ``URL_DOMAIN_PATTERN`` applied to each harvested URL.
+URL_PATTERN = r"https?://[^\s]+"
+URL_DOMAIN_PATTERN = r"^https?://([^/\s]+)"
+
+
+def extract_url_domains(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Harvest every URL, reduce to lowercased domain, count per domain
+    with distinct-document reach. One map-side-combinable shuffle on the
+    domain key."""
+    urls = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)).alias("url"),
+    )
+    return (
+        urls.select(
+            "id", F.lower(F.regexp_extract("url", URL_DOMAIN_PATTERN, 1)).alias("domain")
+        )
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token repetition: total tokens, distinct tokens, and
+    ``repetition_ratio = 1 - distinct/total`` (0 = all unique). High
+    ratios flag boilerplate / degenerate generations. Pure per-row
+    expressions; the token array is built once per metric via ``split``
+    on collapsed whitespace."""
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        uniq.cast("long").alias("n_unique_tokens"),
+        F.when(n > 0, F.lit(1.0) - uniq.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )
+
+
+def word_ngrams(col: Column, n: int = 8) -> Column:
+    """Distinct word n-grams of the whitespace-tokenized text, as
+    array<string>. Documents shorter than ``n`` words yield an empty
+    array (sequence guard)."""
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " "), lambda t: t != ""
+    )
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def contamination_screen(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count how many
+    of its distinct word-``n``-grams appear anywhere in the benchmark
+    corpus. Returns (id, n_hits) for contaminated docs (n_hits >= 1).
+
+    Candidate generation is an equi-join on the n-gram string against the
+    DISTINCT benchmark n-gram set — the benchmark side is aggregated
+    first so a phrase repeated across benchmark docs probes once, and
+    Catalyst broadcasts it when it is small (the typical shape: benchmark
+    suites are MBs against a TB-scale corpus)."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = spread(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        ),
+        "id",
+    )
+    return (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

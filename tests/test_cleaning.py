@@ -1,0 +1,102 @@
+"""Corpus-cleaning operators: PII redaction, HTML stripping, URL domains,
+repetition stats, benchmark contamination (operators/cleaning.py).
+
+The driver-testdata documents contain no PII/HTML/URLs, so these tests pin
+the semantics on crafted strings; the oracle harness covers engine parity
+on the (augmented) corpus."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators import cleaning
+
+
+def _clean(spark, s, fn):
+    return (
+        spark.createDataFrame([(s,)], "t string")
+        .select(fn(F.col("t")).alias("out"))
+        .first()["out"]
+    )
+
+
+def test_redact_pii_all_shapes(spark):
+    s = (
+        "mail a.b-c_d@sub.example.co.uk or root@h.io, host 192.168.0.1, "
+        "ssn 123-45-6789, call (415) 555-2671 or 415.555.2671 x9"
+    )
+    out = _clean(spark, s, cleaning.redact_pii)
+    assert out == (
+        "mail <EMAIL> or <EMAIL>, host <IP>, "
+        "ssn <ID>, call <PHONE> or <PHONE> x9"
+    )
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    s = "version 1.2.3 of the spec, published 2024-01-02, costs 12-34 units"
+    assert _clean(spark, s, cleaning.redact_pii) == s
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    s = (
+        '<html><body class="x">\n  Hello <b>world</b>!'
+        "<script>if (1 < 2) alert('x');</script>"
+        "<style>p { color: red; }</style>"
+        " AT&amp;T &lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</body></html>"
+    )
+    out = _clean(spark, s, cleaning.strip_html)
+    assert out == "Hello world ! AT&T <tag> \"q\" 'a' end"
+
+
+def test_strip_html_plain_text_unchanged(spark):
+    assert _clean(spark, "no markup here 1 2 3", cleaning.strip_html) == "no markup here 1 2 3"
+
+
+def test_extract_url_domains_counts_and_reach(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://A.example.com/x and https://a.example.com/y"),
+            (2, "mirror http://b.example.org plus https://a.example.com"),
+            (3, "no urls at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["domain"]: r for r in cleaning.extract_url_domains(df).collect()}
+    assert rows["a.example.com"]["n_urls"] == 3  # case-folded host
+    assert rows["a.example.com"]["n_docs"] == 2
+    assert rows["b.example.org"]["n_urls"] == 1
+    assert set(rows) == {"a.example.com", "b.example.org"}
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x  y\tz"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in cleaning.repetition_stats(df).collect()}
+    assert (rows[1]["n_tokens"], rows[1]["n_unique_tokens"]) == (5, 2)
+    assert abs(rows[1]["repetition_ratio"] - (1 - 2 / 5)) < 1e-12
+    assert (rows[2]["n_tokens"], rows[2]["n_unique_tokens"]) == (3, 3)
+    assert rows[3]["repetition_ratio"] == 0.0
+
+
+def test_contamination_screen_counts_distinct_grams(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares two distinct 4-grams with the benchmark sentence
+            (1, "he said the quick brown fox jumps high"),
+            # repeated phrase still counts once (distinct grams per doc)
+            (2, "lazy dog lazy dog the quick brown fox the quick brown fox"),
+            (3, "completely different words only here"),
+            (4, "shorter than"),  # < n words -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r["n_hits"] for r in cleaning.contamination_screen(docs, bench, n=4).collect()}
+    assert rows[1] == 2  # "the quick brown fox", "quick brown fox jumps"
+    assert rows[2] == 1  # "the quick brown fox" once, despite repetition
+    assert 3 not in rows and 4 not in rows
