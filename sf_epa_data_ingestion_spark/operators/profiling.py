@@ -82,3 +82,54 @@ def heavy_hitters(
         .filter(F.col("rank") <= k)
         .select(*([by] if by else []), "value", "n", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def approx_column_profile(
+    df: DataFrame, cols: Sequence[str], rsd: float = 0.05
+) -> DataFrame:
+    """The 100 TB tier of ``column_profile``: HyperLogLog++ distinct
+    counts (``approx_count_distinct``, relative standard deviation
+    ``rsd``) instead of exact ``count_distinct``. Exact distinct-count is
+    a full shuffle of every distinct value per column; the sketch is
+    fixed-size per partition and merges map-side, so the whole profile
+    is one partial-aggregated pass regardless of cardinality."""
+    parts = []
+    for c in cols:
+        parts.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+                F.approx_count_distinct(F.col(c), rsd=rsd).alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def approx_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    percentiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB tier of ``exact_percentiles``: Greenwald-Khanna sketches
+    (``percentile_approx``) with rank error <= 1/accuracy. The exact
+    aggregate buffers every group value on one reducer; the sketch is
+    bounded-memory and merges map-side, so wide groups stop being a
+    single-task bottleneck. Same output column names as the exact form so
+    callers can switch on a size threshold."""
+    arr = F.percentile_approx(
+        F.col(value_col),
+        F.array(*[F.lit(p) for p in percentiles]),
+        F.lit(accuracy),
+    ).alias("__ps")
+    names = [f"p{int(p * 100)}" for p in percentiles]
+    agged = df.groupBy(group_col).agg(arr) if group_col else df.agg(arr)
+    keep = [group_col] if group_col else []
+    return agged.select(
+        *keep, *[F.col("__ps")[i].cast("double").alias(n) for i, n in enumerate(names)]
+    )

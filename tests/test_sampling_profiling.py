@@ -60,3 +60,44 @@ def test_heavy_hitters_rank_and_ties(spark):
         ("x", 3, 1),  # tie with y broken by value asc
         ("y", 3, 2),
     ]
+
+
+def test_approx_column_profile_within_rsd(spark):
+    from sf_epa_data_ingestion_spark.operators.profiling import (
+        approx_column_profile,
+        column_profile,
+    )
+
+    l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    cols = ["l_partkey", "l_returnflag"]
+    exact = {r["column"]: r for r in column_profile(l, cols).collect()}
+    approx = {r["column"]: r for r in approx_column_profile(l, cols, rsd=0.05).collect()}
+    for c in cols:
+        assert approx[c]["n_rows"] == exact[c]["n_rows"]
+        assert approx[c]["n_null"] == exact[c]["n_null"]
+        # HLL++ error: allow 4 sigma of the requested 5% rsd
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= max(
+            2, 0.20 * exact[c]["n_distinct"]
+        )
+
+
+def test_approx_percentiles_rank_error(spark):
+    from sf_epa_data_ingestion_spark.operators.profiling import (
+        approx_percentiles,
+        exact_percentiles,
+    )
+
+    l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in exact_percentiles(l, "l_extendedprice", "l_returnflag").collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in approx_percentiles(l, "l_extendedprice", "l_returnflag", accuracy=10_000).collect()
+    }
+    # rank error 1/accuracy translates to a small value error on a
+    # smooth distribution; assert within 1% of the exact value
+    for flag, ex in exact.items():
+        for p in ("p25", "p50", "p75", "p95"):
+            assert abs(approx[flag][p] - ex[p]) <= 0.01 * abs(ex[p]) + 1e-9

@@ -145,3 +145,91 @@ def test_stateful_running_user_stats(spark, tmp_path):
     assert latest[10]["n_events"] == 3
     assert latest[10]["total_value"] == 7.0
     assert latest[11]["n_events"] == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: one representative per content
+    digest (arbitrary within a micro-batch, sticky across batches);
+    duplicates inside the horizon are dropped across micro-batches;
+    a duplicate far beyond the horizon is re-emitted (state was evicted)
+    — the bounded-state trade documented in streaming/dedup.py."""
+    import datetime as dt
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from sf_epa_data_ingestion_spark.streaming.dedup import dedup_stream
+
+    src = os.path.join(str(tmp_path), "docs")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    out = os.path.join(str(tmp_path), "out")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedup_stream(stream, "ts", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, e: b.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: A, B, and an in-batch duplicate of A (whitespace/case
+    # variant — the digest normalizes) -> A kept once, B kept
+    spark.createDataFrame(
+        [
+            (1, t0, "alpha doc"),
+            (2, t0 + dt.timedelta(minutes=1), "beta doc"),
+            (3, t0 + dt.timedelta(minutes=2), "  Alpha   DOC "),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    run_once()
+
+    # batch 2: near-time duplicate of A (state alive) dropped; C kept
+    spark.createDataFrame(
+        [
+            (4, t0 + dt.timedelta(minutes=3), "alpha doc"),
+            (5, t0 + dt.timedelta(minutes=4), "gamma doc"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    kept = spark.read.parquet(out).collect()
+    # one alpha variant (id 1 or 3), beta, gamma; the cross-batch dup
+    # (id 4) is dropped
+    assert sorted(r["doc_id"] for r in kept) in ([1, 2, 5], [2, 3, 5])
+    assert len({r["text_hash"] for r in kept}) == 3
+
+    # batch 3: duplicate of A one hour later — the watermark only
+    # advances at batch END (it reflects event times seen in PRIOR
+    # batches), so alpha's state is still live here and id 6 is dropped;
+    # processing this batch then moves the watermark past alpha's expiry
+    spark.createDataFrame([(6, t0 + dt.timedelta(hours=1), "alpha doc")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert 6 not in {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # batch 4: with the watermark now beyond the original key's horizon
+    # the state was evicted, so a fresh alpha duplicate is re-emitted —
+    # the bounded-state trade in action
+    spark.createDataFrame([(7, t0 + dt.timedelta(hours=2), "alpha doc")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert 7 in {r["doc_id"] for r in spark.read.parquet(out).collect()}
