@@ -1162,6 +1162,18 @@ FROM toks
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup lifecycle: MinHash-LSH pairs -> connected components
+    -> canonical keep-list. Rows-only (iterative label propagation has no
+    single-statement SQL oracle); the union-find cross-check lives in
+    tests/test_dedup_similarity.py."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d).select("id_a", "id_b")
+    return dedup.resolve_duplicates(d, pairs).select(
+        "doc_id", "component", "is_canonical"
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-4-gram overlap of the corpus (doc_id % 11 != 0) against a
     benchmark stand-in (doc_id % 11 = 0). n=4 on the synthetic word-salad
@@ -1255,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains": q_url_domains,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 

@@ -84,3 +84,69 @@ def test_embedding_near_dup_exact_threshold(spark):
     )
     out = similarity.embedding_near_dup_pairs(df, threshold=0.99, exact=True).collect()
     assert [(r["id_a"], r["id_b"], r["cosine_sim"]) for r in out] == [(0, 1, 1.0)]
+
+
+def test_connected_components_known_graph(spark):
+    from sf_epa_data_ingestion_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # two chains (1-2-3, 10-11) and a triangle with a bridge (20..23)
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Cross-check label propagation against a driver-side union-find on
+    the real minhash pair graph at sf0.001."""
+    from sf_epa_data_ingestion_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(docs).select("id_a", "id_b")
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert edges, "fixture should produce near-dup pairs"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical representative = min id per set
+    expected_sets: dict[int, set] = {}
+    for x in parent:
+        expected_sets.setdefault(find(x), set()).add(x)
+    expected = {x: min(s) for root, s in expected_sets.items() for x in s}
+
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == expected
+
+
+def test_resolve_duplicates_keep_list(spark):
+    from sf_epa_data_ingestion_spark.operators.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in resolve_duplicates(docs, pairs).collect()}
+    assert [out[i]["component"] for i in (1, 2, 3)] == [1, 1, 1]
+    # untouched docs are their own singleton components and canonical
+    assert out[10]["component"] == 10 and out[10]["is_canonical"]
+    assert out[99]["is_canonical"]
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"] and not out[3]["is_canonical"]
