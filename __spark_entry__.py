@@ -1162,6 +1162,33 @@ FROM toks
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted sequence packing (budget=2000 chars, 8 shards)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.pack_sequences(d, "doc_id", "n_chars", budget=2000, n_shards=8)
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+         CAST(floor(({_HASH_UNIT_SQL.format(k="doc_id")}) * 8) AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+), cum AS (
+  SELECT doc_id, sz, shard,
+         SUM(sz) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS c
+  FROM sized
+)
+SELECT doc_id, shard,
+       CAST(shard AS BIGINT) * 1000000000
+         + CAST(floor((c - sz) / 2000.0) AS BIGINT) AS pack_id,
+       CAST(c - sz - CAST(floor((c - sz) / 2000.0) AS BIGINT) * 2000 AS BIGINT)
+         AS offset_in_pack
+FROM cum
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup lifecycle: MinHash-LSH pairs -> connected components
     -> canonical keep-list. Rows-only (iterative label propagation has no
@@ -1268,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "dedup_clusters": q_dedup_clusters,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1319,4 +1347,5 @@ def oracle_sql() -> dict[str, str]:
         "url_domains": ORACLE_URL_DOMAINS,
         "repetition_stats": ORACLE_REPETITION_STATS,
         "contamination": ORACLE_CONTAMINATION,
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
     }

@@ -15,7 +15,7 @@ scan (rows drop before any downstream work).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _hash_unit(key: Column) -> Column:
@@ -62,3 +62,53 @@ def stratified_sample_by_hash(
     for stratum, frac in sorted(fractions.items()):
         keep = keep | ((F.col(stratum_col) == F.lit(stratum)) & (u < F.lit(frac)))
     return df.filter(keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Token-budgeted sequence packing: assign each row (document) to a
+    pack so that consecutive documents fill a training-context budget.
+    Returns the input keyed rows annotated with (shard, pack_id,
+    offset_in_pack).
+
+    Strategy: deterministic shard + in-shard order from the key's md5
+    (stable on any partitioning/engine, same digest the other sampling
+    ops use), then greedy in-order packing via cumulative sum: a row
+    with running total c and size s belongs to pack
+    floor((c - s) / budget). Oversized documents (> budget) simply
+    occupy packs alone. This is the standard "first-fit in fixed order"
+    approximation — within ~1 doc of optimal fill when doc sizes are
+    small relative to the budget.
+
+    Scale notes (100 TB): a single global ORDER BY window would serialize
+    on one task; sharding makes the window PARTITION BY shard — n_shards
+    independent sorts, each a fraction of the corpus. pack_id embeds the
+    shard so ids are globally unique. Raise n_shards with cluster size;
+    packing quality is unaffected (each shard packs independently).
+    """
+    shard = F.floor(_hash_unit(F.col(key_col)) * F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__order"), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = df.select(
+        F.col(key_col),
+        F.col(size_col).cast("long").alias("__size"),
+        shard.alias("shard"),
+        F.md5(F.col(key_col).cast("string")).alias("__order"),
+    )
+    cum = sized.withColumn("__cum", F.sum("__size").over(w))
+    start = F.col("__cum") - F.col("__size")  # tokens before this doc
+    pack_in_shard = F.floor(start / F.lit(float(budget)))
+    return cum.select(
+        key_col,
+        "shard",
+        (F.col("shard").cast("long") * F.lit(1_000_000_000) + pack_in_shard).alias("pack_id"),
+        (start - pack_in_shard * F.lit(budget)).cast("long").alias("offset_in_pack"),
+    )

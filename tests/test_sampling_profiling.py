@@ -101,3 +101,40 @@ def test_approx_percentiles_rank_error(spark):
     for flag, ex in exact.items():
         for p in ("p25", "p50", "p75", "p95"):
             assert abs(approx[flag][p] - ex[p]) <= 0.01 * abs(ex[p]) + 1e-9
+
+
+def test_pack_sequences_budget_and_offsets(spark):
+    from sf_epa_data_ingestion_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 300) for i in range(40)] + [(100, 5000)],  # one oversized doc
+        "doc_id long, n_tok long",
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", budget=1000, n_shards=4).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 41
+    # every offset is within the budget window
+    assert all(0 <= r["offset_in_pack"] < 1000 for r in out if r["doc_id"] != 100)
+    # a pack never starts mid-budget: offsets within a pack are multiples
+    # of the doc size pattern — check pack fill <= budget + one doc
+    from collections import defaultdict
+    fill = defaultdict(int)
+    for r in out:
+        fill[r["pack_id"]] += 5000 if r["doc_id"] == 100 else 300
+    assert all(v <= 1000 + 5000 for v in fill.values())
+    # oversized doc starts at its pack boundary offset
+    assert rows[100]["offset_in_pack"] < 1000
+    # deterministic: same input -> same assignment
+    again = {r["doc_id"]: r["pack_id"] for r in pack_sequences(df, "doc_id", "n_tok", 1000, 4).collect()}
+    assert again == {k: v["pack_id"] for k, v in rows.items()}
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from sf_epa_data_ingestion_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(i, 100 + i) for i in range(60)], "doc_id long, n_tok long")
+    a = {r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+         for r in pack_sequences(df, "doc_id", "n_tok", 500, 4).collect()}
+    b = {r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+         for r in pack_sequences(df.repartition(13), "doc_id", "n_tok", 500, 4).collect()}
+    assert a == b
