@@ -4,8 +4,8 @@ Every implemented operator from SURVEY.md §2 (plus the north-star
 LLM-pipeline extensions) is exposed as a ``queries()`` entry, with a
 DuckDB-runnable ANSI-SQL oracle in ``oracle_sql()`` wherever the semantics
 are SQL-expressible. Non-SQL-expressible ops (recursive chunker UDTF,
-MinHash/SimHash signatures, LSH ANN, winnowing fingerprints) ship without
-an oracle → rows-only check.
+MinHash/SimHash signatures, LSH ANN, winnowing fingerprints, iterative
+connected components) ship without an oracle → rows-only check.
 
 Determinism discipline (so order-insensitive value-hashes match):
 - every aggregate over doubles goes through DECIMAL(38,6) (exact, order-

@@ -142,3 +142,47 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
 def create_or_replace_view(spark: SparkSession, name: str, df: DataFrame) -> None:
     """U8: CREATE OR REPLACE VIEW (epa_ingestion.py:432, 484)."""
     df.createOrReplaceTempView(name)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Maintenance: rewrite a parquet table into ~``target_file_bytes``
+    files. Long-running ingest (the reference appends per product batch,
+    epa_ingestion.py:399-418) accretes small files; at cluster scale each
+    file under ~the scan partition size wastes a task and floods the
+    driver with footer reads.
+
+    File count = ceil(on-disk bytes / target). Uses ``coalesce`` when
+    shrinking (no shuffle — each output task concatenates whole input
+    partitions) and falls back to ``repartition`` when the table has
+    fewer partitions than the target (rare: growing the file count).
+    Publishes via the same atomic directory swap as every other mutation
+    (readers see old or new, never a mix). Returns before/after stats.
+    """
+    files_before = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    bytes_total = sum(os.path.getsize(f) for f in files_before)
+    n_target = max(1, -(-bytes_total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    n_current = df.rdd.getNumPartitions()
+    out = df.coalesce(n_target) if n_target <= n_current else df.repartition(n_target)
+    atomic_overwrite(out, path)
+    files_after = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(files_before),
+        "files_after": len(files_after),
+        "bytes": bytes_total,
+        "target_file_bytes": target_file_bytes,
+    }

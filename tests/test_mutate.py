@@ -74,3 +74,20 @@ def test_create_or_replace_view(spark):
     assert spark.table("v_test").count() == 4
     mutate.create_or_replace_view(spark, "v_test", spark.range(2))
     assert spark.table("v_test").count() == 2
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    import os
+    from sf_epa_data_ingestion_spark.operators.mutate import compact_table
+
+    path = os.path.join(str(tmp_path), "t")
+    # 40 tiny files via 40 partitions
+    spark.range(0, 4000).repartition(40).write.mode("overwrite").parquet(path)
+    before = spark.read.parquet(path)
+    rows_before = before.count()
+    stats = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(path)
+    assert after.count() == rows_before
+    assert sorted(r["id"] for r in after.collect()) == list(range(4000))
