@@ -1162,6 +1162,30 @@ FROM toks
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase interval join (batch form of the stream-stream
+    join in streaming/joins.py; same code path)."""
+    from sf_epa_data_ingestion_spark.streaming.joins import attribute_purchases
+
+    e = _t(spark, sf_dir, "events")
+    return attribute_purchases(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        max_delay="30 minutes",
+    )
+
+
+ORACLE_ATTRIBUTION = """
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted sequence packing (budget=2000 chars, 8 shards)."""
     d = _t(spark, sf_dir, "documents")
@@ -1296,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
+        "attribution": q_attribution,
     }
 
 
@@ -1348,4 +1373,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": ORACLE_REPETITION_STATS,
         "contamination": ORACLE_CONTAMINATION,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "attribution": ORACLE_ATTRIBUTION,
     }

@@ -233,3 +233,74 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ).parquet(src)
     run_once()
     assert 7 in {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchases attribute to
+    preceding clicks within the delay window, across micro-batches."""
+    import datetime as dt
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from sf_epa_data_ingestion_spark.streaming.joins import attribute_purchases
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    clicks_p = os.path.join(str(tmp_path), "clicks")
+    purch_p = os.path.join(str(tmp_path), "purchases")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    out = os.path.join(str(tmp_path), "out")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run_once():
+        c = spark.readStream.schema(schema).parquet(clicks_p)
+        p = spark.readStream.schema(schema).parquet(purch_p)
+        q = (
+            attribute_purchases(c, p, max_delay="30 minutes", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, e: b.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 1 clicks twice; user 2 clicks once
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "click", 0.0),
+            (2, t0 + dt.timedelta(minutes=5), 1, "click", 0.0),
+            (3, t0, 2, "click", 0.0),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(clicks_p)
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(purch_p)
+    run_once()
+
+    # batch 2: user 1 purchases 10 min in (matches both clicks); user 2
+    # purchases 2 hours later (outside the 30-minute window)
+    spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(minutes=10), 1, "purchase", 9.99),
+            (11, t0 + dt.timedelta(hours=2), 2, "purchase", 5.0),
+        ],
+        schema,
+    ).write.mode("append").parquet(purch_p)
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    got = {(r["click_id"], r["purchase_id"]) for r in rows}
+    assert got == {(1, 10), (2, 10)}
+    assert all(r["purchase_value"] == 9.99 for r in rows)
