@@ -468,6 +468,7 @@ def connected_components(
     )
     labels = spread(labels, "id").persist()
 
+    prev_sum = None
     for i in range(max_iter):
         # neighbor labels: join edge dst->its label, then min per src
         neighbor_min = (
@@ -497,16 +498,24 @@ def connected_components(
             new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # Convergence check WITHOUT a join: per-node labels are monotone
+        # non-increasing, so the (id, component) multiset changes iff any
+        # label moved; a 64-bit hash-sum detects that with collision odds
+        # ~2^-64 per iteration and works for any id type. One cheap
+        # aggregate per iteration instead of a self-join + count.
+        # decimal(38,0) accumulator: summing raw 64-bit hashes overflows
+        # long under ANSI mode; 38 digits absorb 2^63 x corpus-size rows.
+        new_sum = new_labels.agg(
+            F.sum(
+                F.xxhash64(F.col("id").cast("string"), F.col("component").cast("string"))
+                .cast("decimal(38,0)")
+            )
+        ).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
