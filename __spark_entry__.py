@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from sf_epa_data_ingestion_spark.functions import strings, text, vectors
 from sf_epa_data_ingestion_spark.operators import (
+    asof,
     cleaning,
     dedup,
     multimodal,
@@ -1186,6 +1187,191 @@ FROM events c JOIN events p
 """
 
 
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each purchase gets the latest
+    click at-or-before it by the same user. Merge formulation — union +
+    one hash shuffle on user_id, no range-join pair explosion
+    (operators/asof.py); DuckDB's native ASOF JOIN is the oracle. The
+    right side is pre-deduped to one click per (user, ts) so tie-breaks
+    are engine-independent."""
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumnRenamed("ts", "click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof.asof_join(
+        purchases, clicks, ["user_id"], "purchase_ts", "click_ts",
+        matched_ts_col="click_ts",
+    )
+
+
+ORACLE_ASOF_CLICKS = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_id, p.purchase_ts, p.purchase_value,
+       c.ts AS click_ts, c.click_id
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> status+priority -> grand total).
+    Group columns are non-null in the data, so the NULL-coalesce sentinel
+    unambiguously marks subtotal rows on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+ORACLE_ROLLUP_AGG = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, order year): all 4 grouping-set combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", F.year("o_orderdate").alias("order_year"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("order_year").cast("long"), F.lit(-1)).alias("order_year"),
+            "n_orders",
+        )
+    )
+
+
+ORACLE_CUBE_AGG = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order totals to one column per status (explicit value list so
+    the output schema is static — required for a plannable wide table and
+    for 100 TB runs, where an implicit-values pivot needs an extra
+    distinct scan)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+ORACLE_PIVOT_STATUS = """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_o,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS total_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window suite: lag/lead/ntile + a ROWS-frame running total
+    per customer (frame specs are absent from the reference; first-class
+    here). (o_orderdate, o_orderkey) is a total order within customer, so
+    every function is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+ORACLE_WINDOW_ANALYTICS = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated: orders above their
+    customer's average order value. Spark side computes the per-key
+    aggregate once and joins (the plan a correlated subquery should
+    decorrelate to); the oracle keeps the correlated form to pin semantic
+    equivalence. Comparison is sum/count cross-multiplied in DECIMAL —
+    exact, no division-rounding divergence."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        o.join(stats, "o_custkey")
+        .filter(F.col("o_totalprice").cast("decimal(38,6)") * F.col("__n") > F.col("__s"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE_ABOVE_CUSTOMER_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(38,6))
+      * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+    > (SELECT SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+       FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted sequence packing (budget=2000 chars, 8 shards)."""
     d = _t(spark, sf_dir, "documents")
@@ -1321,6 +1507,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "attribution": q_attribution,
+        "asof_clicks": q_asof_clicks,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "pivot_status": q_pivot_status,
+        "window_analytics": q_window_analytics,
+        "above_customer_avg": q_above_customer_avg,
     }
 
 
@@ -1374,4 +1566,10 @@ def oracle_sql() -> dict[str, str]:
         "contamination": ORACLE_CONTAMINATION,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "attribution": ORACLE_ATTRIBUTION,
+        "asof_clicks": ORACLE_ASOF_CLICKS,
+        "rollup_agg": ORACLE_ROLLUP_AGG,
+        "cube_agg": ORACLE_CUBE_AGG,
+        "pivot_status": ORACLE_PIVOT_STATUS,
+        "window_analytics": ORACLE_WINDOW_ANALYTICS,
+        "above_customer_avg": ORACLE_ABOVE_CUSTOMER_AVG,
     }
