@@ -712,6 +712,26 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=10, dim=64)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (rows-only: approximate recall by construction).
+    Spherical k-means cells + n_probe-bounded search — the scale path where
+    LSH's bucket-collision recall is too coarse; see similarity.ivf_topk
+    scale notes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=10, dim=64, n_centroids=16, n_probe=4)
+
+
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB profiling tier (rows-only: HLL++ sketch counts are
+    engine-specific; tolerance vs the exact profile is pinned in
+    tests/test_sampling_profiling.py)."""
+    o = _t(spark, sf_dir, "orders")
+    return profiling.approx_column_profile(o, ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.60, exact=True
@@ -1484,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "approx_profile": q_approx_profile,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,

@@ -186,6 +186,146 @@ def lsh_topk(
     )
 
 
+def _unit_vec(vec: Column, norm: Column) -> Column:
+    """L2-normalized copy of ``vec`` (NULL if the norm is zero). Unit
+    vectors make every downstream cosine a single dot-product fold."""
+    return F.transform(vec, lambda x: x / F.nullif(norm, F.lit(0.0)))
+
+
+def _centroid_dots(u: Column, centroids: list[list[float]]) -> list[Column]:
+    """dot(u, c_j) for every centroid, NULL-safe (-2.0 sentinel sorts below
+    any real cosine)."""
+    out = []
+    for c in centroids:
+        plane = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(u, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        out.append(F.coalesce(d, F.lit(-2.0)))
+    return out
+
+
+def _nearest_centroid(u: Column, centroids: list[list[float]]) -> Column:
+    """argmax_j dot(u, c_j); ties break to the smallest j (struct max on
+    (dot, -j))."""
+    structs = [
+        F.struct(d.alias("d"), F.lit(-j).alias("nj"))
+        for j, d in enumerate(_centroid_dots(u, centroids))
+    ]
+    return (-F.array_max(F.array(*structs))["nj"]).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k: spherical k-means
+    partitions the corpus into ``n_centroids`` cells; each query scores only
+    the ``n_probe`` cells nearest its own vector.
+
+    Everything is deterministic: seeds are the ``n_centroids`` corpus rows
+    with the smallest ``xxhash64(id)`` (engine-stable), Lloyd updates are
+    exact per-dimension mean aggregates, and assignment ties break to the
+    lowest centroid index.
+
+    Scale shape (the reason IVF exists next to LSH): training touches the
+    corpus ``iters`` times map-side with a (n_centroids × dim)-row aggregate
+    back to the driver — no shuffle of vectors; search is an equi-join on
+    the centroid id, so per-query work drops from |corpus| to
+    ~n_probe/n_centroids of it. At 100 TB the assignment (id, cid) is
+    written once as a bucketed table and reused across query batches;
+    recall/compute trades via ``n_probe``.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def prep(df: DataFrame, id_col: str) -> DataFrame:
+        # unit vector computed once per row behind an exchange barrier
+        # (spread) so HOF re-evaluation can't multiply the fold cost
+        dn = _with_vec_norm(spread(df.select(id_col, vec_col), F.col(id_col)), vec_col, "__v", "__n")
+        return dn.select(id_col, _unit_vec(F.col("__v"), F.col("__n")).alias("__u"))
+
+    c = prep(corpus, corpus_id)
+
+    seeds = (
+        corpus.select(corpus_id, vec_col)
+        .orderBy(F.xxhash64(F.col(corpus_id).cast("string")), F.col(corpus_id))
+        .limit(n_centroids)
+        .collect()
+    )
+
+    def normalize(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    cents = [normalize([float(x) for x in row[1]]) for row in seeds]
+
+    for _ in range(iters):
+        sums = (
+            c.select(_nearest_centroid(F.col("__u"), cents).alias("cid"), "__u")
+            .select("cid", F.posexplode("__u").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for row in sums:
+            means.setdefault(row["cid"], [0.0] * dim)[row["pos"]] = row["s"] / row["n"]
+        # empty cells keep their previous centroid
+        cents = [normalize(means.get(j, cents[j])) for j in range(n_centroids)]
+
+    assigned = c.select(corpus_id, "__u", _nearest_centroid(F.col("__u"), cents).alias("cid"))
+
+    q = prep(queries, query_id)
+    probe_structs = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(-j).alias("nj"))
+            for j, d in enumerate(_centroid_dots(F.col("__u"), cents))
+        ]
+    )
+    q_probe = q.select(
+        query_id,
+        F.col("__u").alias("__qu"),
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(probe_structs, asc=False), 1, n_probe),
+                lambda s: -s["nj"],
+            ).cast("array<int>")
+        ).alias("cid"),
+    )
+
+    scored = (
+        assigned.join(broadcast(q_probe), "cid")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            corpus_id,
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("__qu"), F.col("__u"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

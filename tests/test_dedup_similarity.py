@@ -78,6 +78,39 @@ def test_lsh_topk_finds_identical_vector(spark):
     assert any(r["vec_id"] == 1 and r["cosine_sim"] == 1.0 for r in out)
 
 
+def test_ivf_topk_identical_vector_and_recall(spark):
+    import numpy as np
+
+    # an exact duplicate shares the query's cell -> always recalled
+    vec = [1.0, -2.0, 0.5, 3.0]
+    other = [[float(i + j) for j in range(4)] for i in range(6)]
+    rows = [(0, vec), (1, vec)] + [(i + 2, v) for i, v in enumerate(other)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(df, queries, k=3, n_centroids=2, n_probe=1, iters=1).collect()
+    assert any(r["vec_id"] == 1 and r["cosine_sim"] == 1.0 for r in out)
+
+    # recall vs brute force on a clustered corpus: queries probe half the
+    # cells, so same-cluster neighbors (the true top-k) are found
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 8)) * 5
+    vecs = np.vstack([c + rng.normal(size=(25, 8)) * 0.3 for c in centers])
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))], ["vec_id", "embedding"]
+    )
+    qs = big.filter(F.col("vec_id") % 25 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(big, qs, k=5).collect()
+    approx = similarity.ivf_topk(big, qs, k=5, n_centroids=8, n_probe=4, iters=2).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in exact}
+    found = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"recall {recall}"
+
+    # deterministic across runs
+    again = similarity.ivf_topk(big, qs, k=5, n_centroids=8, n_probe=4, iters=2).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
 def test_embedding_near_dup_exact_threshold(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
