@@ -1392,6 +1392,112 @@ WHERE CAST(o_totalprice AS DECIMAL(38,6))
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (mutate.scd2_history): per-customer order-status
+    change log compressed to validity intervals — the history-preserving
+    counterpart of the reference's type-1 MERGE (epa_ingestion.py:585-623)."""
+    o = _t(spark, sf_dir, "orders")
+    hist = mutate.scd2_history(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderstatus"],
+        order_tiebreak=["o_orderkey"],
+    )
+    return hist.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("change_id"),
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         lag(o_orderstatus) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), changes AS (
+  SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey, o_orderkey AS change_id, o_orderstatus AS status,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w2 AS valid_to,
+       lead(o_orderdate) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of lineitem prices (profiling tier; one
+    map-side-combined aggregate)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return profiling.fixed_width_histogram(l, "l_extendedprice", width=5000.0)
+
+
+ORACLE_HISTOGRAM = """
+WITH b AS (
+  SELECT CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT) AS bucket,
+         l_extendedprice
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT bucket, COUNT(*) AS n, MIN(l_extendedprice) AS min_value,
+       MAX(l_extendedprice) AS max_value,
+       0.0 + bucket * 5000.0 AS bucket_lo
+FROM b GROUP BY bucket
+"""
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked Levenshtein matching
+    (dedup.fuzzy_match_blocked): a deterministic 'misspelled' probe set
+    (3rd character deleted) is resolved back to the part catalog. The
+    probe side broadcasts; candidates are bounded by the 2-char-prefix
+    block."""
+    p = _t(spark, sf_dir, "part")
+    probe = p.filter(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")).alias(
+            "probe_name"
+        ),
+    )
+    return dedup.fuzzy_match_blocked(
+        probe,
+        p.select(F.col("p_partkey").alias("match_id"), F.col("p_name").alias("match_name")),
+        "probe_id",
+        "probe_name",
+        "match_id",
+        "match_name",
+        block=lambda c: F.substring(c, 1, 2),
+        max_distance=2,
+        k=1,
+    )
+
+
+ORACLE_FUZZY_MATCH = """
+WITH probe AS (
+  SELECT p_partkey AS probe_id,
+         substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
+  FROM part WHERE p_partkey % 97 = 0
+), cand AS (
+  SELECT pr.probe_id, pr.probe_name, c.p_partkey AS match_id,
+         c.p_name AS match_name,
+         levenshtein(pr.probe_name, c.p_name) AS distance
+  FROM probe pr JOIN part c ON substr(pr.probe_name, 1, 2) = substr(c.p_name, 1, 2)
+  WHERE levenshtein(pr.probe_name, c.p_name) <= 2
+)
+SELECT probe_id, probe_name, match_id, match_name,
+       CAST(distance AS BIGINT) AS distance,
+       CAST(row_number() OVER (PARTITION BY probe_id
+                               ORDER BY distance, match_id) AS BIGINT) AS rank
+FROM cand QUALIFY rank <= 1
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted sequence packing (budget=2000 chars, 8 shards)."""
     d = _t(spark, sf_dir, "documents")
@@ -1535,6 +1641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         "window_analytics": q_window_analytics,
         "above_customer_avg": q_above_customer_avg,
+        "scd2_history": q_scd2_history,
+        "histogram": q_histogram,
+        "fuzzy_match": q_fuzzy_match,
     }
 
 
@@ -1594,4 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_status": ORACLE_PIVOT_STATUS,
         "window_analytics": ORACLE_WINDOW_ANALYTICS,
         "above_customer_avg": ORACLE_ABOVE_CUSTOMER_AVG,
+        "scd2_history": ORACLE_SCD2_HISTORY,
+        "histogram": ORACLE_HISTOGRAM,
+        "fuzzy_match": ORACLE_FUZZY_MATCH,
     }

@@ -537,3 +537,51 @@ def resolve_duplicates(
         .withColumn("component", F.coalesce("component", F.col(id_col)))
         .withColumn("is_canonical", F.col("component") == F.col(id_col))
     )
+
+
+def fuzzy_match_blocked(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: str,
+    probe_name: str,
+    corpus_id: str,
+    corpus_name: str,
+    block,
+    max_distance: int = 2,
+    k: int = 1,
+) -> DataFrame:
+    """Approximate string matching (entity resolution): each probe name is
+    matched to its ``k`` closest corpus names by Levenshtein distance,
+    considering only candidates sharing a blocking key (``block`` maps a
+    name Column to its key — e.g. first character, soundex, a shingle).
+
+    Scale shape: the probe side is the small "dirty lookup" set →
+    broadcast; the corpus never shuffles for the join. Work is
+    |corpus ⋈ block| edit-distance evaluations (JVM builtin, codegen) —
+    blocking selectivity, not corpus size, is the knob. The final top-k is
+    one window shuffle of candidate rows only. Ties break by corpus id.
+    """
+    p = probe.select(
+        F.col(probe_id), F.col(probe_name), block(F.col(probe_name)).alias("__blk")
+    )
+    c = corpus.select(
+        F.col(corpus_id), F.col(corpus_name), block(F.col(corpus_name)).alias("__blk")
+    )
+    cand = (
+        c.join(F.broadcast(p), "__blk")
+        .withColumn("distance", F.levenshtein(F.col(probe_name), F.col(corpus_name)))
+        .filter(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.asc("distance"), F.asc(corpus_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            probe_id,
+            probe_name,
+            corpus_id,
+            corpus_name,
+            F.col("distance").cast("long").alias("distance"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -27,7 +27,7 @@ import uuid
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 
@@ -186,3 +186,41 @@ def compact_table(
         "bytes": bytes_total,
         "target_file_bytes": target_file_bytes,
     }
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: compress
+    consecutive rows whose tracked attributes are unchanged, then derive
+    half-open validity intervals [valid_from, valid_to) per key, with
+    ``is_current`` on the open row.
+
+    Beyond the reference's type-1 MERGE (epa_ingestion.py:585-623 keeps
+    only the latest row); this is the history-preserving variant a
+    warehouse dimension needs. Two windows over the SAME (key, order)
+    partitioning -> Catalyst plans ONE shuffle + one sort for both (and
+    bucketing the changelog by key removes even that at 100 TB).
+
+    ``order_tiebreak`` must make (ts, *tiebreak) a total order per key,
+    or change-compression is nondeterministic.
+    """
+    keys = list(key_cols)
+    order = [F.asc(ts_col)] + [F.asc(c) for c in order_tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = (
+        changelog.withColumn("__prev", F.lag(attrs).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != attrs))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -133,3 +133,24 @@ def approx_percentiles(
     return agged.select(
         *keep, *[F.col("__ps")[i].cast("double").alias(n) for i, n in enumerate(names)]
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame, value_col: str, width: float, origin: float = 0.0
+) -> DataFrame:
+    """Equi-width histogram: bucket b covers [origin + b*width, origin +
+    (b+1)*width). One map-side-combined aggregate — the classic
+    scan-bound profile; bucket arithmetic is plain double math so any
+    SQL engine reproduces it bit-for-bit (floor of an IEEE division).
+    """
+    b = F.floor((F.col(value_col) - F.lit(origin)) / F.lit(width)).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .withColumn("bucket_lo", F.lit(origin) + F.col("bucket") * F.lit(width))
+    )
