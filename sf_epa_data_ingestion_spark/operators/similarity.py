@@ -188,8 +188,12 @@ def lsh_topk(
 
 def _unit_vec(vec: Column, norm: Column) -> Column:
     """L2-normalized copy of ``vec`` (NULL if the norm is zero). Unit
-    vectors make every downstream cosine a single dot-product fold."""
-    return F.transform(vec, lambda x: x / F.nullif(norm, F.lit(0.0)))
+    vectors make every downstream cosine a single dot-product fold.
+    The norm is ``let``-bound: a bare reference inside the transform
+    lambda would re-evaluate it (a sqrt-of-fold) per array ELEMENT."""
+    return let(
+        F.nullif(norm, F.lit(0.0)), lambda n: F.transform(vec, lambda x: x / n)
+    )
 
 
 def _centroid_dots(u: Column, centroids: list[list[float]]) -> list[Column]:
@@ -207,12 +211,17 @@ def _centroid_dots(u: Column, centroids: list[list[float]]) -> list[Column]:
 
 def _nearest_centroid(u: Column, centroids: list[list[float]]) -> Column:
     """argmax_j dot(u, c_j); ties break to the smallest j (struct max on
-    (dot, -j))."""
-    structs = [
-        F.struct(d.alias("d"), F.lit(-j).alias("nj"))
-        for j, d in enumerate(_centroid_dots(u, centroids))
-    ]
-    return (-F.array_max(F.array(*structs))["nj"]).cast("int")
+    (dot, -j)). ``u`` is let-bound so the n_centroids dot folds read a
+    slot, not re-evaluate the vector expression."""
+
+    def body(uu: Column) -> Column:
+        structs = [
+            F.struct(d.alias("d"), F.lit(-j).alias("nj"))
+            for j, d in enumerate(_centroid_dots(uu, centroids))
+        ]
+        return -F.array_max(F.array(*structs))["nj"]
+
+    return let(u, body).cast("int")
 
 
 def ivf_topk(
@@ -248,10 +257,13 @@ def ivf_topk(
         dim = len(corpus.select(vec_col).first()[0])
 
     def prep(df: DataFrame, id_col: str) -> DataFrame:
-        # unit vector computed once per row behind an exchange barrier
-        # (spread) so HOF re-evaluation can't multiply the fold cost
-        dn = _with_vec_norm(spread(df.select(id_col, vec_col), F.col(id_col)), vec_col, "__v", "__n")
-        return dn.select(id_col, _unit_vec(F.col("__v"), F.col("__n")).alias("__u"))
+        # unit vector projected BELOW the exchange barrier: the shuffle
+        # materializes __u, so downstream reads (16 centroid dots per row,
+        # repeated across Lloyd jobs) are attribute reads, never
+        # re-evaluations of the normalize expression
+        dn = _with_vec_norm(df.select(id_col, vec_col), vec_col, "__v", "__n")
+        u = dn.select(id_col, _unit_vec(F.col("__v"), F.col("__n")).alias("__u"))
+        return spread(u, F.col(id_col))
 
     c = prep(corpus, corpus_id)
 
@@ -285,21 +297,29 @@ def ivf_topk(
     assigned = c.select(corpus_id, "__u", _nearest_centroid(F.col("__u"), cents).alias("cid"))
 
     q = prep(queries, query_id)
-    probe_structs = F.array(
-        *[
-            F.struct(d.alias("d"), F.lit(-j).alias("nj"))
-            for j, d in enumerate(_centroid_dots(F.col("__u"), cents))
-        ]
-    )
+    probe_cids = let(
+        F.col("__u"),
+        lambda uu: F.transform(
+            F.slice(
+                F.sort_array(
+                    F.array(
+                        *[
+                            F.struct(d.alias("d"), F.lit(-j).alias("nj"))
+                            for j, d in enumerate(_centroid_dots(uu, cents))
+                        ]
+                    ),
+                    asc=False,
+                ),
+                1,
+                n_probe,
+            ),
+            lambda s: -s["nj"],
+        ),
+    ).cast("array<int>")
     q_probe = q.select(
         query_id,
         F.col("__u").alias("__qu"),
-        F.explode(
-            F.transform(
-                F.slice(F.sort_array(probe_structs, asc=False), 1, n_probe),
-                lambda s: -s["nj"],
-            ).cast("array<int>")
-        ).alias("cid"),
+        F.explode(probe_cids).alias("cid"),
     )
 
     scored = (
