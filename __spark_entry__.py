@@ -884,6 +884,59 @@ WHERE (lang = 'de' AND {_HASH_UNIT_SQL.format(k="doc_id")} < 0.80)
 """
 
 
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mC4-style temperature rebalancing of the language mix: group g is
+    kept at rate (n_g/min_n)^(alpha-1), so the smallest language keeps
+    everything and the head languages are hash-downsampled."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.resample_by_temperature(d, "doc_id", "lang", alpha=0.3).select(
+        "doc_id", "lang"
+    )
+
+
+# exponent formatted with repr() so both engines parse the IDENTICAL double
+ORACLE_TEMPERATURE_RESAMPLE = f"""
+WITH rates AS (
+  SELECT lang,
+         pow(CAST(count(*) AS DOUBLE), {0.3 - 1.0!r})
+           / pow(CAST(min(count(*)) OVER () AS DOUBLE), {0.3 - 1.0!r}) AS rate
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE {_HASH_UNIT_SQL.format(k="d.doc_id")} < r.rate
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate removal: drop every "line"
+    occurring > 900 times corpus-wide from all documents, reassembling
+    the survivors in order. The synthetic corpus is single-line word
+    streams, so the demo runs at token granularity (delimiter=' ') —
+    the operator itself is delimiter-generic."""
+    d = _t(spark, sf_dir, "documents")
+    return cleaning.dedup_lines(d, "doc_id", "text", max_freq=900, delimiter=" ")
+
+
+ORACLE_LINE_DEDUP = """
+WITH lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS line
+  FROM documents
+), banned AS (
+  SELECT line FROM lines WHERE trim(line) <> ''
+  GROUP BY line HAVING count(*) > 900
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l ANTI JOIN banned b USING (line)
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.line, ' ' ORDER BY k.pos), '') AS text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return profiling.column_profile(o, ["o_orderstatus", "o_orderpriority", "o_custkey"])
@@ -1620,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "train_val_test": q_train_val_test,
         "stratified_sample": q_stratified_sample,
+        "temperature_resample": q_temperature_resample,
+        "line_dedup": q_line_dedup,
         "column_profile": q_column_profile,
         "percentiles": q_percentiles,
         "heavy_hitters": q_heavy_hitters,
@@ -1684,6 +1739,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": ORACLE_SAMPLE_HASH,
         "train_val_test": ORACLE_TRAIN_VAL_TEST,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
+        "line_dedup": ORACLE_LINE_DEDUP,
         "column_profile": ORACLE_COLUMN_PROFILE,
         "percentiles": ORACLE_PERCENTILES,
         "heavy_hitters": ORACLE_HEAVY_HITTERS,

@@ -28,6 +28,8 @@ corpus is TBs).
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -185,4 +187,67 @@ def contamination_screen(
         doc_grams.join(bench_grams, "gram")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_freq: int = 1,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """C4-style cross-document line deduplication: remove every line whose
+    exact content occurs more than ``max_freq`` times across the whole
+    corpus, from ALL documents, and reassemble each document from its
+    surviving lines in original order. Blank lines (trim-empty) are
+    structural, not content — they are never counted and never removed.
+    Returns (id, text) with the rewritten text ('' when nothing survives).
+
+    This is the "discard repeated boilerplate" pass from C4/RefinedWeb:
+    navigation text, cookie banners, and license headers repeat across
+    pages and would otherwise dominate the training mix. ``delimiter``
+    is a literal string (split and re-join use the same one), so the
+    operator also runs at sentence or token granularity.
+
+    Scale notes (100 TB): the banned-line set is built with a groupBy on
+    the line value — partial (map-side) aggregation collapses each
+    executor's duplicate lines before the shuffle, and only lines, not
+    documents, move. The membership test is a left_anti equi-join that
+    Catalyst turns into a broadcast when the banned set is small (the
+    common case: boilerplate is a tiny fraction of distinct lines);
+    otherwise it degrades gracefully to a shuffled anti-join on the line
+    key. A window (count OVER partition-by-line) would compute the same
+    thing with NO partial aggregation and one reducer per distinct line
+    — pathological on skewed boilerplate — which is why this is
+    aggregate+join, not window. Reassembly is one groupBy(id) with an
+    array_sort(collect_list(struct(pos, line))) — sort-in-array, no
+    per-group window sort.
+    """
+    # split's pattern arg is a regex; escape so the delimiter is literal
+    parts = F.split(F.col(text_col), re.escape(delimiter), -1)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("__pos", "__line"),
+    )
+    banned = (
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_freq)
+        .select("__line")
+    )
+    # blank lines never appear in `banned`, so the anti-join keeps them
+    kept = lines.join(banned, "__line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            delimiter,
+        ).alias("__text")
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col("__text"), F.lit("")).alias(text_col)
     )

@@ -112,3 +112,41 @@ def pack_sequences(
         (F.col("shard").cast("long") * F.lit(1_000_000_000) + pack_in_shard).alias("pack_id"),
         (start - pack_in_shard * F.lit(budget)).cast("long").alias("offset_in_pack"),
     )
+
+
+def resample_by_temperature(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based group rebalancing (the mC4/multilingual-mix
+    recipe): sample group g at a rate proportional to n_g^(alpha-1), so
+    low-resource groups (languages) keep a larger share of their rows
+    and head groups are downsampled. Rates are normalized so the
+    smallest group keeps 100% of its rows; ``alpha=1`` keeps everything
+    (rates collapse to 1). Row selection reuses the corpus-wide
+    content-hash rule, so the chosen subset is stable across runs,
+    partitionings, and engines.
+
+    Scale notes (100 TB): group counts come from a full aggregation on a
+    low-cardinality key (languages) — partial aggregation makes the
+    shuffle a few rows per executor — and the per-group rate table is
+    broadcast back, so the corpus itself is never shuffled: the whole
+    operator is scan -> broadcast-join -> filter.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    exponent = alpha - 1.0
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        group_col,
+        (
+            F.pow(F.col("__n").cast("double"), F.lit(exponent))
+            / F.pow(F.col("__min_n").cast("double"), F.lit(exponent))
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(_hash_unit(F.col(key_col)) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -100,3 +100,44 @@ def test_contamination_screen_counts_distinct_grams(spark):
     assert rows[1] == 2  # "the quick brown fox", "quick brown fox jumps"
     assert rows[2] == 1  # "the quick brown fox" once, despite repetition
     assert 3 not in rows and 4 not in rows
+
+
+def test_dedup_lines_removes_repeated_keeps_blank_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nboiler\n\nunique one"),
+            (2, "boiler\nunique two"),
+            (3, "boiler"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in cleaning.dedup_lines(docs, "doc_id", "text", max_freq=1).collect()
+    }
+    # 'boiler' occurs 3x -> removed everywhere; blank line survives; order kept
+    assert out == {1: "keep me\n\nunique one", 2: "unique two", 3: "", 4: ""}
+
+
+def test_dedup_lines_max_freq_and_delimiter(spark):
+    docs = spark.createDataFrame(
+        [(1, "a.b.a"), (2, "b.c"), (3, "c.d")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in cleaning.dedup_lines(
+            docs, "doc_id", "text", max_freq=2, delimiter="."
+        ).collect()
+    }
+    # every token occurs <= 2 times -> nothing removed; delimiter is literal
+    assert out == {1: "a.b.a", 2: "b.c", 3: "c.d"}
+    out1 = {
+        r["doc_id"]: r["text"]
+        for r in cleaning.dedup_lines(
+            docs, "doc_id", "text", max_freq=1, delimiter="."
+        ).collect()
+    }
+    # 'a' (2x within one doc), 'b', 'c' all exceed freq 1; 'd' survives
+    assert out1 == {1: "", 2: "", 3: "d"}

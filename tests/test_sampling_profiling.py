@@ -138,3 +138,23 @@ def test_pack_sequences_partition_invariant(spark):
     b = {r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
          for r in pack_sequences(df.repartition(13), "doc_id", "n_tok", 500, 4).collect()}
     assert a == b
+
+
+def test_resample_by_temperature_rates_and_determinism(spark):
+    rows = [(i, "big") for i in range(400)] + [(i + 1000, "small") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = sampling.resample_by_temperature(df, "doc_id", "lang", alpha=0.3)
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # smallest group keeps 100%
+    assert by_lang["small"] == 40
+    # head group downsampled to ~ (400/40)^(0.3-1) = 10^-0.7 ~ 0.2
+    assert 40 <= by_lang["big"] <= 120
+    # deterministic: same selection on re-run and on a different partitioning
+    again = sampling.resample_by_temperature(
+        df.repartition(7), "doc_id", "lang", alpha=0.3
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # alpha=1 keeps everything
+    assert sampling.resample_by_temperature(df, "doc_id", "lang", alpha=1.0).count() == 440
