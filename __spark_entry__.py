@@ -32,6 +32,7 @@ from sf_epa_data_ingestion_spark.operators import (
     multimodal,
     mutate,
     profiling,
+    rangejoin,
     relational,
     sampling,
     search,
@@ -1301,6 +1302,35 @@ FROM p ASOF LEFT JOIN clicks c
 """
 
 
+# Exponential value bands with power-of-2 bounds: every literal is exactly
+# representable, so Spark and DuckDB agree bit-for-bit at band edges.
+_VALUE_BAND_BOUNDS = [0.0, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0]
+_VALUE_BANDS = [
+    (f"b{i:02d}", lo, hi)
+    for i, (lo, hi) in enumerate(zip(_VALUE_BAND_BOUNDS, _VALUE_BAND_BOUNDS[1:]))
+]
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join: place every event value into its exponential
+    band. Naive Spark compiles lo<=v<hi to a nested-loop join; the
+    operator rewrites it as bin-decomposition + hash equi-join + exact
+    refine (operators/rangejoin.py)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(_VALUE_BANDS, ["band", "lo", "hi"])
+    return rangejoin.range_join(e, bands, "value", "lo", "hi", bin_width=8.0).select(
+        "event_id", "band"
+    )
+
+
+ORACLE_RANGE_BAND_JOIN = (
+    "WITH bands(band, lo, hi) AS (VALUES "
+    + ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in _VALUE_BANDS)
+    + ") SELECT e.event_id, b.band FROM events e "
+    "JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
+)
+
+
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (status -> status+priority -> grand total).
     Group columns are non-null in the data, so the NULL-coalesce sentinel
@@ -1691,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "attribution": q_attribution,
         "asof_clicks": q_asof_clicks,
+        "range_band_join": q_range_band_join,
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "pivot_status": q_pivot_status,
@@ -1755,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "attribution": ORACLE_ATTRIBUTION,
         "asof_clicks": ORACLE_ASOF_CLICKS,
+        "range_band_join": ORACLE_RANGE_BAND_JOIN,
         "rollup_agg": ORACLE_ROLLUP_AGG,
         "cube_agg": ORACLE_CUBE_AGG,
         "pivot_status": ORACLE_PIVOT_STATUS,

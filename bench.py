@@ -51,11 +51,20 @@ def main() -> None:
 
     for name, fn in qs.items():
         t = time_once(fn)
-        # The box shows external background load; slow queries get a
-        # second cold run and report the min so one noisy measurement
-        # doesn't dominate the suite number.
-        if t > 2.0:
-            t = min(t, time_once(fn))
+        # The box shows bursty external load (host-level CPU steal: the
+        # same query measures 4s on a quiet machine and 40s during a
+        # burst). Slow queries get up to two more cold runs and report
+        # the min; stop early once a re-run stops improving >20%, so a
+        # quiet measurement isn't re-paid and a noisy one gets a third
+        # chance outside the burst.
+        runs = 1
+        while t > 2.0 and runs < 3:
+            t2 = time_once(fn)
+            runs += 1
+            improved = t2 < t * 0.8
+            t = min(t, t2)
+            if not improved:
+                break
         timings[name] = round(t, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 

@@ -81,3 +81,20 @@ def test_minhash_has_no_pushed_filter_into_signature(spark):
     # the null-text filter must sit at the scan, not on size(sig)
     p = plan_of(spark, "minhash_lsh")
     assert "IsNotNull(text)" in p, "null filter should push to the documents scan"
+
+
+def test_line_dedup_is_aggregate_not_window(spark):
+    p = plan_of(spark, "line_dedup")
+    # banned-line count must be a partial-aggregating groupBy, never a
+    # count-over-window (no partial agg; one reducer per distinct line)
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 2, "banned-line count lost partial aggregation"
+    assert "LeftAnti" in p, "membership test must be an anti-join"
+
+
+def test_temperature_resample_broadcasts_rates(spark):
+    p = plan_of(spark, "temperature_resample")
+    # the per-group rate table joins back via broadcast: the corpus itself
+    # is never shuffled (scan -> broadcast-join -> filter)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
