@@ -98,3 +98,26 @@ def test_temperature_resample_broadcasts_rates(spark):
     # is never shuffled (scan -> broadcast-join -> filter)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_shipping_priority_topk_and_broadcast(spark):
+    p = plan_of(spark, "shipping_priority")
+    # global top-10 must be per-partition TakeOrdered + driver merge,
+    # never a full global sort; the segment-filtered customer dim broadcasts
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_local_supplier_volume_broadcasts_all_dims(spark):
+    p = plan_of(spark, "local_supplier_volume")
+    # customer/supplier/nation/region all broadcast; only fact joins shuffle
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_grouping_sets_is_one_expand(spark):
+    p = plan_of(spark, "grouping_sets")
+    # GROUPING SETS compiles to a single Expand feeding one aggregate pair
+    # (formatted output names each node twice: tree line + detail header)
+    assert p.count(") Expand") == 1
+    assert p.count("HashAggregate") >= 2
