@@ -1443,6 +1443,57 @@ ORACLE_RANGE_BAND_JOIN = (
 )
 
 
+# Quarterly promo windows as half-open [lo, hi) day indexes since
+# 1970-01-01 — integer day arithmetic on both engines, no timezone in play.
+def _quarter_days() -> list[tuple[str, int, int]]:
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+    out = []
+    for year in range(1995, 2002):
+        for q in range(4):
+            lo = _dt.date(year, 1 + 3 * q, 1)
+            hi = _dt.date(year + (q == 3), 1 + 3 * ((q + 1) % 4), 1)
+            out.append((f"{year}Q{q+1}", (lo - epoch).days, (hi - epoch).days))
+    return out
+
+
+_PROMO_QUARTERS = _quarter_days()
+
+
+def q_promo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each order's [first, last] ship window
+    against quarterly promo windows. Keyless interval-interval overlap
+    compiles to a nested-loop join if written directly; the operator
+    (operators/rangejoin.overlap_join) bins both interval sets and owns
+    each candidate pair in exactly one bin — hash join, no output dedup."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("__d"),
+    )
+    windows = li.groupBy("l_orderkey").agg(
+        F.min("__d").alias("ship_lo"), (F.max("__d") + F.lit(1)).alias("ship_hi")
+    )
+    promos = spark.createDataFrame(_PROMO_QUARTERS, ["promo", "promo_lo", "promo_hi"])
+    return rangejoin.overlap_join(
+        windows, promos, "ship_lo", "ship_hi", "promo_lo", "promo_hi", bin_width=365.0
+    ).select("l_orderkey", "promo")
+
+
+ORACLE_PROMO_OVERLAP = (
+    "WITH w AS (SELECT l_orderkey, "
+    "min(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS ship_lo, "
+    "max(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) + 1 AS ship_hi "
+    "FROM lineitem GROUP BY l_orderkey), "
+    "promos(promo, promo_lo, promo_hi) AS (VALUES "
+    + ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PROMO_QUARTERS)
+    + ") SELECT w.l_orderkey, p.promo FROM w JOIN promos p "
+    "ON w.ship_lo < p.promo_hi AND p.promo_lo < w.ship_hi"
+)
+
+
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (status -> status+priority -> grand total).
     Group columns are non-null in the data, so the NULL-coalesce sentinel
@@ -1834,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "asof_clicks": q_asof_clicks,
         "range_band_join": q_range_band_join,
+        "promo_overlap": q_promo_overlap,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "grouping_sets": q_grouping_sets,
@@ -1902,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": ORACLE_ATTRIBUTION,
         "asof_clicks": ORACLE_ASOF_CLICKS,
         "range_band_join": ORACLE_RANGE_BAND_JOIN,
+        "promo_overlap": ORACLE_PROMO_OVERLAP,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
         "grouping_sets": ORACLE_GROUPING_SETS,

@@ -71,3 +71,52 @@ def test_range_join_is_hash_join_not_nested_loop(spark, tables):
     # O(n*m) fallback a raw lo<=v<hi condition compiles to
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+@pytest.fixture()
+def interval_tables(spark):
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 20.0, 21.0), (4, 7.0, 7.0)],
+        ["lid", "a_lo", "a_hi"],
+    )
+    right = spark.createDataFrame(
+        [(10, 9.0, 30.0), (11, 10.0, 12.0), (12, -5.0, 0.0), (13, 5.5, 5.6)],
+        ["rid", "b_lo", "b_hi"],
+    )
+    return left, right
+
+
+def _opairs(df):
+    return sorted((r["lid"], r["rid"]) for r in df.select("lid", "rid").collect())
+
+
+def test_overlap_join_semantics(spark, interval_tables):
+    left, right = interval_tables
+    got = _opairs(
+        rangejoin.overlap_join(left, right, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=4.0)
+    )
+    # [0,10) x [9,30) overlap; [0,10) x [10,12) touch -> NOT overlap (half-open);
+    # [0,10) x [-5,0) touch at lo -> no; [5,6) x [5.5,5.6) contains; empty [7,7) never
+    assert got == [(1, 10), (1, 13), (2, 13), (3, 10)]
+
+
+def test_overlap_join_emits_each_pair_once(spark, interval_tables):
+    left, right = interval_tables
+    # [0,10) and [9,30) share bins 0..2 at w=4 -> ownership rule must emit once
+    df = rangejoin.overlap_join(left, right, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=4.0)
+    rows = [(r["lid"], r["rid"]) for r in df.collect()]
+    assert len(rows) == len(set(rows)), "pair emitted in more than one bin"
+
+
+def test_overlap_join_bin_width_invariance(spark, interval_tables):
+    left, right = interval_tables
+    base = _opairs(
+        rangejoin.overlap_join(left, right, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=4.0)
+    )
+    for w in (0.3, 7.0, 500.0):
+        assert (
+            _opairs(
+                rangejoin.overlap_join(left, right, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=w)
+            )
+            == base
+        )
