@@ -997,6 +997,26 @@ WHERE (lang = 'de' AND {_HASH_UNIT_SQL.format(k="doc_id")} < 0.80)
 """
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (exponential clocks, weight =
+    document length): the 100 globally-smallest -ln(u)/w clocks win.
+    Executes as TakeOrdered, not a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.priority_sample(d, "doc_id", "n_chars", k=100).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+ORACLE_PRIORITY_SAMPLE = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         -ln({_HASH_UNIT_SQL.format(k="doc_id")}) / CAST(n_chars AS DOUBLE) AS t
+  FROM documents WHERE n_chars > 0
+  ORDER BY t ASC, doc_id ASC LIMIT 100
+)
+"""
+
+
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mC4-style temperature rebalancing of the language mix: group g is
     kept at rate (n_g/min_n)^(alpha-1), so the smallest language keeps
@@ -1866,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "train_val_test": q_train_val_test,
         "stratified_sample": q_stratified_sample,
+        "priority_sample": q_priority_sample,
         "temperature_resample": q_temperature_resample,
         "line_dedup": q_line_dedup,
         "column_profile": q_column_profile,
@@ -1937,6 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": ORACLE_SAMPLE_HASH,
         "train_val_test": ORACLE_TRAIN_VAL_TEST,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "priority_sample": ORACLE_PRIORITY_SAMPLE,
         "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
         "line_dedup": ORACLE_LINE_DEDUP,
         "column_profile": ORACLE_COLUMN_PROFILE,

@@ -150,3 +150,37 @@ def resample_by_temperature(
         .filter(_hash_unit(F.col(key_col)) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (exponential
+    clocks): each row gets arrival time t = -ln(u)/w with u the row's
+    content-hash uniform and w its weight; the k smallest t win. Higher
+    weight → earlier clock → higher inclusion odds, exactly the
+    w-proportional without-replacement distribution — but driven by the
+    key hash, so the same k rows win on any partitioning, any engine,
+    any day. Rows with non-positive weight are excluded; ties (never in
+    practice) break on the key. With ``by``, k rows per group.
+
+    Scale notes (100 TB): the global form is orderBy+limit, which Spark
+    executes as per-partition TakeOrdered + driver merge of k-row heaps
+    — no global sort, no shuffle of the corpus. The grouped form is one
+    hash shuffle on ``by`` with the rank filter pushed as a window
+    group-limit.
+    """
+    t = -F.log(_hash_unit(F.col(key_col))) / F.col(weight_col).cast("double")
+    ranked = df.filter(F.col(weight_col) > 0).withColumn("__t", t)
+    if by is None:
+        return ranked.orderBy(F.asc("__t"), F.asc(key_col)).limit(k).drop("__t")
+    w = Window.partitionBy(by).orderBy(F.asc("__t"), F.asc(key_col))
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__t", "__rn")
+    )

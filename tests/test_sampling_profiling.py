@@ -158,3 +158,29 @@ def test_resample_by_temperature_rates_and_determinism(spark):
     )
     # alpha=1 keeps everything
     assert sampling.resample_by_temperature(df, "doc_id", "lang", alpha=1.0).count() == 440
+
+
+def test_priority_sample_weighting_and_determinism(spark):
+    rows = [(i, 1000.0) for i in range(100)] + [(i + 1000, 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sampling.priority_sample(df, "doc_id", "w", k=50)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert len(ids) == 50
+    # 1000x weight should dominate the winners overwhelmingly
+    assert sum(1 for i in ids if i < 1000) >= 45
+    # partition-layout invariant
+    again = sampling.priority_sample(df.repartition(13), "doc_id", "w", k=50)
+    assert sorted(r["doc_id"] for r in again.collect()) == ids
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], ["doc_id", "w"])
+    assert [r["doc_id"] for r in sampling.priority_sample(df2, "doc_id", "w", 3).collect()] == [3]
+
+
+def test_priority_sample_grouped(spark):
+    rows = [(i, "a" if i % 2 else "b", float(1 + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "g", "w"])
+    got = sampling.priority_sample(df, "doc_id", "w", k=5, by="g")
+    per = {}
+    for r in got.collect():
+        per.setdefault(r["g"], []).append(r["doc_id"])
+    assert sorted(per) == ["a", "b"] and all(len(v) == 5 for v in per.values())
