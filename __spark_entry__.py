@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from sf_epa_data_ingestion_spark.functions import strings, text, vectors
 from sf_epa_data_ingestion_spark.operators import (
+    analytics,
     asof,
     cleaning,
     dedup,
@@ -1463,6 +1464,50 @@ ORACLE_RANGE_BAND_JOIN = (
 )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel (first-touch entry times)."""
+    return analytics.funnel_counts(_t(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS entry FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS entry
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.entry GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS entry
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.entry GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix over the events stream."""
+    return analytics.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # Quarterly promo windows as half-open [lo, hi) day indexes since
 # 1970-01-01 — integer day arithmetic on both engines, no timezone in play.
 def _quarter_days() -> list[tuple[str, int, int]]:
@@ -1907,6 +1952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks": q_asof_clicks,
         "range_band_join": q_range_band_join,
         "promo_overlap": q_promo_overlap,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "grouping_sets": q_grouping_sets,
@@ -1977,6 +2024,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_clicks": ORACLE_ASOF_CLICKS,
         "range_band_join": ORACLE_RANGE_BAND_JOIN,
         "promo_overlap": ORACLE_PROMO_OVERLAP,
+        "funnel": ORACLE_FUNNEL,
+        "retention_cohorts": ORACLE_RETENTION_COHORTS,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
         "grouping_sets": ORACLE_GROUPING_SETS,
