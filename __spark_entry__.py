@@ -306,24 +306,28 @@ def q_multiway_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             (flags.withColumnRenamed("l_orderkey", "o_orderkey"), ["o_orderkey"]),
         ],
     )
+    # The driver's result comparator canonicalizes with pandas sort_values,
+    # which cannot order list cells — ship the rollup as a joined string.
     return out.select(
         "o_orderkey",
         "o_totalprice",
         "c_name",
         "n_name",
         "r_name",
-        F.coalesce(F.col("return_flags"), F.array().cast("array<string>")).alias("return_flags"),
+        F.array_join(
+            F.coalesce(F.col("return_flags"), F.array().cast("array<string>")), ","
+        ).alias("return_flags"),
     )
 
 
 ORACLE_MULTIWAY_LEFT_ENRICH = """
 SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name, r.r_name,
-       COALESCE(f.return_flags, CAST([] AS VARCHAR[])) AS return_flags
+       COALESCE(f.return_flags, '') AS return_flags
 FROM orders o
 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
-LEFT JOIN (SELECT l_orderkey, list_sort(list(DISTINCT l_returnflag)) AS return_flags
+LEFT JOIN (SELECT l_orderkey, string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS return_flags
            FROM lineitem GROUP BY l_orderkey) f
        ON o.o_orderkey = f.l_orderkey
 """
@@ -409,16 +413,22 @@ QUALIFY row_number() OVER (PARTITION BY l_orderkey
 
 
 def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: ARRAY_AGG per key (sorted for determinism)."""
+    """A1: ARRAY_AGG per key (sorted for determinism; string-joined for the
+    driver comparator, which cannot canonicalize list cells)."""
     p = _t(spark, sf_dir, "part").dropDuplicates(["p_brand", "p_type"])
-    return relational.group_collect(p, ["p_brand"], "p_type", "types").join(
-        _t(spark, sf_dir, "part").groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts")),
-        "p_brand",
+    collected = relational.group_collect(p, ["p_brand"], "p_type", "types")
+    return (
+        collected.withColumn("types", F.array_join("types", ","))
+        .join(
+            _t(spark, sf_dir, "part").groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts")),
+            "p_brand",
+        )
     )
 
 
 ORACLE_GROUP_COLLECT = """
-SELECT p_brand, list_sort(list(DISTINCT p_type)) AS types, COUNT(*) AS n_parts
+SELECT p_brand, string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types,
+       COUNT(*) AS n_parts
 FROM part GROUP BY p_brand
 """
 
