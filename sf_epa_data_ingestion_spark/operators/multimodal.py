@@ -123,12 +123,16 @@ def parse_documents(
     relative_path, {'mode':'LAYOUT'})``, epa_ingestion.py:763-764), as an
     Arrow-batched pandas UDF over a ``binaryFile``-shaped DataFrame.
 
-    Uses ``pypdf`` when installed. In this container it is not, so the
-    fallback (strict=False) extracts printable-ASCII runs >= 4 chars from
-    the raw bytes — deterministic, and sufficient to drive the downstream
-    chunk/index plumbing end-to-end in tests. ``strict=True`` raises
-    NotImplementedError when no real parser is available (the documented
-    production posture).
+    Parser ladder, per document:
+    1. ``pypdf`` when installed (full-fidelity);
+    2. the repo's pure-stdlib content-stream extractor
+       (``functions/pdf.py`` — FlateDecode + Tj/TJ tokenizer; real text,
+       verified against the reference's 51-PDF golden corpus);
+    3. printable-ASCII runs, only when 2 yields nothing AND
+       ``strict=False`` (e.g. non-Flate encodings).
+    ``strict=True`` reports rung-2 misses as ``parse_status='empty'``
+    instead of falling back — the production posture where garbage text
+    is worse than a parse failure routed to a retry queue.
     """
     out_schema = StructType(
         [
@@ -148,6 +152,8 @@ def parse_documents(
         import io as _io
         import re as _re
 
+        from ..functions.pdf import extract_text as _stdlib_extract
+
         for pdf in batches:
             rows = []
             for path, blob in zip(pdf[path_col], pdf[content_col]):
@@ -156,18 +162,17 @@ def parse_documents(
                         reader = pypdf.PdfReader(_io.BytesIO(blob))
                         text = "\n\n".join(p.extract_text() or "" for p in reader.pages)
                         status = "pypdf"
-                    elif strict:
-                        raise NotImplementedError(
-                            "PDF parsing requires pypdf, which is not installed; "
-                            "run with strict=False for the ASCII-run fallback"
-                        )
                     else:
-                        runs = _re.findall(rb"[\x20-\x7e]{4,}", blob or b"")
-                        text = "\n".join(r.decode("ascii") for r in runs)
-                        status = "ascii-fallback"
+                        text = _stdlib_extract(blob or b"")
+                        status = "stdlib"
+                        if not text.strip():
+                            if strict:
+                                status = "empty"
+                            else:
+                                runs = _re.findall(rb"[\x20-\x7e]{4,}", blob or b"")
+                                text = "\n".join(r.decode("ascii") for r in runs)
+                                status = "ascii-fallback"
                     rows.append({"path": path, "text": text, "parse_status": status})
-                except NotImplementedError:
-                    raise
                 except Exception as exc:  # noqa: BLE001 — errors become data
                     rows.append({"path": path, "text": None, "parse_status": f"error: {exc}"})
             yield pd.DataFrame(rows, columns=["path", "text", "parse_status"])

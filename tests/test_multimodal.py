@@ -93,3 +93,41 @@ def test_document_path_end_to_end(spark, tmp_path):
     stats = search.build_token_stats(postings, n_docs=n_chunks)
     hits = search.lexical_search(postings, stats, "safety storage", k=5).collect()
     assert len(hits) > 0  # chunks from label_one rank for its terms
+
+
+EPA_PDF_DIR = "/root/reference/epa_pdfs"
+
+
+@pytest.mark.skipif(not os.path.isdir(EPA_PDF_DIR), reason="reference corpus absent")
+def test_real_epa_pdfs_end_to_end(spark):
+    """F3 with REAL bytes: the reference's 51-PDF golden corpus (SURVEY §5,
+    reference entry point 3) through binaryFile scan -> pure-stdlib
+    content-stream extraction -> the reference's 1512/256 chunk geometry.
+    Verified properties: the extractor (not the ASCII fallback) handles the
+    overwhelming majority of the corpus, the text is real label language,
+    and the chunker produces a healthy chunk stream from it."""
+    files = load_binary_stage(spark, EPA_PDF_DIR, glob="*.pdf")
+    parsed = multimodal.parse_documents(files, path_col="relative_path").cache()
+    try:
+        rows = parsed.collect()
+        # 51 on disk; `_USF_0411.pdf` is skipped by Hadoop's hidden-file
+        # PathFilter (leading `_`, same rule that hides `_SUCCESS`)
+        assert len(rows) == 50
+        stdlib_ok = [
+            r for r in rows if r["parse_status"] == "stdlib" and len(r["text"] or "") > 500
+        ]
+        assert len(stdlib_ok) >= 45  # measured: 47/51 parse via the stdlib rung
+        corpus = " ".join(r["text"].lower() for r in stdlib_ok)
+        for phrase in ("epa", "keep out of reach of children", "precautionary"):
+            assert phrase in corpus, f"expected label phrase {phrase!r} in extracted text"
+
+        chunks = text.chunk_documents(
+            parsed.filter(F.col("text").isNotNull()).select(
+                F.col("path").alias("doc"), "text"
+            ),
+            chunk_size=1512,
+            overlap=256,
+        )
+        assert chunks.count() > 100
+    finally:
+        parsed.unpersist()

@@ -27,15 +27,26 @@ TABLES = [
 
 
 def _canon(df):
-    """Mirror the driver: sort columns by name, then rows by all columns."""
-    import pandas as pd  # noqa: F401
+    """Mirror the driver: sort columns by name, then rows by all columns.
+
+    Floats are rounded (7 dp — finer than the 1e-6 compare tolerance)
+    BEFORE sorting so near-equal values cannot order rows differently in
+    the two frames; ndarray cells (Arrow toPandas array columns) are
+    caught by the unhashable guard like plain lists.
+    """
+    import numpy as np
+    import pandas as pd
 
     df = df[sorted(df.columns)]
     for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, tuple, dict, set, bytearray))).any():
-            raise TypeError(f"column {c!r} holds unhashable values (list/dict)")
+        if df[c].map(
+            lambda v: isinstance(v, (list, tuple, dict, set, bytearray, np.ndarray))
+        ).any():
+            raise TypeError(f"column {c!r} holds unhashable values (list/array/dict)")
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: None if v is None else str(v))
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(7)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -51,6 +62,13 @@ def _values_equal(a, b, rel=1e-6, abs_tol=1e-9):
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)
             yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype=float)
+            # a coerced NaN (original value non-null but non-numeric) is a
+            # mismatch, not a NaN==NaN pass
+            x_coerced = np.isnan(xv) & ~x.isna().to_numpy()
+            y_coerced = np.isnan(yv) & ~y.isna().to_numpy()
+            if (x_coerced | y_coerced).any():
+                i = int(np.argmax(x_coerced | y_coerced))
+                return False, f"col {c} row {i}: non-numeric value coerced to NaN"
             both_nan = np.isnan(xv) & np.isnan(yv)
             ok = both_nan | np.isclose(xv, yv, rtol=rel, atol=abs_tol)
             if not ok.all():
