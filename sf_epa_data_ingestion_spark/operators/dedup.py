@@ -307,10 +307,14 @@ def ngram_jaccard_pairs(
 
     Scale notes (100 TB): the df table and the ordered arrays are one
     groupBy each over the shingle rows (linear). Candidate volume is
-    sum over PREFIX shingles of df_prefix^2 — data-dependent but typically
-    orders of magnitude below the full join (measured 114M -> ~2M at
-    sf0.1). Hot prefixes are still bounded by AQE skew splitting plus the
-    spread() oversubscription below.
+    sum over PREFIX shingles of df_probe*df_index — data-dependent but
+    well below the full join (measured at sf0.1 on the template-heavy
+    synthetic corpus: naive shingle join 114M rows vs 72M asymmetric
+    prefix-join rows -> 6.7M unique candidate pairs after the in-join
+    positional filter -> 256 result pairs; real web corpora have far
+    lower prefix-df and prune much harder). Hot prefixes are still
+    bounded by AQE skew splitting plus the spread() oversubscription
+    below.
     """
     eps = 1e-9  # float-safe slack on the filter inequalities
     # Distinct (id, shingle-hash) rows. char_shingles is array_distinct so
@@ -346,6 +350,9 @@ def ngram_jaccard_pairs(
     )
     ordered = spread(ordered, "id").persist()
 
+    # PROBE prefix (valid for the larger record x of any qualifying pair:
+    # overlap o >= t*|x|, so the smallest common shingle sits within the
+    # first n - ceil(t*n) + 1 positions).
     prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)).cast("int") + F.lit(1)
     # posexplode: the 0-based prefix position feeds the PPJoin positional
     # filter below. factor=4 oversubscription keeps join build sides
@@ -354,39 +361,67 @@ def ngram_jaccard_pairs(
         "id", "n_sh", F.posexplode(F.slice("shs", F.lit(1), prefix_len)).alias("pos", "sh")
     )
     pref = spread(pref, "sh", factor=4).persist()
+    # INDEX prefix (Xiao et al. WWW'08 §3, self-join indexing prefix): for
+    # the SMALLER record y of a pair (|x| >= |y|), the required overlap is
+    # o >= t/(1+t)*(|x|+|y|) >= 2t/(1+t)*|y|, so y only needs its first
+    # n - ceil(2t/(1+t)*n) + 1 shingles indexed — at t=0.3 that is ~0.54n
+    # vs the probe's ~0.70n. The index side is a FILTER over the probe
+    # rows (its prefix is always a prefix of the probe prefix), so the one
+    # persisted explode serves both sides and the truncation is free.
+    index_frac = 2.0 * threshold / (1.0 + threshold)
+    idx_keep = F.col("pos") < (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(index_frac)).cast("int") + F.lit(1)
+    )
     # SHUFFLE_HASH: sort-merge on a key with heavy duplicates re-walks the
     # buffered right group per left row — hash probing wins here.
-    a, b = pref.alias("a"), pref.hint("SHUFFLE_HASH").alias("b")
-    # Candidate pairs, then the PPJoin POSITIONAL filter: the globally
-    # smallest common shingle of a qualifying pair sits at positions
-    # (pa, pb) in the two ordered sets, and every other common shingle
-    # sorts after it in both — so overlap <= 1 + min(n_a-1-pa, n_b-1-pb).
-    # J >= t needs overlap >= t/(1+t) * (n_a+n_b); prune pairs whose first
-    # shared prefix shingle appears too late. Random pairs share only
-    # boilerplate (high-df) shingles, which sort LAST — this is where the
-    # bulk of the false candidates die (measured 2.2M -> 0.77M at sf0.1).
+    a, b = pref.alias("a"), pref.filter(idx_keep).hint("SHUFFLE_HASH").alias("b")
+    # Candidate pairs: probe side a is the LARGER record (ties broken by
+    # id so each unordered pair is generated exactly once). The PPJoin
+    # POSITIONAL filter rides INSIDE the join condition, row-at-a-time:
+    # a pair qualifying with overlap o has its globally smallest common
+    # shingle inside a's probe prefix AND b's index prefix (prefix lemma
+    # with o >= max(ceil(t*n_a), ceil(2t/(1+t)*n_b))), and — because the
+    # shingle order is one GLOBAL total order — that shingle minimizes the
+    # match position in BOTH arrays at once. All other common shingles
+    # sort after it in both, so overlap <= 1 + min(n_a-1-pa, n_b-1-pb)
+    # evaluated AT THAT ROW, and that row maximizes the bound over the
+    # pair's match rows. Hence: pair passes the pair-level positional
+    # filter  <=>  some join row passes the row-level test, which makes
+    # the row-level predicate an EXACT push-down — false candidates die
+    # during the hash-join probe, before the dedup exchange, and the
+    # 4-key groupBy+min aggregate collapses to dropDuplicates on the ids.
+    # Random pairs share only boilerplate (high-df) shingles, which sort
+    # LAST — this is where the bulk of the false candidates die.
+    req_overlap = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("a.n_sh") + F.col("b.n_sh")
+    ) - F.lit(eps)
+    positional_ok = (
+        F.lit(1.0)
+        + F.least(
+            F.col("a.n_sh") - 1 - F.col("a.pos"), F.col("b.n_sh") - 1 - F.col("b.pos")
+        )
+        >= req_overlap
+    )
     cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.id") < F.col("b.id"))
-            # length filter: J >= t forces t*|a| <= |b| and t*|b| <= |a|
+            & (
+                (F.col("a.n_sh") > F.col("b.n_sh"))
+                | ((F.col("a.n_sh") == F.col("b.n_sh")) & (F.col("a.id") < F.col("b.id")))
+            )
+            # length filter: with |a| >= |b|, J >= t forces |b| >= t*|a|
+            # (the other direction is implied by the size ordering)
             & (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(threshold) - F.lit(eps))
-            & (F.col("a.n_sh") >= F.col("b.n_sh") * F.lit(threshold) - F.lit(eps)),
+            & positional_ok,
         )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+        # normalize the (probe, index) roles back to id_a < id_b so output
+        # pair identity is independent of the size ordering
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
         )
-        .agg(F.min("a.pos").alias("pa"), F.min("b.pos").alias("pb"))
-        .filter(
-            F.lit(1.0)
-            + F.least(F.col("n_a") - 1 - F.col("pa"), F.col("n_b") - 1 - F.col("pb"))
-            >= F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b")) - F.lit(eps)
-        )
-        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     # Exact verification. The two shingle-array attachments resolve to
     # broadcast/hash joins of the per-doc table onto the candidate pairs.
