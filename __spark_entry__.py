@@ -561,6 +561,42 @@ FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
 """
 
 
+def q_merge_upsert_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 via the txlog transactional table (storage/txlog.py): the SAME
+    logical MERGE as q_merge_upsert, executed as file-granular
+    copy-on-write under an atomic commit, then read back from the new
+    snapshot. Shares ORACLE_MERGE_UPSERT — the correctness gate pins the
+    two physical backends to identical results."""
+    import shutil
+    import tempfile
+
+    from sf_epa_data_ingestion_spark.storage import TxTable
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="txlog_merge_")
+    try:
+        tbl = TxTable(spark, os.path.join(root, "orders_tx")).create(
+            target.repartition(8, "o_orderkey")
+        )
+        tbl.merge(source, on=["o_orderkey"])
+        # materialize before the tmp dir disappears
+        rows = tbl.read().collect()
+        return spark.createDataFrame(rows, tbl.read().schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_update_from_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/U3: UPDATE ... FROM — escalate orders that have a returned line."""
     o = _t(spark, sf_dir, "orders")
@@ -2082,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "line_dedup": q_line_dedup,
         "train_val_test": q_train_val_test,
+        "merge_upsert_tx": q_merge_upsert_tx,
     }
 
 
@@ -2102,6 +2139,10 @@ def oracle_sql() -> dict[str, str]:
         "clean_filename": ORACLE_CLEAN_FILENAME,
         "scalar_suite": ORACLE_SCALAR_SUITE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
+        # same oracle on purpose: the txlog backend must reproduce the
+        # plain merge_upsert result exactly (one logical MERGE, two
+        # physical implementations)
+        "merge_upsert_tx": ORACLE_MERGE_UPSERT,
         "update_from_join": ORACLE_UPDATE_FROM_JOIN,
         "delete_using": ORACLE_DELETE_USING,
         "top_k": ORACLE_TOP_K,

@@ -1,0 +1,263 @@
+"""txlog: a minimal transaction-log table format for ACID mutations.
+
+SURVEY §7 lists "transactional mutation" as the one hard part of the
+reference's warehouse surface that plain parquet cannot express: the
+reference wraps its MERGE / UPDATE / DELETE statements in commit/rollback
+(/root/reference/epa_ingestion.py:628-632) and relies on the warehouse for
+snapshot isolation. ``operators.mutate.atomic_overwrite`` covers the
+single-table swap; this module closes the gap properly with an original,
+deliberately small implementation of the *publicly documented* design
+shared by Delta Lake and Apache Iceberg (both open protocols): an ordered
+log of atomic JSON commit files over immutable parquet data files.
+
+Layout (all under the table root):
+
+    <root>/part-<uuid>.parquet          immutable data files
+    <root>/_txlog/00000000000n.json     commit n (atomically published)
+
+Each commit records the actions ``{"add": [files...], "remove": [files...]}``
+plus the table schema. The live file set at version v is the replay of
+commits 0..v. Readers list the log (metadata-scale, driver-side — same as
+Delta), pick a version, and hand Spark the live files; writers stage data
+files first and publish the commit LAST via an exclusive create, so:
+
+- **Atomicity / crash safety**: a writer dying after staging parquet but
+  before publishing its commit leaves orphan files and an untouched log —
+  readers never see a partial write.
+- **Snapshot isolation**: data files are immutable and commits are
+  append-only, so a reader replaying version v is unaffected by concurrent
+  writers; ``read(version=...)`` is time travel for free.
+- **Optimistic concurrency**: two writers racing to commit version n+1
+  collide on the exclusive create; the loser gets ``ConcurrentCommitError``
+  and must re-read + retry (Delta's rename-if-absent LogStore contract).
+  POSIX ``O_CREAT|O_EXCL`` provides this locally; object stores need a
+  put-if-absent primitive, exactly as Delta documents.
+
+Scale notes (100 TB): all driver-side work here is METADATA-scale (one
+directory listing + one JSON per commit; the live-file list is bounded by
+file count, not rows). Every data-moving step is a distributed Spark job.
+``merge`` is file-granular copy-on-write: only files that actually contain
+matching keys are rewritten (found with a broadcast semi-join on
+``_metadata.file_path``), so a 100-row upsert into a 100 TB table rewrites
+a handful of files, not the table — the same plan shape as Delta's MERGE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txlog"
+_PAD = 12  # zero-padded version width -> lexicographic == numeric order
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first; re-read and retry."""
+
+
+class TxTable:
+    """A parquet table with an atomic JSON commit log (see module doc)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, _LOG_DIR)
+
+    # -- log plumbing -------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json") and not f.startswith("."):
+                try:
+                    out.append(int(f[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def exists(self) -> bool:
+        return bool(self.versions())
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:0{_PAD}d}.json")
+
+    def _read_commit(self, version: int) -> dict:
+        with open(self._commit_path(version)) as f:
+            return json.load(f)
+
+    def _publish(self, version: int, actions: dict, schema_json: str) -> None:
+        """Atomically publish commit ``version``; the exclusive create is
+        the linearization point of the whole write."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        payload = json.dumps(
+            {"version": version, "ts": int(time.time() * 1000),
+             "schema": schema_json, **actions},
+            indent=0,
+        )
+        try:
+            fd = os.open(self._commit_path(version),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version {version} already committed at {self.root}"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _snapshot(self, version: int | None = None) -> tuple[int, list[str], StructType]:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no txlog table at {self.root}")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise ValueError(f"version {v} not in log (have {vs[0]}..{vs[-1]})")
+        live: set[str] = set()
+        schema_json = None
+        for i in vs:
+            if i > v:
+                break
+            c = self._read_commit(i)
+            live.difference_update(c.get("remove", []))
+            live.update(c.get("add", []))
+            schema_json = c.get("schema") or schema_json
+        return v, sorted(live), StructType.fromJson(json.loads(schema_json))
+
+    # -- data-file staging --------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        """Write ``df`` as new immutable parquet files under the table root
+        with globally unique names; return their names. Executors write the
+        bytes (distributed); only the per-file rename is driver-side — a
+        metadata op, one per output file."""
+        tag = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.root, f"_staged-{tag}")
+        df.write.mode("overwrite").parquet(tmp)
+        names = []
+        for f in sorted(os.listdir(tmp)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{tag}-{len(names):05d}.parquet"
+            os.rename(os.path.join(tmp, f), os.path.join(self.root, name))
+            names.append(name)
+        for leftover in os.listdir(tmp):
+            os.remove(os.path.join(tmp, leftover))
+        os.rmdir(tmp)
+        return names
+
+    # -- public API ---------------------------------------------------------
+
+    def create(self, df: DataFrame) -> "TxTable":
+        if self.exists():
+            raise FileExistsError(f"txlog table already exists at {self.root}")
+        os.makedirs(self.root, exist_ok=True)
+        files = self._stage(df)
+        self._publish(0, {"add": files, "remove": []}, df.schema.json())
+        return self
+
+    def read(self, version: int | None = None) -> DataFrame:
+        _, files, schema = self._snapshot(version)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in files]
+        # explicit schema: a snapshot's schema is the log's, not whatever
+        # parquet footer merging would infer across file generations
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def append(self, df: DataFrame) -> int:
+        v, _, schema = self._snapshot()
+        files = self._stage(df)
+        self._publish(v + 1, {"add": files, "remove": []}, schema.json())
+        return v + 1
+
+    def overwrite(self, df: DataFrame) -> int:
+        v, live, _ = self._snapshot()
+        files = self._stage(df)
+        self._publish(v + 1, {"add": files, "remove": live}, df.schema.json())
+        return v + 1
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: Sequence[str],
+        update_cols: Sequence[str] | None = None,
+    ) -> int:
+        """MERGE INTO this table USING source ON keys — matched rows update
+        (source wins), unmatched source rows insert. Same row semantics as
+        ``operators.mutate.merge_upsert`` (U1, epa_ingestion.py:585-623),
+        which this delegates to for the rewrite — one logical MERGE, two
+        physical backends, test-pinned identical.
+
+        File-granular copy-on-write: files with no matching key survive
+        untouched (any source key present in them would have put them in
+        the touched set, so the untouched partition of the table commutes
+        with the merge); touched files are re-read, merged, and replaced,
+        all under one atomic commit.
+        """
+        from sf_epa_data_ingestion_spark.operators.mutate import merge_upsert
+
+        keys = list(on)
+        v, live, schema = self._snapshot()
+        src = source.dropDuplicates(keys)
+
+        touched: list[str] = []
+        if live:
+            live_df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in live]
+            )
+            # broadcast semi-join keyed on the file path pseudo-column:
+            # scans only the key columns (pruned), returns file PATHS —
+            # driver materialization is bounded by file count
+            touched_paths = (
+                live_df.select(F.col("_metadata.file_path").alias("__fp"), *keys)
+                .join(F.broadcast(src.select(*keys)), keys, "left_semi")
+                .select("__fp")
+                .distinct()
+                .collect()
+            )
+            touched_set = {os.path.basename(r["__fp"]) for r in touched_paths}
+            touched = sorted(f for f in live if f in touched_set)
+
+        target_rows = (
+            self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in touched]
+            )
+            if touched
+            else self.spark.createDataFrame([], schema)
+        )
+        merged = merge_upsert(target_rows, src, keys, update_cols)
+        new_files = self._stage(merged)
+        self._publish(
+            v + 1, {"add": new_files, "remove": touched}, schema.json()
+        )
+        return v + 1
+
+    def history(self) -> list[dict]:
+        return [self._read_commit(v) for v in self.versions()]
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Physically delete data files not live in any of the newest
+        ``keep_versions`` snapshots (plus crash-orphaned staged files).
+        Time travel older than the retained window stops working — same
+        trade Delta's VACUUM makes."""
+        vs = self.versions()
+        keep = vs[-max(1, keep_versions):]
+        retained: set[str] = set()
+        for v in keep:
+            retained.update(self._snapshot(v)[1])
+        removed = []
+        for f in os.listdir(self.root):
+            if f.endswith(".parquet") and f not in retained:
+                os.remove(os.path.join(self.root, f))
+                removed.append(f)
+        return sorted(removed)

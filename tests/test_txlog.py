@@ -1,0 +1,125 @@
+"""txlog transactional table: ACID semantics + MERGE parity with mutate.
+
+The contract under test (storage/txlog.py): same MERGE row semantics as
+operators.mutate.merge_upsert (U1), plus the properties plain parquet
+cannot give — atomic publish, snapshot isolation / time travel, optimistic
+concurrency, and file-granular copy-on-write.
+"""
+
+import json
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators.mutate import merge_upsert
+from sf_epa_data_ingestion_spark.storage import ConcurrentCommitError, TxTable
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def customers(spark):
+    return spark.read.parquet(os.path.join(SF001, "customer.parquet"))
+
+
+@pytest.fixture()
+def table(spark, tmp_path, customers):
+    return TxTable(spark, str(tmp_path / "tbl")).create(customers)
+
+
+def test_create_read_roundtrip(table, customers):
+    got = table.read()
+    assert got.schema == customers.schema
+    assert _rows(got) == _rows(customers)
+
+
+def test_merge_matches_plain_merge_upsert(spark, table, customers):
+    # source = 10 updated rows (perturbed balance) + 3 brand-new keys
+    updates = (
+        customers.orderBy("c_custkey").limit(10)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+    )
+    inserts = (
+        customers.orderBy(F.desc("c_custkey")).limit(3)
+        .withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+    )
+    source = updates.unionByName(inserts)
+
+    expected = merge_upsert(customers, source, ["c_custkey"])
+    v = table.merge(source, ["c_custkey"])
+    assert v == 1
+    assert _rows(table.read()) == _rows(expected)
+    # old snapshot untouched (time travel)
+    assert _rows(table.read(version=0)) == _rows(customers)
+
+
+def test_merge_is_file_granular(spark, tmp_path, customers):
+    # 8 files; an upsert touching one key must rewrite exactly one of them
+    t = TxTable(spark, str(tmp_path / "t8")).create(customers.repartition(8))
+    before = set(t._snapshot()[1])
+    one = customers.limit(1).withColumn("c_mktsegment", F.lit("REWRITTEN"))
+    t.merge(one, ["c_custkey"])
+    commit = t.history()[-1]
+    assert len(commit["remove"]) == 1
+    assert set(commit["remove"]) <= before
+    # table contents still correct
+    assert t.read().filter(F.col("c_mktsegment") == "REWRITTEN").count() == 1
+    assert t.read().count() == customers.count()
+
+
+def test_crash_before_commit_is_invisible(spark, table, customers):
+    # simulate a writer dying after staging data but before publishing:
+    # stage files directly, never commit
+    junk = customers.limit(5).withColumn("c_name", F.lit("GHOST"))
+    table._stage(junk)
+    got = table.read()
+    assert got.filter(F.col("c_name") == "GHOST").count() == 0
+    assert _rows(got) == _rows(customers)
+    # vacuum clears the orphans
+    removed = table.vacuum()
+    assert removed  # the ghost files
+    assert _rows(table.read()) == _rows(customers)
+
+
+def test_concurrent_commit_conflict(table, customers):
+    # a second writer publishing the same next version must fail loudly
+    next_v = table.versions()[-1] + 1
+    table._publish(next_v, {"add": [], "remove": []}, customers.schema.json())
+    with pytest.raises(ConcurrentCommitError):
+        table._publish(next_v, {"add": [], "remove": []}, customers.schema.json())
+
+
+def test_append_overwrite_history_and_time_travel(spark, table, customers):
+    n = customers.count()
+    extra = customers.limit(7).withColumn("c_custkey", F.col("c_custkey") + 500_000)
+    v1 = table.append(extra)
+    assert table.read().count() == n + 7
+    v2 = table.overwrite(customers.limit(2))
+    assert (v1, v2) == (1, 2)
+    assert table.read().count() == 2
+    # every historical snapshot still reproducible
+    assert table.read(version=0).count() == n
+    assert table.read(version=1).count() == n + 7
+    assert [c["version"] for c in table.history()] == [0, 1, 2]
+
+
+def test_vacuum_drops_old_generations_keeps_current(spark, table, customers):
+    table.overwrite(customers.limit(3))
+    removed = table.vacuum(keep_versions=1)
+    assert removed  # version-0 files physically gone
+    assert table.read().count() == 3
+    with pytest.raises(Exception):
+        table.read(version=0).count()
+
+
+def test_commit_files_are_valid_json_log(table):
+    log = table.history()
+    assert log[0]["version"] == 0
+    assert log[0]["add"] and not log[0]["remove"]
+    # schema is stored with every commit so snapshots are self-describing
+    assert json.loads(log[0]["schema"])["type"] == "struct"
