@@ -1246,6 +1246,53 @@ QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 10
 """
 
 
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 retrieval, Okapi BM25 ranker (Lucene-default scoring) over the
+    same postings/stats index as search_lexical."""
+    d = _t(spark, sf_dir, "documents")
+    postings = search.build_postings(d, id_col="doc_id", text_col="text")
+    stats = search.build_token_stats(postings, n_docs=d.count())
+    return search.bm25_search(postings, stats, SEARCH_QUERY, n_docs=d.count(), k=10).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+
+
+ORACLE_SEARCH_BM25 = rf"""
+WITH toks AS (
+  SELECT doc_id, u.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT token, COUNT(*) AS df FROM postings GROUP BY token
+), doclen AS (
+  SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM postings GROUP BY doc_id
+), avgdl AS (
+  SELECT AVG(dl) AS avgdl FROM doclen
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+), hits AS (
+  SELECT p.doc_id,
+         round(SUM(
+           ln(1.0 + (n.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / a.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN stats s USING (token)
+  JOIN doclen d USING (doc_id)
+  CROSS JOIN avgdl a
+  CROSS JOIN n
+  WHERE p.token IN ({", ".join("'" + t + "'" for t in sorted(set(SEARCH_QUERY.split())))})
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM hits
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 10
+"""
+
+
 def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 hybrid ranking: alpha-blended lexical TF-IDF + cosine over the
     docs x embeddings join, attribute-filtered. Fully deterministic given
@@ -2119,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "train_val_test": q_train_val_test,
         "merge_upsert_tx": q_merge_upsert_tx,
+        "search_bm25": q_search_bm25,
     }
 
 
@@ -2171,6 +2219,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": ORACLE_HEAVY_HITTERS,
         "search_postings": ORACLE_SEARCH_POSTINGS,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
+        "search_bm25": ORACLE_SEARCH_BM25,
         "search_hybrid": ORACLE_SEARCH_HYBRID,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "multimodal_meta": ORACLE_MULTIMODAL_META,

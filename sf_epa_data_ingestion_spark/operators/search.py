@@ -73,6 +73,50 @@ def lexical_search(
     return hits.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
 
 
+def bm25_search(
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    n_docs: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k ids by Okapi BM25 (the Lucene-default lexical ranker):
+
+        score = sum over query terms of
+            ln(1 + (N - df + 0.5)/(df + 0.5))          # RSJ idf, smoothed
+            * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Same index tables as TF-IDF (postings + stats); doc length and avgdl
+    derive from postings with one groupBy. Plan shape: the postings scan
+    is pruned to the query terms FIRST (token IN (...) reaches the scan),
+    so the doc-length join probes with only the hit rows — AQE broadcasts
+    the small side; the global avgdl is a broadcast 1-row aggregate, never
+    a driver round-trip.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    doclen = postings.groupBy("id").agg(F.sum("tf").cast("double").alias("dl"))
+    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    hits = (
+        postings.filter(F.col("token").isin(terms))
+        .join(broadcast(stats.filter(F.col("token").isin(terms)).select("token", "df")), "token")
+        .join(doclen, "id")
+        .crossJoin(broadcast(avgdl))
+        .groupBy("id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return hits.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
+
+
 def hybrid_search(
     docs: DataFrame,
     postings: DataFrame,

@@ -62,6 +62,45 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first; re-read and retry."""
 
 
+_OPS = {
+    "=": lambda c, v: c == v,
+    "==": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _may_match(stats: dict | None, filters) -> bool:
+    """File-level pruning: False only when the committed [min, max] PROVES
+    the conjunction is empty for this file. Missing stats (old commits,
+    unindexed column types, all-null columns) keep the file — skipping
+    must never change results. Null rows can't satisfy any comparison
+    predicate (SQL three-valued logic), so bounds over non-null values
+    are sufficient evidence."""
+    if not stats:
+        return True
+    for col, op, v in filters:
+        if col not in stats:
+            continue
+        mn, mx = stats[col]
+        try:
+            if op in ("=", "==") and (v < mn or v > mx):
+                return False
+            if op == "<" and mn >= v:
+                return False
+            if op == "<=" and mn > v:
+                return False
+            if op == ">" and mx <= v:
+                return False
+            if op == ">=" and mx < v:
+                return False
+        except TypeError:
+            continue  # incomparable (schema drift): keep the file
+    return True
+
+
 class TxTable:
     """A parquet table with an atomic JSON commit log (see module doc)."""
 
@@ -94,15 +133,24 @@ class TxTable:
         with open(self._commit_path(version)) as f:
             return json.load(f)
 
-    def _publish(self, version: int, actions: dict, schema_json: str) -> None:
+    def _publish(
+        self,
+        version: int,
+        actions: dict,
+        schema_json: str,
+        txn: dict | None = None,
+    ) -> None:
         """Atomically publish commit ``version``; the exclusive create is
-        the linearization point of the whole write."""
+        the linearization point of the whole write. ``txn`` is an optional
+        idempotence marker ``{"app": str, "batch": int}`` — the streaming
+        sink uses it to make replayed micro-batches no-ops (the same
+        design as Delta's txn/appId action)."""
         os.makedirs(self.log_dir, exist_ok=True)
-        payload = json.dumps(
-            {"version": version, "ts": int(time.time() * 1000),
-             "schema": schema_json, **actions},
-            indent=0,
-        )
+        doc = {"version": version, "ts": int(time.time() * 1000),
+               "schema": schema_json, **actions}
+        if txn is not None:
+            doc["txn"] = txn
+        payload = json.dumps(doc, indent=0)
         try:
             fd = os.open(self._commit_path(version),
                          os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
@@ -115,7 +163,9 @@ class TxTable:
             f.flush()
             os.fsync(f.fileno())
 
-    def _snapshot(self, version: int | None = None) -> tuple[int, list[str], StructType]:
+    def _snapshot_full(
+        self, version: int | None = None
+    ) -> tuple[int, list[str], StructType, dict[str, dict]]:
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no txlog table at {self.root}")
@@ -123,15 +173,34 @@ class TxTable:
         if v not in vs:
             raise ValueError(f"version {v} not in log (have {vs[0]}..{vs[-1]})")
         live: set[str] = set()
+        stats: dict[str, dict] = {}
         schema_json = None
         for i in vs:
             if i > v:
                 break
             c = self._read_commit(i)
-            live.difference_update(c.get("remove", []))
+            for f in c.get("remove", []):
+                live.discard(f)
+                stats.pop(f, None)
             live.update(c.get("add", []))
+            stats.update(c.get("stats", {}))
             schema_json = c.get("schema") or schema_json
-        return v, sorted(live), StructType.fromJson(json.loads(schema_json))
+        return v, sorted(live), StructType.fromJson(json.loads(schema_json)), stats
+
+    def _snapshot(self, version: int | None = None) -> tuple[int, list[str], StructType]:
+        v, files, schema, _ = self._snapshot_full(version)
+        return v, files, schema
+
+    def last_txn(self, app: str) -> int | None:
+        """Highest committed batch id for idempotence key ``app`` (the
+        exactly-once handshake for the streaming sink)."""
+        best = None
+        for v in self.versions():
+            t = self._read_commit(v).get("txn")
+            if t and t.get("app") == app:
+                b = int(t["batch"])
+                best = b if best is None or b > best else best
+        return best
 
     # -- data-file staging --------------------------------------------------
 
@@ -155,6 +224,48 @@ class TxTable:
         os.rmdir(tmp)
         return names
 
+    def _file_stats(self, names: list[str]) -> dict[str, dict]:
+        """Per-file min/max for skippable columns (numeric/string/bool),
+        gathered with ONE distributed job grouped on the file-path
+        pseudo-column — never a per-file driver loop. Stored in the commit
+        so readers prune files from the log alone (Delta data-skipping
+        design). Columns whose values don't round-trip through JSON
+        (timestamps, decimals, nested types) are simply not indexed —
+        skipping is an optimization, absence is always safe."""
+        if not names:
+            return {}
+        skippable = (
+            "byte", "short", "integer", "long", "float", "double",
+            "string", "boolean", "date",
+        )
+        paths = [os.path.join(self.root, n) for n in names]
+        df = self.spark.read.parquet(*paths)
+        cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() in skippable]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"mn__{c}"))
+            aggs.append(F.max(c).alias(f"mx__{c}"))
+        rows = (
+            df.groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(*aggs)
+            .collect()  # bounded by file count — metadata-scale
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            ent = {}
+            for c in cols:
+                mn, mx = r[f"mn__{c}"], r[f"mx__{c}"]
+                if mn is None:
+                    continue  # all-null column in this file: no bounds
+                if hasattr(mn, "isoformat"):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                ent[c] = [mn, mx]
+            out[os.path.basename(r["__fp"])] = ent
+        return out
+
     # -- public API ---------------------------------------------------------
 
     def create(self, df: DataFrame) -> "TxTable":
@@ -162,28 +273,69 @@ class TxTable:
             raise FileExistsError(f"txlog table already exists at {self.root}")
         os.makedirs(self.root, exist_ok=True)
         files = self._stage(df)
-        self._publish(0, {"add": files, "remove": []}, df.schema.json())
+        self._publish(
+            0,
+            {"add": files, "remove": [], "stats": self._file_stats(files)},
+            df.schema.json(),
+        )
         return self
 
-    def read(self, version: int | None = None) -> DataFrame:
-        _, files, schema = self._snapshot(version)
+    def read(
+        self,
+        version: int | None = None,
+        filters: Sequence[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """Snapshot read, optionally with data skipping: ``filters`` is a
+        conjunction of ``(col, op, value)`` with op in = == < <= > >=.
+        Files whose committed min/max prove no row can match are dropped
+        from the scan before Spark ever lists them; the residual predicate
+        is still applied, so pruning is transparent to results."""
+        _, files, schema, stats = self._snapshot_full(version)
+        if filters:
+            files = [f for f in files if _may_match(stats.get(f), filters)]
         if not files:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f) for f in files]
-        # explicit schema: a snapshot's schema is the log's, not whatever
-        # parquet footer merging would infer across file generations
-        return self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.root, f) for f in files]
+            # explicit schema: a snapshot's schema is the log's, not
+            # whatever parquet footer merging would infer across
+            # file generations
+            df = self.spark.read.schema(schema).parquet(*paths)
+        for c, op, v in filters or []:
+            df = df.filter(_OPS[op](F.col(c), F.lit(v)))
+        return df
 
-    def append(self, df: DataFrame) -> int:
+    def read_files(
+        self,
+        version: int | None = None,
+        filters: Sequence[tuple[str, str, object]] | None = None,
+    ) -> list[str]:
+        """The file names ``read`` would scan — exposed for tests and
+        observability of data skipping."""
+        _, files, _, stats = self._snapshot_full(version)
+        if filters:
+            files = [f for f in files if _may_match(stats.get(f), filters)]
+        return files
+
+    def append(self, df: DataFrame, txn: dict | None = None) -> int:
         v, _, schema = self._snapshot()
         files = self._stage(df)
-        self._publish(v + 1, {"add": files, "remove": []}, schema.json())
+        self._publish(
+            v + 1,
+            {"add": files, "remove": [], "stats": self._file_stats(files)},
+            schema.json(),
+            txn=txn,
+        )
         return v + 1
 
     def overwrite(self, df: DataFrame) -> int:
         v, live, _ = self._snapshot()
         files = self._stage(df)
-        self._publish(v + 1, {"add": files, "remove": live}, df.schema.json())
+        self._publish(
+            v + 1,
+            {"add": files, "remove": live, "stats": self._file_stats(files)},
+            df.schema.json(),
+        )
         return v + 1
 
     def merge(
@@ -238,7 +390,10 @@ class TxTable:
         merged = merge_upsert(target_rows, src, keys, update_cols)
         new_files = self._stage(merged)
         self._publish(
-            v + 1, {"add": new_files, "remove": touched}, schema.json()
+            v + 1,
+            {"add": new_files, "remove": touched,
+             "stats": self._file_stats(new_files)},
+            schema.json(),
         )
         return v + 1
 

@@ -1,0 +1,61 @@
+"""Exactly-once Structured Streaming sink into a txlog table.
+
+Structured Streaming's foreachBatch gives at-least-once: after a crash
+between "batch written" and "checkpoint advanced", the engine REPLAYS the
+last micro-batch. A plain parquet-append sink duplicates those rows; the
+reference's warehouse MERGE absorbed them idempotently. The txlog sink
+restores exactly-once the way Delta's streaming sink does (public design:
+the txn/appId action): every commit carries an idempotence marker
+``{"app": <query id>, "batch": <micro-batch id>}``, and a replayed batch
+id <= the highest committed one is acknowledged without writing.
+
+The marker and the data files land in the SAME atomic commit, so there is
+no window where data is visible but the marker is not (or vice versa) —
+the dedup decision and the append are one linearization point.
+
+Scale notes: ``last_txn`` is a driver-side scan of the JSON log
+(metadata-scale); the data write is a normal distributed job. A
+``ConcurrentCommitError`` (another writer advanced the log between
+version resolution and publish) is retried after re-reading the log,
+re-checking the marker so a concurrent replica of the same query that
+already committed our batch turns the retry into a no-op.
+"""
+
+from __future__ import annotations
+
+from sf_epa_data_ingestion_spark.storage.txlog import (
+    ConcurrentCommitError,
+    TxTable,
+)
+
+
+def exactly_once_appender(table: TxTable, app_id: str, max_retries: int = 5):
+    """Build a ``foreachBatch`` callable appending into ``table`` with
+    exactly-once semantics under micro-batch replay::
+
+        (df.writeStream
+           .foreachBatch(exactly_once_appender(tbl, "events-ingest"))
+           .option("checkpointLocation", ckpt)
+           .trigger(availableNow=True)
+           .start())
+
+    ``app_id`` must be stable across restarts of the logical query (use
+    your own name, not the engine's random run id) — it is the dedup key.
+    """
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        for _ in range(max_retries):
+            last = table.last_txn(app_id)
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already durable, acknowledge
+            try:
+                table.append(batch_df, txn={"app": app_id, "batch": int(batch_id)})
+                return
+            except ConcurrentCommitError:
+                continue  # log advanced under us: re-check marker, retry
+        raise ConcurrentCommitError(
+            f"gave up appending batch {batch_id} for {app_id!r} "
+            f"after {max_retries} conflicts"
+        )
+
+    return write_batch

@@ -1,0 +1,119 @@
+"""txlog round 2: exactly-once streaming sink + data skipping.
+
+- streaming/txsink.py: replayed micro-batches (Structured Streaming's
+  at-least-once foreachBatch contract) must not duplicate rows, because
+  the txn marker commits atomically with the data.
+- storage/txlog.py stats: per-file min/max committed with every add must
+  prune files a predicate provably excludes, without changing results.
+"""
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.storage import TxTable
+from sf_epa_data_ingestion_spark.streaming.txsink import exactly_once_appender
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def orders(spark):
+    return spark.read.parquet(os.path.join(SF001, "orders.parquet"))
+
+
+def test_replayed_batch_is_noop(spark, tmp_path, orders):
+    t = TxTable(spark, str(tmp_path / "t")).create(orders.limit(0))
+    sink = exactly_once_appender(t, "ingest-test")
+    b0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+    n = t.read().count()
+    assert n == orders.count()
+    # crash-replay of the last batch (and an ancient one): both no-ops
+    sink(b1, 1)
+    sink(b0, 0)
+    assert t.read().count() == n
+    # next batch still lands
+    sink(orders.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000), 2)
+    assert t.read().count() == n + 5
+    assert t.last_txn("ingest-test") == 2
+    # a different app id has its own sequence
+    assert t.last_txn("other-app") is None
+
+
+def test_exactly_once_through_real_stream_restart(spark, tmp_path, orders):
+    """Two availableNow runs over a growing directory with the same
+    checkpoint: engine-managed batch ids must line up with the markers."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first = orders.limit(100)
+    first.write.mode("overwrite").parquet(src)
+    t = TxTable(spark, str(tmp_path / "tbl")).create(orders.limit(0))
+    sink = exactly_once_appender(t, "stream-test")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(orders.schema).parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert t.read().count() == 100
+    # grow the source, restart the query — only the delta lands
+    orders.limit(150).write.mode("overwrite").parquet(src + "_tmp")
+    more = spark.read.parquet(src + "_tmp").subtract(first)
+    more.write.mode("append").parquet(src)
+    run_once()
+    assert t.read().count() == 100 + more.count()
+    # rows are exactly the union, no dupes
+    assert t.read().select("o_orderkey").distinct().count() == t.read().count()
+
+
+def test_data_skipping_prunes_files_not_results(spark, tmp_path, orders):
+    # range-partition on the key so files have disjoint key ranges
+    parts = orders.repartitionByRange(8, "o_orderkey")
+    t = TxTable(spark, str(tmp_path / "t")).create(parts)
+    all_files = t.read_files()
+    assert len(all_files) == 8
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    filt = [("o_orderkey", "<=", lo + 5)]
+    pruned = t.read_files(filters=filt)
+    assert len(pruned) < len(all_files)  # most files skipped
+    got = t.read(filters=filt)
+    want = orders.filter(F.col("o_orderkey") <= lo + 5)
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in want.collect()
+    )
+
+
+def test_skipping_is_conservative_on_unindexed_columns(spark, tmp_path, orders):
+    t = TxTable(spark, str(tmp_path / "t")).create(orders.repartitionByRange(4, "o_orderkey"))
+    # o_orderdate may not be indexed (type-dependent); filtering on it must
+    # still return exact results, pruned or not
+    d = orders.select(F.max("o_orderdate")).first()[0]
+    got = t.read(filters=[("o_orderdate", "=", d)]).count()
+    want = orders.filter(F.col("o_orderdate") == d).count()
+    assert got == want
+
+
+def test_stats_survive_merge_rewrite(spark, tmp_path, orders):
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = TxTable(spark, str(tmp_path / "t")).create(base.repartitionByRange(4, "o_orderkey"))
+    lo = base.agg(F.min("o_orderkey")).first()[0]
+    upd = base.filter(F.col("o_orderkey") == lo).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    t.merge(upd, ["o_orderkey"])
+    # rewritten file got fresh stats: pruning on the key still exact
+    filt = [("o_orderkey", "=", lo)]
+    assert len(t.read_files(filters=filt)) < len(t.read_files())
+    row = t.read(filters=filt).collect()
+    assert len(row) == 1 and row[0]["o_totalprice"] == 0.0
