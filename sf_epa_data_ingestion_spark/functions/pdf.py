@@ -18,12 +18,19 @@ ordinary generated PDFs using only ``zlib`` + ``re``:
   line breaks: a vertical move starts a new output line, matching how
   layout-mode extractors reconstruct reading order.
 
-Deliberately out of scope: hex-string ``<..> Tj`` operands (2-byte CIDs
-for Type0 fonts — correct decoding needs the font's ToUnicode CMap).
-Measured over the reference's 51-PDF golden corpus these are ~4 % of
-text-show operators (5 406 of 133 004); the extractor is exact for the
-other 96 %, which is ample for the downstream chunk/index pipeline and
-far beyond the previous printable-ASCII-runs fallback.
+- Type0/Identity-H composite fonts: every ToUnicode CMap stream in the
+  file (``beginbfchar``/``beginbfrange`` sections, spec §9.10.3) is
+  parsed and merged into one code→unicode map, and hex-string operands
+  (``<..> Tj``) are decoded through it as CIDs (greedy 2-byte-then-1-byte
+  match). Merging instead of tracking the per-page font resource chain is
+  a deliberate simplification: documents overwhelmingly use one composite
+  font, and a collision merely maps a glyph through the wrong font's
+  table — acceptable for indexing, vastly better than dropping the text.
+
+Still out of scope: image-only PDFs (scanned faxes — CCITTFaxDecode
+pages carry no text layer at all; 3 of the 51 reference PDFs are such
+scans and need OCR, which no text extractor can do), and predictor-coded
+object streams.
 
 Pure functions over ``bytes`` — usable from any executor-side pandas UDF
 without SparkContext access.
@@ -103,7 +110,95 @@ def _scan_literal(buf: bytes, start: int) -> tuple[bytes, int]:
     return buf[begin : i - 1], i
 
 
-def _extract_content_text(content: bytes) -> str:
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_HEX_OR_ARR_RE = re.compile(rb"<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>\s*)+)\]")
+
+
+def _utf16be(hexs: bytes) -> str:
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    try:
+        return raw.decode("utf-16-be", errors="ignore")
+    except UnicodeDecodeError:
+        return ""
+
+
+def parse_tounicode_cmaps(data: bytes) -> dict[bytes, str]:
+    """Merge every ToUnicode CMap stream in the file into one
+    code(bytes)→unicode map (spec §9.10.3). Codes keep their byte width
+    (1 for simple fonts, 2 for Identity-H CID fonts) so the decoder can
+    greedy-match."""
+    cmap: dict[bytes, str] = {}
+    for body in _STREAM_RE.findall(data):
+        try:
+            decoded = zlib.decompress(body)
+        except zlib.error:
+            decoded = body
+        if b"beginbfchar" not in decoded and b"beginbfrange" not in decoded:
+            continue
+        for sec in _BFCHAR_RE.findall(decoded):
+            pairs = _HEX_RE.findall(sec)
+            for src, dst in zip(pairs[0::2], pairs[1::2]):
+                code = bytes.fromhex(src.decode("ascii"))
+                cmap[code] = _utf16be(dst)
+        for sec in _BFRANGE_RE.findall(decoded):
+            toks = _HEX_OR_ARR_RE.findall(sec)
+            for k in range(0, len(toks) - 2, 3):
+                lo_h = toks[k][0]
+                hi_h = toks[k + 1][0]
+                dst_h, dst_arr = toks[k + 2]
+                if not lo_h or not hi_h:
+                    continue
+                lo = int(lo_h, 16)
+                hi = int(hi_h, 16)
+                width = len(lo_h) // 2
+                if dst_arr:  # [<d1> <d2> ...] one target per code
+                    dsts = _HEX_RE.findall(dst_arr)
+                    for off, d in enumerate(dsts):
+                        if lo + off <= hi:
+                            cmap[(lo + off).to_bytes(width, "big")] = _utf16be(d)
+                elif dst_h:  # <dstStart>: consecutive targets
+                    base_raw = bytes.fromhex(dst_h.decode("ascii"))
+                    base = int.from_bytes(base_raw, "big")
+                    span = len(base_raw)
+                    for off in range(min(hi - lo + 1, 0x10000)):
+                        tgt = (base + off).to_bytes(max(span, 2), "big")
+                        cmap[(lo + off).to_bytes(width, "big")] = tgt.decode(
+                            "utf-16-be", errors="ignore"
+                        )
+    return cmap
+
+
+def _decode_cids(hexs: bytes, cmap: dict[bytes, str]) -> str:
+    """Decode a hex-string operand through the merged ToUnicode map:
+    greedy 2-byte match (Identity-H CIDs), then 1-byte (simple fonts)."""
+    try:
+        raw = bytes.fromhex(
+            hexs.decode("ascii") + ("0" if len(hexs) % 2 else "")
+        )
+    except ValueError:
+        return ""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        two = raw[i : i + 2]
+        if len(two) == 2 and two in cmap:
+            out.append(cmap[two])
+            i += 2
+            continue
+        one = raw[i : i + 1]
+        if one in cmap:
+            out.append(cmap[one])
+            i += 1
+            continue
+        i += 2  # unmapped code: Identity-H codes are 2 bytes; skip
+    return "".join(out)
+
+
+def _extract_content_text(content: bytes, cmap: dict[bytes, str] | None = None) -> str:
     """Walk one decoded content stream; emit text in operator order with
     line breaks on vertical moves."""
     parts: list[str] = []
@@ -136,7 +231,10 @@ def _extract_content_text(content: bytes) -> str:
                 i += 2
             else:
                 j = content.find(b">", i + 1)
-                i = n if j < 0 else j + 1  # hex strings skipped (see module doc)
+                if cmap and j > 0:
+                    # CID hex string: decode through the ToUnicode map
+                    stack.append(_decode_cids(content[i + 1 : j], cmap))
+                i = n if j < 0 else j + 1
         elif c == 0x25:  # % comment to EOL
             j = content.find(b"\n", i)
             i = n if j < 0 else j + 1
@@ -201,6 +299,7 @@ def extract_text(data: bytes) -> str:
     order in practice)."""
     if not data:
         return ""
+    cmap = parse_tounicode_cmaps(data)
     texts: list[str] = []
     for body in _STREAM_RE.findall(data):
         try:
@@ -209,7 +308,7 @@ def extract_text(data: bytes) -> str:
             decoded = body  # uncompressed content streams are legal
         if b"Tj" not in decoded and b"TJ" not in decoded:
             continue
-        t = _extract_content_text(decoded).strip()
+        t = _extract_content_text(decoded, cmap).strip()
         if t:
             texts.append(t)
     return "\n\n".join(texts)

@@ -397,6 +397,36 @@ class TxTable:
         )
         return v + 1
 
+    def compact(
+        self,
+        cluster_by: Sequence[str] | None = None,
+        target_files: int | None = None,
+    ) -> int:
+        """OPTIMIZE: rewrite the live file set into ``target_files`` files,
+        optionally range-clustered on ``cluster_by`` — after many small
+        appends (a streaming sink's natural output) files are tiny and
+        their min/max ranges overlap, so data skipping prunes nothing.
+        Range clustering gives files disjoint key ranges, which makes the
+        committed stats selective (Delta's OPTIMIZE ZORDER BY, in its
+        1-key special case, is exactly this). One shuffle; published as a
+        normal atomic commit, so concurrent readers keep their snapshot.
+        """
+        v, live, schema, _ = self._snapshot_full()
+        n = target_files if target_files is not None else max(1, len(live) // 4)
+        df = self.read()
+        df = (
+            df.repartitionByRange(n, *[F.col(c) for c in cluster_by])
+            if cluster_by
+            else df.repartition(n)
+        )
+        files = self._stage(df)
+        self._publish(
+            v + 1,
+            {"add": files, "remove": live, "stats": self._file_stats(files)},
+            schema.json(),
+        )
+        return v + 1
+
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self.versions()]
 

@@ -116,7 +116,13 @@ def test_real_epa_pdfs_end_to_end(spark):
         stdlib_ok = [
             r for r in rows if r["parse_status"] == "stdlib" and len(r["text"] or "") > 500
         ]
-        assert len(stdlib_ok) >= 45  # measured: 47/51 parse via the stdlib rung
+        # measured: 47/50 parse via the stdlib rung; the 3 misses are
+        # image-only scanned faxes (CCITTFaxDecode, no text layer — OCR
+        # territory, beyond any text extractor)
+        assert len(stdlib_ok) >= 46
+        # the Identity-H composite-font PDF decodes via its ToUnicode CMap
+        lifegard = [r for r in stdlib_ok if "LifeGard" in r["path"]]
+        assert lifegard and "epa reg" in lifegard[0]["text"].lower()
         corpus = " ".join(r["text"].lower() for r in stdlib_ok)
         for phrase in ("epa", "keep out of reach of children", "precautionary"):
             assert phrase in corpus, f"expected label phrase {phrase!r} in extracted text"

@@ -104,6 +104,30 @@ def test_skipping_is_conservative_on_unindexed_columns(spark, tmp_path, orders):
     assert got == want
 
 
+def test_compact_clusters_and_enables_skipping(spark, tmp_path, orders):
+    # many tiny appends with overlapping key ranges: skipping prunes nothing
+    t = TxTable(spark, str(tmp_path / "t")).create(orders.limit(0))
+    sink = exactly_once_appender(t, "ingest")
+    for i in range(4):
+        sink(orders.filter(F.col("o_orderkey") % 4 == i), i)
+    # a MID-RANGE key sits inside every stripe's [min,max] span, so
+    # pruning is powerless before clustering
+    mid = orders.approxQuantile("o_orderkey", [0.5], 0.0)[0]
+    key = orders.filter(F.col("o_orderkey") >= mid).agg(F.min("o_orderkey")).first()[0]
+    filt = [("o_orderkey", "=", key)]
+    before = t.read_files(filters=filt)
+    assert len(before) == len(t.read_files())
+    v = t.compact(cluster_by=["o_orderkey"], target_files=8)
+    after = t.read_files(filters=filt)
+    assert len(t.read_files()) == 8
+    assert len(after) <= 2  # disjoint ranges: point lookup hits ~1 file
+    # contents unchanged, history intact
+    assert t.read().count() == orders.count()
+    assert t.read(version=v - 1).count() == orders.count()
+    got = t.read(filters=filt).collect()
+    assert len(got) == orders.filter(F.col("o_orderkey") == key).count()
+
+
 def test_stats_survive_merge_rewrite(spark, tmp_path, orders):
     base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
     t = TxTable(spark, str(tmp_path / "t")).create(base.repartitionByRange(4, "o_orderkey"))
