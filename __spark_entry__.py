@@ -2136,8 +2136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_postings": q_search_postings,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
+        # r4 additions take these two window slots so they get driver
+        # rows; lang_id/token_count (3x green in r01-r03) move below.
+        "merge_upsert_tx": q_merge_upsert_tx,
+        "search_bm25": q_search_bm25,
         # -- past the 50-entry window: 3x green in r01-r03 (26) ------------
         "semi_join": q_semi_join,
         "join_computed_key": q_join_computed_key,
@@ -2165,8 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "line_dedup": q_line_dedup,
         "train_val_test": q_train_val_test,
-        "merge_upsert_tx": q_merge_upsert_tx,
-        "search_bm25": q_search_bm25,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
     }
 
 

@@ -52,7 +52,7 @@ from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_txlog"
 _PAD = 12  # zero-padded version width -> lexicographic == numeric order
@@ -317,8 +317,34 @@ class TxTable:
             files = [f for f in files if _may_match(stats.get(f), filters)]
         return files
 
-    def append(self, df: DataFrame, txn: dict | None = None) -> int:
+    def append(
+        self, df: DataFrame, txn: dict | None = None, merge_schema: bool = False
+    ) -> int:
+        """Append ``df`` as a new commit. With ``merge_schema`` (Delta's
+        mergeSchema), columns present in ``df`` but not the table are
+        ADDED to the table schema (nullable); old files simply read those
+        columns as null (parquet-with-explicit-schema semantics), so no
+        rewrite happens. Without it, a column mismatch is an error — the
+        log's schema is a contract, not an inference."""
         v, _, schema = self._snapshot()
+        have = {f.name for f in schema.fields}
+        extra = [f for f in df.schema.fields if f.name not in have]
+        missing = [f.name for f in schema.fields if f.name not in df.schema.names]
+        if (extra or missing) and not merge_schema:
+            raise ValueError(
+                f"append schema mismatch (extra={[f.name for f in extra]}, "
+                f"missing={missing}); pass merge_schema=True to evolve"
+            )
+        if merge_schema:
+            for name in missing:  # absent columns land as null
+                df = df.withColumn(
+                    name, F.lit(None).cast(schema[name].dataType)
+                )
+            schema = StructType(
+                schema.fields
+                + [StructField(f.name, f.dataType, True) for f in extra]
+            )
+            df = df.select(*[f.name for f in schema.fields])
         files = self._stage(df)
         self._publish(
             v + 1,
@@ -401,24 +427,36 @@ class TxTable:
         self,
         cluster_by: Sequence[str] | None = None,
         target_files: int | None = None,
+        zorder: bool = False,
     ) -> int:
         """OPTIMIZE: rewrite the live file set into ``target_files`` files,
-        optionally range-clustered on ``cluster_by`` — after many small
-        appends (a streaming sink's natural output) files are tiny and
-        their min/max ranges overlap, so data skipping prunes nothing.
-        Range clustering gives files disjoint key ranges, which makes the
-        committed stats selective (Delta's OPTIMIZE ZORDER BY, in its
-        1-key special case, is exactly this). One shuffle; published as a
-        normal atomic commit, so concurrent readers keep their snapshot.
-        """
+        optionally clustered on ``cluster_by`` — after many small appends
+        (a streaming sink's natural output) files are tiny and their
+        min/max ranges overlap, so data skipping prunes nothing.
+
+        Plain ``cluster_by`` range-partitions on the columns in order:
+        files get disjoint ranges of the FIRST column (Delta's OPTIMIZE
+        ZORDER BY in its 1-key special case). With ``zorder=True`` and
+        several columns, rows are range-partitioned on a Morton key
+        (storage/zorder.py) instead, so every clustered column's per-file
+        range tightens and ``read(filters=...)`` prunes on any of them.
+        One shuffle either way; published as a normal atomic commit, so
+        concurrent readers keep their snapshot."""
         v, live, schema, _ = self._snapshot_full()
         n = target_files if target_files is not None else max(1, len(live) // 4)
         df = self.read()
-        df = (
-            df.repartitionByRange(n, *[F.col(c) for c in cluster_by])
-            if cluster_by
-            else df.repartition(n)
-        )
+        if cluster_by and zorder and len(cluster_by) > 1:
+            from sf_epa_data_ingestion_spark.storage.zorder import zorder_key
+
+            df = (
+                df.withColumn("__zkey", zorder_key(df, cluster_by))
+                .repartitionByRange(n, F.col("__zkey"))
+                .drop("__zkey")
+            )
+        elif cluster_by:
+            df = df.repartitionByRange(n, *[F.col(c) for c in cluster_by])
+        else:
+            df = df.repartition(n)
         files = self._stage(df)
         self._publish(
             v + 1,

@@ -117,6 +117,24 @@ def test_vacuum_drops_old_generations_keeps_current(spark, table, customers):
         table.read(version=0).count()
 
 
+def test_append_schema_evolution(spark, table, customers):
+    n = customers.count()
+    widened = customers.limit(4).withColumn("source", F.lit("round4"))
+    # strict by default: mismatches are an error, not silent data loss
+    with pytest.raises(ValueError):
+        table.append(widened)
+    table.append(widened, merge_schema=True)
+    got = table.read()
+    assert "source" in got.columns
+    assert got.count() == n + 4
+    # old rows read the evolved column as null; new rows carry the value
+    assert got.filter(F.col("source") == "round4").count() == 4
+    assert got.filter(F.col("source").isNull()).count() == n
+    # narrower-than-table appends also evolve (absent column -> null)
+    table.append(customers.limit(2).drop("c_mktsegment"), merge_schema=True)
+    assert table.read().count() == n + 6
+
+
 def test_commit_files_are_valid_json_log(table):
     log = table.history()
     assert log[0]["version"] == 0

@@ -128,6 +128,24 @@ def test_compact_clusters_and_enables_skipping(spark, tmp_path, orders):
     assert len(got) == orders.filter(F.col("o_orderkey") == key).count()
 
 
+def test_zorder_compact_skips_on_both_dimensions(spark, tmp_path, orders):
+    t = TxTable(spark, str(tmp_path / "t")).create(orders.repartition(4))
+    t.compact(cluster_by=["o_orderkey", "o_custkey"], target_files=16, zorder=True)
+    total = len(t.read_files())
+    assert total == 16
+    # mid-range point predicates on EITHER clustered column prune files
+    for col in ("o_orderkey", "o_custkey"):
+        mid = orders.approxQuantile(col, [0.5], 0.0)[0]
+        key = orders.filter(F.col(col) >= mid).agg(F.min(col)).first()[0]
+        filt = [(col, "=", key)]
+        pruned = t.read_files(filters=filt)
+        assert len(pruned) < total, f"no pruning on {col}"
+        got = t.read(filters=filt).count()
+        want = orders.filter(F.col(col) == key).count()
+        assert got == want
+    assert t.read().count() == orders.count()
+
+
 def test_stats_survive_merge_rewrite(spark, tmp_path, orders):
     base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
     t = TxTable(spark, str(tmp_path / "t")).create(base.repartitionByRange(4, "o_orderkey"))
