@@ -567,7 +567,6 @@ def q_merge_upsert_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy-on-write under an atomic commit, then read back from the new
     snapshot. Shares ORACLE_MERGE_UPSERT — the correctness gate pins the
     two physical backends to identical results."""
-    import shutil
     import tempfile
 
     from sf_epa_data_ingestion_spark.storage import TxTable
@@ -584,17 +583,15 @@ def q_merge_upsert_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
         )
     )
+    # the table dir is left for the OS tmp reaper: collecting the result
+    # through the driver just to outlive a cleanup would be a 100k-row
+    # driver round-trip at sf0.1
     root = tempfile.mkdtemp(prefix="txlog_merge_")
-    try:
-        tbl = TxTable(spark, os.path.join(root, "orders_tx")).create(
-            target.repartition(8, "o_orderkey")
-        )
-        tbl.merge(source, on=["o_orderkey"])
-        # materialize before the tmp dir disappears
-        rows = tbl.read().collect()
-        return spark.createDataFrame(rows, tbl.read().schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    tbl = TxTable(spark, os.path.join(root, "orders_tx")).create(
+        target.repartition(8, "o_orderkey")
+    )
+    tbl.merge(source, on=["o_orderkey"])
+    return tbl.read()
 
 
 def q_update_from_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -465,6 +465,57 @@ class TxTable:
         )
         return v + 1
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level change feed between two snapshots (Delta's
+        readChangeFeed, reconstructed from the copy-on-write file
+        actions): rows of files ADDED in (from_version, to_version] are
+        ``insert``s, rows of files REMOVED there are ``delete``s — a
+        MERGE's rewritten file emits the old row images as deletes and
+        the new images as inserts, which is exactly the delete+insert
+        pair CDC consumers expect for an update. Net-zero rows (a file
+        added then removed within the window) cancel out.
+
+        Requires the referenced files to still exist — i.e. not vacuumed
+        past ``from_version`` (same retention caveat as Delta's CDF).
+        """
+        vs = self.versions()
+        to_v = vs[-1] if to_version is None else to_version
+        if from_version not in vs or to_v not in vs or from_version > to_v:
+            raise ValueError(f"bad version window ({from_version}, {to_v}]")
+        added: set[str] = set()
+        removed: set[str] = set()
+        schema_json = None
+        for i in vs:
+            if i <= from_version:
+                c = self._read_commit(i)
+                schema_json = c.get("schema") or schema_json
+                continue
+            if i > to_v:
+                break
+            c = self._read_commit(i)
+            schema_json = c.get("schema") or schema_json
+            for f in c.get("add", []):
+                if f in removed:
+                    removed.discard(f)  # re-add after remove: net insert
+                added.add(f)
+            for f in c.get("remove", []):
+                if f in added:
+                    added.discard(f)  # add then remove in-window: net zero
+                else:
+                    removed.add(f)
+        schema = StructType.fromJson(json.loads(schema_json))
+
+        def _tagged(names: set[str], tag: str) -> DataFrame:
+            if not names:
+                return self.spark.createDataFrame([], schema).withColumn(
+                    "_change_type", F.lit(tag)
+                )
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in sorted(names)]
+            ).withColumn("_change_type", F.lit(tag))
+
+        return _tagged(added, "insert").unionByName(_tagged(removed, "delete"))
+
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self.versions()]
 

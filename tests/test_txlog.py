@@ -135,6 +135,34 @@ def test_append_schema_evolution(spark, table, customers):
     assert table.read().count() == n + 6
 
 
+def test_change_feed_from_merge_and_append(spark, tmp_path, customers):
+    t = TxTable(spark, str(tmp_path / "t")).create(
+        customers.repartitionByRange(8, "c_custkey")
+    )
+    lo = customers.agg(F.min("c_custkey")).first()[0]
+    upd = customers.filter(F.col("c_custkey") == lo).withColumn(
+        "c_acctbal", F.lit(-1.0)
+    )
+    t.merge(upd, ["c_custkey"])  # v1: rewrites exactly one file
+    cf = t.changes(0).cache()
+    try:
+        # deletes = the one touched file's old rows; inserts = its merged rows
+        dels = cf.filter(F.col("_change_type") == "delete")
+        ins = cf.filter(F.col("_change_type") == "insert")
+        assert dels.count() == ins.count() > 0
+        assert dels.count() < customers.count()  # file-granular, not full-table
+        # the updated row appears as old image (delete) and new image (insert)
+        assert dels.filter(F.col("c_custkey") == lo).first()["c_acctbal"] != -1.0
+        assert ins.filter(F.col("c_custkey") == lo).first()["c_acctbal"] == -1.0
+    finally:
+        cf.unpersist()
+    # append window: inserts only
+    t.append(customers.limit(3).withColumn("c_custkey", F.col("c_custkey") + 900_000))
+    cf2 = t.changes(1, 2)
+    assert cf2.filter(F.col("_change_type") == "delete").count() == 0
+    assert cf2.count() == 3
+
+
 def test_commit_files_are_valid_json_log(table):
     log = table.history()
     assert log[0]["version"] == 0
