@@ -121,3 +121,24 @@ def test_grouping_sets_is_one_expand(spark):
     # (formatted output names each node twice: tree line + detail header)
     assert p.count(") Expand") == 1
     assert p.count("HashAggregate") >= 2
+
+
+def test_bm25_broadcasts_stats_and_avgdl(spark):
+    p = plan_of(spark, "search_bm25")
+    # term-pruned postings probe the doc-length table; the term stats and
+    # the 1-row avgdl aggregate must broadcast — never shuffle the corpus
+    # for a 4-term query, never a cartesian against a materialized scalar
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # token IN (...) is applied right at the explode, before any shuffle
+    assert "token#" in p and " IN (hash,join,spark,table)" in p
+
+
+def test_ngram_positional_filter_inside_join(spark):
+    p = plan_of(spark, "ngram_jaccard")
+    # r4 shape: the PPJoin positional bound is a join-condition predicate
+    # (dies in the probe), pair dedup is an aggregate on the two id cols,
+    # and the join stays SHUFFLE_HASH (heavy-duplicate key)
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
