@@ -73,6 +73,38 @@ def lexical_search(
     return hits.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
 
 
+def apply_changes(
+    postings: DataFrame,
+    changes: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Incrementally maintain a postings index from a txlog change feed
+    (storage/txlog.TxTable.changes): postings of deleted doc ids are
+    anti-joined away, postings of inserted docs are built from just the
+    changed rows and unioned in. For an update (delete+insert pair of the
+    same id, the CoW MERGE shape) the delete wins first, then the fresh
+    insert re-indexes the new text — so
+    ``apply_changes(index(v0), changes(v0, v1)) == index(v1)`` row-for-row
+    (pinned in tests/test_search_streaming.py).
+
+    Scale: the change set is small relative to the corpus (that is the
+    point of CDC), so the anti-join broadcasts the deleted-id list and
+    the tokenize/groupBy runs over changed rows only — the full-corpus
+    index is never rebuilt. This is the X2 incremental discipline applied
+    to the X1 index itself.
+    """
+    deleted_ids = (
+        changes.filter(F.col(change_col) == "delete").select(F.col(id_col).alias("id")).distinct()
+    )
+    inserted = changes.filter(F.col(change_col) == "insert")
+    survivors = postings.join(broadcast(deleted_ids), "id", "left_anti")
+    fresh = build_postings(inserted, id_col=id_col, text_col=text_col)
+    # canonical column order (the join hoists its key first)
+    return survivors.unionByName(fresh).select("token", "id", "tf")
+
+
 def bm25_search(
     postings: DataFrame,
     stats: DataFrame,

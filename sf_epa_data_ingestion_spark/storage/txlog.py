@@ -187,6 +187,54 @@ class TxTable:
             schema_json = c.get("schema") or schema_json
         return v, sorted(live), StructType.fromJson(json.loads(schema_json)), stats
 
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: {name: boolean SQL expr}. The latest
+        commit carrying a ``constraints`` map wins (full-map semantics,
+        like the schema)."""
+        out: dict[str, str] = {}
+        for v in self.versions():
+            c = self._read_commit(v)
+            if "constraints" in c:
+                out = c["constraints"]
+        return out
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        cons = self.constraints() if self.exists() else {}
+        for name, expr in cons.items():
+            # one row is enough to fail; limit(1) keeps the probe cheap
+            bad = df.filter(f"NOT ({expr})").limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated, e.g. "
+                    f"{bad[0].asDict()}"
+                )
+
+    def set_constraint(self, name: str, expr: str) -> int:
+        """ADD CONSTRAINT name CHECK (expr): existing data must already
+        satisfy it (one scan); every subsequent write is validated before
+        its commit, so invalid data can never become visible."""
+        v, live, schema, _ = self._snapshot_full()
+        bad = self.read().filter(f"NOT ({expr})").limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"existing rows violate {name!r} ({expr}), e.g. {bad[0].asDict()}"
+            )
+        cons = {**self.constraints(), name: expr}
+        self._publish(
+            v + 1,
+            {"add": [], "remove": [], "constraints": cons},
+            schema.json(),
+        )
+        return v + 1
+
+    def drop_constraint(self, name: str) -> int:
+        v, live, schema, _ = self._snapshot_full()
+        cons = {k: e for k, e in self.constraints().items() if k != name}
+        self._publish(
+            v + 1, {"add": [], "remove": [], "constraints": cons}, schema.json()
+        )
+        return v + 1
+
     def _snapshot(self, version: int | None = None) -> tuple[int, list[str], StructType]:
         v, files, schema, _ = self._snapshot_full(version)
         return v, files, schema
@@ -345,6 +393,7 @@ class TxTable:
                 + [StructField(f.name, f.dataType, True) for f in extra]
             )
             df = df.select(*[f.name for f in schema.fields])
+        self._check_constraints(df)
         files = self._stage(df)
         self._publish(
             v + 1,
@@ -356,6 +405,7 @@ class TxTable:
 
     def overwrite(self, df: DataFrame) -> int:
         v, live, _ = self._snapshot()
+        self._check_constraints(df)
         files = self._stage(df)
         self._publish(
             v + 1,
@@ -414,6 +464,7 @@ class TxTable:
             else self.spark.createDataFrame([], schema)
         )
         merged = merge_upsert(target_rows, src, keys, update_cols)
+        self._check_constraints(merged)
         new_files = self._stage(merged)
         self._publish(
             v + 1,

@@ -304,3 +304,37 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     got = {(r["click_id"], r["purchase_id"]) for r in rows}
     assert got == {(1, 10), (2, 10)}
     assert all(r["purchase_value"] == 9.99 for r in rows)
+
+
+def test_apply_changes_maintains_postings_incrementally(spark, tmp_path):
+    """txlog CDC -> incremental index maintenance: applying the change
+    feed to the v0 index must equal a full rebuild of the v1 snapshot."""
+    from sf_epa_data_ingestion_spark.operators.search import apply_changes, build_postings
+    from sf_epa_data_ingestion_spark.storage import TxTable
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    t = TxTable(spark, str(tmp_path / "docs")).create(
+        docs.repartitionByRange(4, "doc_id")
+    )
+    index_v0 = build_postings(t.read(), id_col="doc_id", text_col="text")
+
+    lo = docs.agg(F.min("doc_id")).first()[0]
+    updates = docs.filter(F.col("doc_id") <= lo + 3).withColumn(
+        "text", F.concat(F.lit("fresh zebra tokens "), F.col("text"))
+    )
+    inserts = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    t.merge(updates.unionByName(inserts), ["doc_id"])
+
+    incremental = apply_changes(
+        index_v0, t.changes(0), id_col="doc_id", text_col="text"
+    )
+    rebuilt = build_postings(t.read(), id_col="doc_id", text_col="text")
+    # identical (token, id, tf) multisets
+    assert incremental.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(incremental).count() == 0
+    # the new tokens are actually indexed
+    assert incremental.filter(F.col("token") == "zebra").count() == 4

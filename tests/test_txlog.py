@@ -169,3 +169,29 @@ def test_commit_files_are_valid_json_log(table):
     assert log[0]["add"] and not log[0]["remove"]
     # schema is stored with every commit so snapshots are self-describing
     assert json.loads(log[0]["schema"])["type"] == "struct"
+
+
+def test_check_constraints_enforced_on_writes(spark, tmp_path, customers):
+    t = TxTable(spark, str(tmp_path / "t")).create(customers)
+    t.set_constraint("key_nonneg", "c_custkey >= 0")
+    assert t.constraints() == {"key_nonneg": "c_custkey >= 0"}
+    bad = customers.limit(1).withColumn("c_custkey", F.lit(-5))
+    # append, overwrite and merge all refuse invalid rows BEFORE commit
+    with pytest.raises(ValueError, match="key_nonneg"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="key_nonneg"):
+        t.overwrite(bad)
+    with pytest.raises(ValueError, match="key_nonneg"):
+        t.merge(bad, ["c_custkey"])
+    # the failed writes published nothing and left no visible rows
+    assert t.read().filter(F.col("c_custkey") < 0).count() == 0
+    # valid writes still flow
+    t.append(customers.limit(1).withColumn("c_custkey", F.lit(999_999)))
+    assert t.read().count() == customers.count() + 1
+    # cannot add a constraint existing data violates
+    with pytest.raises(ValueError, match="existing rows"):
+        t.set_constraint("impossible", "c_custkey > 999999999")
+    t.drop_constraint("key_nonneg")
+    assert t.constraints() == {}
+    t.append(bad.withColumn("c_custkey", F.lit(-1)))  # now allowed
+    assert t.read().filter(F.col("c_custkey") < 0).count() == 1
