@@ -85,6 +85,10 @@ def _may_match(stats: dict | None, filters) -> bool:
         if col not in stats:
             continue
         mn, mx = stats[col]
+        if hasattr(v, "isoformat"):
+            # temporal bounds are stored as isoformat strings, which
+            # order chronologically; normalize the probe the same way
+            v = v.isoformat()
         try:
             if op in ("=", "==") and (v < mn or v > mx):
                 return False
@@ -284,7 +288,7 @@ class TxTable:
             return {}
         skippable = (
             "byte", "short", "integer", "long", "float", "double",
-            "string", "boolean", "date",
+            "string", "boolean", "date", "timestamp", "timestamp_ntz",
         )
         paths = [os.path.join(self.root, n) for n in names]
         df = self.spark.read.parquet(*paths)
@@ -375,9 +379,19 @@ class TxTable:
         rewrite happens. Without it, a column mismatch is an error — the
         log's schema is a contract, not an inference."""
         v, _, schema = self._snapshot()
-        have = {f.name for f in schema.fields}
+        have = {f.name: f.dataType for f in schema.fields}
         extra = [f for f in df.schema.fields if f.name not in have]
         missing = [f.name for f in schema.fields if f.name not in df.schema.names]
+        # type CHANGES are never silently accepted — a parquet file whose
+        # column type disagrees with the log schema would fail (or worse,
+        # null out) at read time, long after the write "succeeded"
+        drift = [
+            (f.name, str(have[f.name]), str(f.dataType))
+            for f in df.schema.fields
+            if f.name in have and f.dataType != have[f.name]
+        ]
+        if drift:
+            raise ValueError(f"append column type drift (col, table, df): {drift}")
         if (extra or missing) and not merge_schema:
             raise ValueError(
                 f"append schema mismatch (extra={[f.name for f in extra]}, "

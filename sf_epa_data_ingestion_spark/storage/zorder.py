@@ -40,8 +40,10 @@ def _as_number(df: DataFrame, col: str) -> Column:
         return F.col(col).cast("double")
     if t == "date":
         return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
-    if t == "timestamp":
-        return F.unix_micros(F.col(col)).cast("double")
+    if t in ("timestamp", "timestamp_ntz"):
+        # unix_micros wants a zoned timestamp; the ntz->tz cast applies a
+        # fixed session offset, which preserves order (all we need)
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
     raise ValueError(
         f"z-order needs an ordered numeric axis; column {col!r} is {t} "
         "(hash-bucketing a string would cluster but never skip)"
@@ -58,10 +60,19 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Column:
     probs = [i / (n_b + 1) for i in range(1, n_b + 1)]
     key = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
-        # deduped ascending boundaries; low-cardinality columns just get
-        # fewer distinct buckets (harmless)
-        qs = sorted(set(df.approxQuantile(c, probs, 0.001)))
         num = _as_number(df, c)
+        # quantiles over the NUMERIC image of the column (approxQuantile
+        # only accepts numerics — date/timestamp go through their epoch
+        # mapping, which is order-preserving); deduped ascending
+        # boundaries — low-cardinality columns just get fewer distinct
+        # buckets (harmless)
+        qs = sorted(
+            set(
+                df.select(num.alias("__zq"))
+                .dropna()
+                .approxQuantile("__zq", probs, 0.001)
+            )
+        )
         bucket = F.aggregate(
             F.array(*[F.lit(float(q)) for q in qs]),
             F.lit(0).cast("long"),

@@ -175,7 +175,7 @@ def test_check_constraints_enforced_on_writes(spark, tmp_path, customers):
     t = TxTable(spark, str(tmp_path / "t")).create(customers)
     t.set_constraint("key_nonneg", "c_custkey >= 0")
     assert t.constraints() == {"key_nonneg": "c_custkey >= 0"}
-    bad = customers.limit(1).withColumn("c_custkey", F.lit(-5))
+    bad = customers.limit(1).withColumn("c_custkey", F.lit(-5).cast("bigint"))
     # append, overwrite and merge all refuse invalid rows BEFORE commit
     with pytest.raises(ValueError, match="key_nonneg"):
         t.append(bad)
@@ -186,12 +186,22 @@ def test_check_constraints_enforced_on_writes(spark, tmp_path, customers):
     # the failed writes published nothing and left no visible rows
     assert t.read().filter(F.col("c_custkey") < 0).count() == 0
     # valid writes still flow
-    t.append(customers.limit(1).withColumn("c_custkey", F.lit(999_999)))
+    t.append(customers.limit(1).withColumn("c_custkey", F.lit(999_999).cast("bigint")))
     assert t.read().count() == customers.count() + 1
     # cannot add a constraint existing data violates
     with pytest.raises(ValueError, match="existing rows"):
         t.set_constraint("impossible", "c_custkey > 999999999")
     t.drop_constraint("key_nonneg")
     assert t.constraints() == {}
-    t.append(bad.withColumn("c_custkey", F.lit(-1)))  # now allowed
+    t.append(bad.withColumn("c_custkey", F.lit(-1).cast("bigint")))  # now allowed
     assert t.read().filter(F.col("c_custkey") < 0).count() == 1
+
+
+def test_append_rejects_type_drift(spark, table, customers):
+    drifted = customers.limit(1).withColumn(
+        "c_acctbal", F.col("c_acctbal").cast("string")
+    )
+    with pytest.raises(ValueError, match="type drift"):
+        table.append(drifted)
+    with pytest.raises(ValueError, match="type drift"):
+        table.append(drifted, merge_schema=True)  # evolution adds, never mutates

@@ -159,3 +159,17 @@ def test_stats_survive_merge_rewrite(spark, tmp_path, orders):
     assert len(t.read_files(filters=filt)) < len(t.read_files())
     row = t.read(filters=filt).collect()
     assert len(row) == 1 and row[0]["o_totalprice"] == 0.0
+
+
+def test_zorder_handles_temporal_columns(spark, tmp_path, orders):
+    # o_orderdate is timestamp_ntz: quantiles go through the epoch
+    # mapping, and its per-file bounds are stored as isoformat strings —
+    # a temporal filter must both PRUNE and stay exact
+    t = TxTable(spark, str(tmp_path / "t")).create(orders.repartition(4))
+    t.compact(cluster_by=["o_orderdate", "o_custkey"], target_files=8, zorder=True)
+    assert t.read().count() == orders.count()
+    d = orders.select(F.max("o_orderdate")).first()[0]
+    filt = [("o_orderdate", "=", d)]
+    assert len(t.read_files(filters=filt)) < len(t.read_files())
+    got = t.read(filters=filt).count()
+    assert got == orders.filter(F.col("o_orderdate") == d).count()
