@@ -583,10 +583,14 @@ def q_merge_upsert_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
         )
     )
-    # the table dir is left for the OS tmp reaper: collecting the result
-    # through the driver just to outlive a cleanup would be a 100k-row
-    # driver round-trip at sf0.1
-    root = tempfile.mkdtemp(prefix="txlog_merge_")
+    # a FIXED per-process dir, wiped on entry: repeated invocations (the
+    # bench's cold re-runs) overwrite one table copy instead of leaking a
+    # fresh mkdtemp each time; collecting the result through the driver
+    # just to outlive a cleanup would be a 100k-row round-trip at sf0.1
+    import shutil
+
+    root = os.path.join(tempfile.gettempdir(), f"txlog_merge_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
     tbl = TxTable(spark, os.path.join(root, "orders_tx")).create(
         target.repartition(8, "o_orderkey")
     )
@@ -1247,9 +1251,10 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 retrieval, Okapi BM25 ranker (Lucene-default scoring) over the
     same postings/stats index as search_lexical."""
     d = _t(spark, sf_dir, "documents")
+    n = d.count()  # one count job, shared by stats and the ranker
     postings = search.build_postings(d, id_col="doc_id", text_col="text")
-    stats = search.build_token_stats(postings, n_docs=d.count())
-    return search.bm25_search(postings, stats, SEARCH_QUERY, n_docs=d.count(), k=10).select(
+    stats = search.build_token_stats(postings, n_docs=n)
+    return search.bm25_search(postings, stats, SEARCH_QUERY, n_docs=n, k=10).select(
         F.col("id").alias("doc_id"), "score"
     )
 

@@ -68,6 +68,7 @@ def main() -> None:
     for name, fn in qs.items():
         best = hist.get(name)
         t = time_once(fn)
+        all_runs = [t]
         # The box shows bursty external load (host-level CPU steal: the
         # same query measures 4s on a quiet machine and 40s during a
         # burst). Re-run cold and keep the min while the measurement is
@@ -82,6 +83,7 @@ def main() -> None:
             # re-run stops improving >20%
             while t > 2.0 and runs < 3:
                 t2 = time_once(fn)
+                all_runs.append(t2)
                 runs += 1
                 improved = t2 < t * 0.8
                 t = min(t, t2)
@@ -95,15 +97,19 @@ def main() -> None:
             # pass when the whole host is genuinely slower).
             while t > max(0.3, 1.5 * best) and runs < (4 if t > 2.0 else 2):
                 t2 = time_once(fn)
+                all_runs.append(t2)
                 runs += 1
                 t = min(t, t2)
         timings[name] = round(t, 3)
         if best is not None and t > 1.5 * best:
-            # still hot after max_runs: flag it so a reader comparing
-            # rounds knows this number never reached its historical floor
-            # on this host — treat the delta as noise, not a regression
+            # still hot after max_runs: flag it with a stability signal.
+            # A STABLE suspect (all runs within 20% of each other) looks
+            # like a real regression reproduced N times; an UNSTABLE one
+            # (wide spread across runs) looks like host-noise bursts.
+            # The flag reports evidence either way — it does not decide.
             noise[name] = {"runs": runs, "best_ever": best,
-                           "ratio": round(t / best, 2)}
+                           "ratio": round(t / best, 2),
+                           "stable": bool(runs > 1 and max(all_runs) <= min(all_runs) * 1.2)}
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
     # Fold fresh minima back into the committed history so the noise

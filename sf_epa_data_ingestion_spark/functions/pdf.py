@@ -165,10 +165,15 @@ def parse_tounicode_cmaps(data: bytes) -> dict[bytes, str]:
                     base = int.from_bytes(base_raw, "big")
                     span = len(base_raw)
                     for off in range(min(hi - lo + 1, 0x10000)):
-                        tgt = (base + off).to_bytes(max(span, 2), "big")
-                        cmap[(lo + off).to_bytes(width, "big")] = tgt.decode(
-                            "utf-16-be", errors="ignore"
-                        )
+                        try:
+                            tgt = (base + off).to_bytes(max(span, 2), "big")
+                            code = (lo + off).to_bytes(width, "big")
+                        except OverflowError:
+                            # a range crossing its byte-width boundary is
+                            # malformed per spec; drop the overflowing
+                            # tail instead of losing the whole document
+                            break
+                        cmap[code] = tgt.decode("utf-16-be", errors="ignore")
     return cmap
 
 

@@ -89,6 +89,12 @@ def _may_match(stats: dict | None, filters) -> bool:
             # temporal bounds are stored as isoformat strings, which
             # order chronologically; normalize the probe the same way
             v = v.isoformat()
+            if isinstance(mn, str) and len(v) != len(mn):
+                # granularity mismatch (e.g. a date probe against
+                # timestamp bounds): lexicographic compare would prune
+                # files whose rows the residual predicate WOULD match
+                # (date casts to midnight) — keep the file
+                continue
         try:
             if op in ("=", "==") and (v < mn or v > mx):
                 return False
@@ -112,6 +118,11 @@ class TxTable:
         self.spark = spark
         self.root = root
         self.log_dir = os.path.join(root, _LOG_DIR)
+        # published commits are immutable, so parsed JSON is cached per
+        # instance — replays cost O(new commits) file reads, which keeps
+        # the streaming sink's per-batch overhead flat instead of O(n^2)
+        # over the log lifetime
+        self._commit_cache: dict[int, dict] = {}
 
     # -- log plumbing -------------------------------------------------------
 
@@ -134,8 +145,12 @@ class TxTable:
         return os.path.join(self.log_dir, f"{version:0{_PAD}d}.json")
 
     def _read_commit(self, version: int) -> dict:
-        with open(self._commit_path(version)) as f:
-            return json.load(f)
+        c = self._commit_cache.get(version)
+        if c is None:
+            with open(self._commit_path(version)) as f:
+                c = json.load(f)
+            self._commit_cache[version] = c
+        return c
 
     def _publish(
         self,
@@ -204,14 +219,26 @@ class TxTable:
 
     def _check_constraints(self, df: DataFrame) -> None:
         cons = self.constraints() if self.exists() else {}
+        if not cons:
+            return
+        # ONE probe job for all constraints — the input may be an
+        # expensive unmaterialized plan (a CoW merge join), so per-
+        # constraint probes would recompute it once each
+        combined = " AND ".join(f"({e})" for e in cons.values())
+        bad = df.filter(f"NOT ({combined})").limit(1).collect()
+        if not bad:
+            return
+        # identify the offender on the single captured row (cheap)
+        one = self.spark.createDataFrame([bad[0]], df.schema)
         for name, expr in cons.items():
-            # one row is enough to fail; limit(1) keeps the probe cheap
-            bad = df.filter(f"NOT ({expr})").limit(1).collect()
-            if bad:
+            if one.filter(f"NOT ({expr})").count():
                 raise ValueError(
                     f"CHECK constraint {name!r} ({expr}) violated, e.g. "
                     f"{bad[0].asDict()}"
                 )
+        raise ValueError(
+            f"CHECK constraints violated (null-valued expr?): {bad[0].asDict()}"
+        )
 
     def set_constraint(self, name: str, expr: str) -> int:
         """ADD CONSTRAINT name CHECK (expr): existing data must already
@@ -253,6 +280,19 @@ class TxTable:
                 b = int(t["batch"])
                 best = b if best is None or b > best else best
         return best
+
+    def _reject_type_drift(self, df: DataFrame, schema: StructType) -> None:
+        """Same-name/different-type columns are never silently accepted on
+        ANY write path — the file would fail (or null out) at read time,
+        long after the write "succeeded"."""
+        have = {f.name: f.dataType for f in schema.fields}
+        drift = [
+            (f.name, str(have[f.name]), str(f.dataType))
+            for f in df.schema.fields
+            if f.name in have and f.dataType != have[f.name]
+        ]
+        if drift:
+            raise ValueError(f"column type drift (col, table, df): {drift}")
 
     # -- data-file staging --------------------------------------------------
 
@@ -379,19 +419,10 @@ class TxTable:
         rewrite happens. Without it, a column mismatch is an error — the
         log's schema is a contract, not an inference."""
         v, _, schema = self._snapshot()
-        have = {f.name: f.dataType for f in schema.fields}
+        self._reject_type_drift(df, schema)
+        have = {f.name for f in schema.fields}
         extra = [f for f in df.schema.fields if f.name not in have]
         missing = [f.name for f in schema.fields if f.name not in df.schema.names]
-        # type CHANGES are never silently accepted — a parquet file whose
-        # column type disagrees with the log schema would fail (or worse,
-        # null out) at read time, long after the write "succeeded"
-        drift = [
-            (f.name, str(have[f.name]), str(f.dataType))
-            for f in df.schema.fields
-            if f.name in have and f.dataType != have[f.name]
-        ]
-        if drift:
-            raise ValueError(f"append column type drift (col, table, df): {drift}")
         if (extra or missing) and not merge_schema:
             raise ValueError(
                 f"append schema mismatch (extra={[f.name for f in extra]}, "
@@ -417,8 +448,16 @@ class TxTable:
         )
         return v + 1
 
-    def overwrite(self, df: DataFrame) -> int:
-        v, live, _ = self._snapshot()
+    def overwrite(self, df: DataFrame, overwrite_schema: bool = False) -> int:
+        v, live, schema = self._snapshot()
+        if not overwrite_schema:
+            self._reject_type_drift(df, schema)
+            if set(df.schema.names) != set(schema.names):
+                raise ValueError(
+                    f"overwrite schema mismatch ({sorted(df.schema.names)} vs "
+                    f"table {sorted(schema.names)}); pass overwrite_schema=True "
+                    "to replace the schema"
+                )
         self._check_constraints(df)
         files = self._stage(df)
         self._publish(
@@ -450,6 +489,7 @@ class TxTable:
 
         keys = list(on)
         v, live, schema = self._snapshot()
+        self._reject_type_drift(source, schema)
         src = source.dropDuplicates(keys)
 
         touched: list[str] = []
@@ -550,16 +590,18 @@ class TxTable:
         added: set[str] = set()
         removed: set[str] = set()
         schema_json = None
+        file_schema: dict[str, str] = {}  # each file's add-time schema
         for i in vs:
+            c = self._read_commit(i)
+            schema_json = c.get("schema") or schema_json
             if i <= from_version:
-                c = self._read_commit(i)
-                schema_json = c.get("schema") or schema_json
+                for f in c.get("add", []):
+                    file_schema[f] = schema_json
                 continue
             if i > to_v:
                 break
-            c = self._read_commit(i)
-            schema_json = c.get("schema") or schema_json
             for f in c.get("add", []):
+                file_schema[f] = schema_json
                 if f in removed:
                     removed.discard(f)  # re-add after remove: net insert
                 added.add(f)
@@ -568,6 +610,34 @@ class TxTable:
                     added.discard(f)  # add then remove in-window: net zero
                 else:
                     removed.add(f)
+        # files written under an INCOMPATIBLE schema cannot be read with
+        # the window's latest one (type changes fail or null out at read
+        # time) — fail loudly instead of producing a corrupt feed.
+        # Compatible = every column the file was written with still
+        # exists with the same type (evolution that only ADDED nullable
+        # columns is fine: the missing columns read as null).
+        latest_types = {
+            f["name"]: json.dumps(f["type"], sort_keys=True)
+            for f in json.loads(schema_json)["fields"]
+        }
+
+        def _compatible(old_json: str | None) -> bool:
+            if old_json is None or old_json == schema_json:
+                return True
+            return all(
+                latest_types.get(f["name"])
+                == json.dumps(f["type"], sort_keys=True)
+                for f in json.loads(old_json)["fields"]
+            )
+
+        mismatched = {f for f in added | removed if not _compatible(file_schema.get(f))}
+        if mismatched:
+            raise ValueError(
+                "change feed window spans an incompatible schema change; "
+                f"{len(mismatched)} file(s) were written under a schema "
+                "whose columns changed type or were dropped — read each "
+                "sub-window between schema changes separately"
+            )
         schema = StructType.fromJson(json.loads(schema_json))
 
         def _tagged(names: set[str], tag: str) -> DataFrame:
@@ -584,19 +654,34 @@ class TxTable:
     def history(self) -> list[dict]:
         return [self._read_commit(v) for v in self.versions()]
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, retention_seconds: float = 3600.0
+    ) -> list[str]:
         """Physically delete data files not live in any of the newest
         ``keep_versions`` snapshots (plus crash-orphaned staged files).
         Time travel older than the retained window stops working — same
-        trade Delta's VACUUM makes."""
+        trade Delta's VACUUM makes.
+
+        ``retention_seconds`` guards CONCURRENT writers: a writer that has
+        staged files but not yet published its commit looks exactly like
+        a crash orphan, so only files older than the retention window are
+        deleted (Delta's VACUUM retention, same reasoning). Pass 0 only
+        when no other writer can be mid-commit."""
         vs = self.versions()
         keep = vs[-max(1, keep_versions):]
         retained: set[str] = set()
         for v in keep:
             retained.update(self._snapshot(v)[1])
+        cutoff = time.time() - retention_seconds
         removed = []
         for f in os.listdir(self.root):
             if f.endswith(".parquet") and f not in retained:
-                os.remove(os.path.join(self.root, f))
+                path = os.path.join(self.root, f)
+                try:
+                    if os.path.getmtime(path) > cutoff:
+                        continue  # possibly an in-flight writer's stage
+                    os.remove(path)
+                except OSError:
+                    continue
                 removed.append(f)
         return sorted(removed)

@@ -68,3 +68,12 @@ def test_real_identity_h_pdf_if_present():
     t = extract_text(open(path, "rb").read())
     assert len(t) > 5000
     assert "epa reg" in t.lower()
+
+
+def test_bfrange_overflow_is_clamped_not_fatal():
+    # a range whose consecutive targets cross the 2-byte boundary is
+    # malformed; the tail is dropped, the document is not lost
+    body = b"1 beginbfrange <00FE> <0101> <FFFE> endbfrange"
+    cmap = parse_tounicode_cmaps(_stream(body))
+    assert cmap[b"\x00\xfe"] == "￾"
+    assert b"\x01\x00" not in cmap  # overflowing tail dropped

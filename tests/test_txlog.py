@@ -80,8 +80,8 @@ def test_crash_before_commit_is_invisible(spark, table, customers):
     got = table.read()
     assert got.filter(F.col("c_name") == "GHOST").count() == 0
     assert _rows(got) == _rows(customers)
-    # vacuum clears the orphans
-    removed = table.vacuum()
+    # vacuum clears the orphans (retention 0: no concurrent writers here)
+    removed = table.vacuum(retention_seconds=0)
     assert removed  # the ghost files
     assert _rows(table.read()) == _rows(customers)
 
@@ -110,7 +110,7 @@ def test_append_overwrite_history_and_time_travel(spark, table, customers):
 
 def test_vacuum_drops_old_generations_keeps_current(spark, table, customers):
     table.overwrite(customers.limit(3))
-    removed = table.vacuum(keep_versions=1)
+    removed = table.vacuum(keep_versions=1, retention_seconds=0)
     assert removed  # version-0 files physically gone
     assert table.read().count() == 3
     with pytest.raises(Exception):
@@ -205,3 +205,26 @@ def test_append_rejects_type_drift(spark, table, customers):
         table.append(drifted)
     with pytest.raises(ValueError, match="type drift"):
         table.append(drifted, merge_schema=True)  # evolution adds, never mutates
+
+
+def test_vacuum_retention_protects_inflight_writers(spark, table, customers):
+    # a concurrent writer mid-commit looks exactly like a crash orphan;
+    # default retention must NOT delete its freshly staged files
+    staged = table._stage(customers.limit(3))
+    removed = table.vacuum()  # default retention window
+    assert not removed
+    for f in staged:
+        assert os.path.exists(os.path.join(table.root, f))
+
+
+def test_merge_and_overwrite_reject_type_drift(spark, table, customers):
+    drifted = customers.limit(1).withColumn(
+        "c_acctbal", F.col("c_acctbal").cast("string")
+    )
+    with pytest.raises(ValueError, match="type drift"):
+        table.merge(drifted, ["c_custkey"])
+    with pytest.raises(ValueError, match="type drift"):
+        table.overwrite(drifted)
+    # schema replacement is an explicit opt-in
+    table.overwrite(drifted, overwrite_schema=True)
+    assert dict(table.read().dtypes)["c_acctbal"] == "string"
