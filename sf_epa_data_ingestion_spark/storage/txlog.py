@@ -570,6 +570,83 @@ class TxTable:
         )
         return v + 1
 
+    def _touched_by_predicate(
+        self, live: list[str], schema: StructType, cond
+    ) -> list[str]:
+        """Files containing at least one row matching ``cond`` — the
+        file-granular CoW discovery for predicate-driven mutations. One
+        distributed scan (column-pruned to the predicate's inputs);
+        driver materialization bounded by file count."""
+        if not live:
+            return []
+        live_df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in live]
+        )
+        rows = (
+            live_df.filter(cond)
+            .select(F.col("_metadata.file_path").alias("__fp"))
+            .distinct()
+            .collect()
+        )
+        touched = {os.path.basename(r["__fp"]) for r in rows}
+        return sorted(f for f in live if f in touched)
+
+    def delete_where(self, cond) -> int:
+        """DELETE FROM this table WHERE cond (U4's predicate half, CoW):
+        only files containing matching rows are rewritten without them;
+        untouched files survive. ``cond`` is a Column or SQL string."""
+        v, live, schema = self._snapshot()
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        touched = self._touched_by_predicate(live, schema, cond)
+        if not touched:
+            return v  # nothing matched: no-op, no empty commit
+        kept = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in touched]
+        ).filter(~cond)
+        new_files = self._stage(kept)
+        self._publish(
+            v + 1,
+            {"add": new_files, "remove": touched,
+             "stats": self._file_stats(new_files)},
+            schema.json(),
+        )
+        return v + 1
+
+    def update_where(self, cond, set_cols: dict) -> int:
+        """UPDATE this table SET col = expr WHERE cond (U2's predicate
+        form, CoW): matching rows in touched files get ``set_cols``
+        applied, other rows in those files are rewritten unchanged,
+        untouched files survive. Values may be Columns or SQL strings."""
+        v, live, schema = self._snapshot()
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        touched = self._touched_by_predicate(live, schema, cond)
+        if not touched:
+            return v
+        rows = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in touched]
+        )
+        out = rows.select(
+            *[
+                F.when(
+                    cond,
+                    F.expr(set_cols[c]) if isinstance(set_cols.get(c), str) else set_cols[c],
+                ).otherwise(F.col(c)).alias(c)
+                if c in set_cols
+                else F.col(c)
+                for c in rows.columns
+            ]
+        )
+        self._reject_type_drift(out, schema)
+        self._check_constraints(out)
+        new_files = self._stage(out)
+        self._publish(
+            v + 1,
+            {"add": new_files, "remove": touched,
+             "stats": self._file_stats(new_files)},
+            schema.json(),
+        )
+        return v + 1
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level change feed between two snapshots (Delta's
         readChangeFeed, reconstructed from the copy-on-write file

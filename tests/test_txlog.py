@@ -228,3 +228,51 @@ def test_merge_and_overwrite_reject_type_drift(spark, table, customers):
     # schema replacement is an explicit opt-in
     table.overwrite(drifted, overwrite_schema=True)
     assert dict(table.read().dtypes)["c_acctbal"] == "string"
+
+
+def test_delete_where_is_file_granular_and_exact(spark, tmp_path, customers):
+    t = TxTable(spark, str(tmp_path / "t")).create(
+        customers.repartitionByRange(8, "c_custkey")
+    )
+    lo = customers.agg(F.min("c_custkey")).first()[0]
+    v = t.delete_where(F.col("c_custkey") <= lo + 3)
+    assert v == 1
+    commit = t.history()[-1]
+    assert 1 <= len(commit["remove"]) < 8  # only files containing matches
+    got = t.read()
+    want = customers.filter(F.col("c_custkey") > lo + 3)
+    assert got.count() == want.count()
+    assert got.filter(F.col("c_custkey") <= lo + 3).count() == 0
+    # no-match predicate is a version no-op (no empty commit)
+    assert t.delete_where("c_custkey < -999") == v
+    # SQL-string predicates work too
+    t.delete_where(f"c_custkey = {lo + 4}")
+    assert t.read().filter(F.col("c_custkey") == lo + 4).count() == 0
+
+
+def test_update_where_rewrites_only_matching_rows(spark, tmp_path, customers):
+    t = TxTable(spark, str(tmp_path / "t")).create(
+        customers.repartitionByRange(8, "c_custkey")
+    )
+    lo = customers.agg(F.min("c_custkey")).first()[0]
+    t.update_where(
+        F.col("c_custkey") == lo,
+        {"c_acctbal": "c_acctbal + 100.0", "c_mktsegment": F.lit("VIP")},
+    )
+    assert len(t.history()[-1]["remove"]) == 1  # one touched file
+    got = t.read()
+    old = customers.filter(F.col("c_custkey") == lo).first()
+    new = got.filter(F.col("c_custkey") == lo).first()
+    assert new["c_mktsegment"] == "VIP"
+    assert abs(new["c_acctbal"] - (old["c_acctbal"] + 100.0)) < 1e-6
+    # all other rows byte-identical
+    assert (
+        got.filter(F.col("c_custkey") != lo)
+        .exceptAll(customers.filter(F.col("c_custkey") != lo))
+        .count()
+        == 0
+    )
+    # constraints guard updates too
+    t.set_constraint("bal_sane", "c_acctbal > -100000")
+    with pytest.raises(ValueError, match="bal_sane"):
+        t.update_where(F.col("c_custkey") == lo, {"c_acctbal": F.lit(-1e9)})
