@@ -183,3 +183,20 @@ def test_resolve_duplicates_keep_list(spark):
     assert out[10]["component"] == 10 and out[10]["is_canonical"]
     assert out[99]["is_canonical"]
     assert out[1]["is_canonical"] and not out[2]["is_canonical"] and not out[3]["is_canonical"]
+
+
+def test_pandas_signatures_match_expression_reference(spark):
+    """_signatures_pd must agree bit-for-bit with the expression-level
+    _signatures (same splitmix64 hyperplanes, same >0 rule, same 1<<b
+    packing) — the hot path swapped implementations, not semantics."""
+    import pyspark.sql.functions as F
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    )
+    dim = len(emb.select("embedding").first()[0])
+    expr_sigs = similarity._signatures(F.col("embedding"), 4, 8, dim)
+    pd_sigs = similarity._signatures_pd(4, 8, dim)(F.col("embedding"))
+    rows = emb.select(
+        expr_sigs.alias("a"), pd_sigs.alias("b")
+    ).collect()
+    assert rows and all(list(r["a"]) == list(r["b"]) for r in rows)
