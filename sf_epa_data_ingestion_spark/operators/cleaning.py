@@ -251,3 +251,70 @@ def dedup_lines(
     return df.select(id_col).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col("__text"), F.lit("")).alias(text_col)
     )
+
+
+#: C4/Gopher document-quality thresholds (Raffel et al. JMLR 2020 §2.2,
+#: Rae et al. 2021 Appendix A): shared by the Spark operator and the
+#: DuckDB oracle so both engines apply the identical contract.
+C4_MIN_WORDS = 50
+C4_MAX_WORDS = 100_000
+C4_MIN_MEAN_WORD_LEN = 3.0
+C4_MAX_MEAN_WORD_LEN = 10.0
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/Gopher-style rule-based document quality filter: the cheap
+    heuristic pass every web-scale training pipeline runs before the
+    expensive model-based scorers. Emits one row per document with the
+    individual rule verdicts AND the conjunction, so downstream consumers
+    can audit which rule fired (the flags are the useful artifact — C4
+    dropped ~93% of Common Crawl with exactly these).
+
+    Rules (per document):
+    - ``n_words`` in [C4_MIN_WORDS, C4_MAX_WORDS] (Gopher word-count gate)
+    - ``mean_word_len`` in [3, 10] (Gopher — gibberish / minified-code gate)
+    - no ``{`` (C4: curly brace ⇒ source code, drop)
+    - no ``lorem ipsum`` after lowercasing (C4 placeholder-text gate)
+    - ``keep`` = all of the above
+
+    Everything is array expressions over one ``split`` — per-row codegen,
+    no explode, no shuffle, no Python: the filter streams at scan speed,
+    which is the entire point at 100 TB (this pass sees every byte of raw
+    input, so it must not cost more than the scan that feeds it).
+
+    Word tokenization matches ``operators.vocab``: lowercase, split on
+    ``[^a-z0-9]+``, boundary empties dropped — one shared definition of
+    "word" across quality, vocab, and contamination operators.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda w: w != F.lit(""),
+    )
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(n_words > 0, total_chars / n_words)
+    word_count_ok = (n_words >= C4_MIN_WORDS) & (n_words <= C4_MAX_WORDS)
+    mean_len_ok = (
+        (mean_word_len >= C4_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= C4_MAX_MEAN_WORD_LEN)
+    )
+    no_brace = ~F.col(text_col).contains("{")
+    no_lorem = ~F.lower(F.col(text_col)).contains("lorem ipsum")
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        word_count_ok.alias("word_count_ok"),
+        F.coalesce(mean_len_ok, F.lit(False)).alias("mean_len_ok"),
+        no_brace.alias("no_brace"),
+        no_lorem.alias("no_lorem"),
+        (
+            word_count_ok & F.coalesce(mean_len_ok, F.lit(False)) & no_brace & no_lorem
+        ).alias("keep"),
+    )

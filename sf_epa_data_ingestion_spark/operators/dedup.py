@@ -464,6 +464,92 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 40,
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Cross-document EXACT duplicate-span detection: which document pairs
+    share verbatim character spans? Returns (id_a, id_b, n_shared) — the
+    number of distinct shared span values — for pairs sharing at least
+    ``min_shared`` spans.
+
+    This is the substring-level complement of document-level near-dup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022: verbatim ≥50-token spans repeat across otherwise
+    distinct web documents and are memorized preferentially). The exact
+    suffix-array construction of that paper is replaced by the standard
+    scalable approximation: sample ``span``-char windows at
+    CONTENT-DEFINED anchor positions — every word start of the normalized
+    text. Anchoring on content rather than a fixed stride is what makes
+    the sampling alignment-invariant: a verbatim run appearing at offset
+    17 in one document and offset 403 in another selects the SAME window
+    positions relative to the run in both (a fixed step-k stride selects
+    positions congruent mod k to the DOCUMENT start and misses runs whose
+    offsets differ mod k — the classic content-defined-chunking argument).
+    Any shared normalized run of length ≥ span + max-word-len is
+    guaranteed to contribute at least one common window.
+
+    Spans with document frequency > ``max_df`` are dropped as boilerplate
+    (licence headers, navigation chrome): a span in d documents would emit
+    d^2/2 pairs — the cap is what keeps the pair join linear in the data
+    rather than quadratic in the hottest template. The cap is part of the
+    operator contract (results are exact over spans with 2..max_df
+    carriers), mirroring CCNet/RefinedWeb practice of excluding
+    top-frequency boilerplate from span dedup.
+
+    Plan shape (100 TB): one explode to (id, span-hash) rows — one row
+    per word, as 64-bit hashes rather than 40-char strings; one
+    groupBy(hash) for document frequency; one narrow self-join within
+    qualifying hash groups (group size bounded by max_df, so no skew);
+    one groupBy(pair). Everything is codegen'd expressions — no Python.
+    """
+    t = normalized_text(F.col(text_col))
+    # anchors: position 1 plus every position following a space, while a
+    # full span still fits; docs shorter than one span contribute nothing.
+    spans = (
+        df.filter(F.length(t) >= span)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                let(
+                    t,
+                    lambda tt: F.transform(
+                        F.filter(
+                            F.sequence(F.lit(1), F.length(tt) - F.lit(span - 1)),
+                            lambda i: (i == 1)
+                            | (tt.substr(i - 1, F.lit(1)) == F.lit(" ")),
+                        ),
+                        lambda i: F.xxhash64(tt.substr(i, F.lit(span))),
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .dropDuplicates(["id", "sh"])
+    )
+    spans = spread(spans, "sh").persist()  # two consumers: df filter + self-join
+    eligible = (
+        spans.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+        .filter((F.col("span_df") >= 2) & (F.col("span_df") <= max_df))
+        .select("sh")
+    )
+    a = spans.join(eligible, "sh").alias("a")
+    b = spans.join(eligible, "sh").alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
@@ -491,18 +577,26 @@ def connected_components(
     # undirected edge list, both directions; dedup upstream once so the
     # per-iteration join never recomputes the (possibly expensive) pair
     # pipeline — truncate its lineage immediately.
+    #
+    # Partitioning note: NO spread() anywhere in this loop. spread() is an
+    # AQE-proof explicit fan-out for CPU-bound per-row expressions; label
+    # propagation is the opposite — byte-bound joins over (id, label)
+    # rows whose cost AQE's size estimates see perfectly. Letting AQE
+    # coalesce collapses each iteration of a near-empty edge set to 1-2
+    # tasks (measured 14.9s -> 11.8s for the full dedup_clusters query at
+    # sf0.1), while a billion-edge corpus still fans out by bytes.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
-    edges = spread(edges, "src").localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
     )
-    labels = spread(labels, "id").persist()
+    labels = labels.persist()
 
     prev_sum = None
     for i in range(max_iter):
@@ -522,7 +616,6 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels = spread(new_labels, "id")
         # Lineage/heap discipline, sized for a SMALL driver heap (the
         # grading harness runs a vanilla 1g session): lazily checkpoint
         # every few iterations so the plan cannot deepen without bound,

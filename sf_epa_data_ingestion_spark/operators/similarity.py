@@ -451,3 +451,89 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — the standard memory-scaling
+    lever for ANN at corpus scale (FAISS ``SQ8``; 4× smaller than float32,
+    which at 100 TB of embeddings is the difference between an index that
+    fits executor memory and one that doesn't).
+
+    Per vector: ``scale = (max - min) / 255``, ``q_i = floor((x_i - min) /
+    scale + 0.5) - 128`` ∈ [-128, 127]. ``floor(x + 0.5)`` rather than
+    ``round`` because round-half-even vs half-up differs between engines
+    (Spark vs DuckDB oracle) while floor is unambiguous. Constant vectors
+    (max == min) get scale 0 and quantize to all -128, reconstructing
+    exactly to the constant.
+
+    Returns one row per vector with the quantization parameters, an exact
+    integer checksum of the codes (``q_sum`` — any cross-engine drift in
+    the arithmetic shows up as an integer mismatch, not a float blur), and
+    the reconstruction error (``mse``). The codes themselves stay inside
+    the expression (arrays are produced and consumed in one projection) —
+    a real pipeline would write them; the stats row is the auditable
+    artifact.
+
+    All higher-order array expressions on doubles — per-row, no shuffle,
+    no Python; the pass streams at scan speed.
+    """
+    v = to_double_array(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.array_min(v).alias("vmin"),
+        F.array_max(v).alias("vmax"),
+    ).select(
+        F.col(id_col),
+        F.size("__v").alias("dim"),
+        "vmin",
+        "vmax",
+        ((F.col("vmax") - F.col("vmin")) / F.lit(255.0)).alias("scale"),
+        let(
+            (F.col("vmax") - F.col("vmin")) / F.lit(255.0),
+            lambda scale: let(
+                # codes: array<long> in [-128, 127]
+                F.when(scale == 0, F.transform("__v", lambda x: F.lit(-128).cast("long"))).otherwise(
+                    F.transform(
+                        "__v",
+                        lambda x: F.floor((x - F.col("vmin")) / scale + F.lit(0.5))
+                        - F.lit(128),
+                    )
+                ),
+                lambda q: F.struct(
+                    F.aggregate(q, F.lit(0).cast("long"), lambda a, c: a + c).alias(
+                        "q_sum"
+                    ),
+                    (
+                        F.aggregate(
+                            F.zip_with(
+                                "__v",
+                                q,
+                                lambda x, c: let(
+                                    (c + F.lit(128)).cast("double") * scale
+                                    + F.col("vmin")
+                                    - x,
+                                    lambda e: e * e,
+                                ),
+                            ),
+                            F.lit(0.0),
+                            lambda a, e: a + e,
+                        )
+                        / F.size("__v")
+                    ).alias("mse"),
+                ),
+            ),
+        ).alias("__s"),
+    ).select(
+        id_col,
+        "dim",
+        "vmin",
+        "vmax",
+        "scale",
+        F.col("__s.q_sum").alias("q_sum"),
+        F.col("__s.mse").alias("mse"),
+    )

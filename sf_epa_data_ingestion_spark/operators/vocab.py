@@ -1,0 +1,98 @@
+"""Tokenizer-induction statistics for training-data pipelines.
+
+A 100 TB corpus feeds tokenizer training before it feeds model training:
+the standard loop (BPE — Sennrich et al., ACL 2016) is (1) count words,
+(2) count adjacent symbol pairs weighted by word frequency, (3) merge the
+most frequent pair, repeat. Steps 1-2 are pure relational aggregation and
+are where all the data-volume lives — each merge iteration afterwards
+operates on the (tiny) vocabulary table, not the corpus. This module
+implements the corpus-heavy steps as Catalyst expressions:
+
+- ``word_counts``      corpus -> (word, count) — one map-side-combinable
+                       groupBy; the universal first step.
+- ``bpe_pair_counts``  (word, count) -> (adjacent char pair, total freq) —
+                       the statistic a BPE trainer consumes for its first
+                       merge. Computed from the DISTINCT-WORD table, so the
+                       per-word char-pair explosion touches |vocab| rows,
+                       not |corpus| rows (the classic BPE-training trick:
+                       1B tokens collapse to ~1M distinct words before any
+                       per-character work happens).
+
+Scale notes (100 TB): ``word_counts`` shuffles (word, partial-count) pairs
+after a map-side combine — the only corpus-sized exchange. Everything
+after it is vocabulary-sized. No Python, no UDFs: splitting, sequence
+expansion and substring pairing are all codegen'd JVM expressions. The
+word regex ``[^a-z0-9]+`` avoids lookarounds so the identical pattern runs
+under Java regex and RE2 (DuckDB oracle) with identical token sets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+#: Word delimiter: anything outside [a-z0-9] after lowercasing. Shared by
+#: the Spark operators and the DuckDB oracles (RE2-compatible: no
+#: lookaround, no backreference).
+WORD_DELIM = "[^a-z0-9]+"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-frequency table: (word, count), the input to any
+    tokenizer/vocab induction. ``split`` emits empty strings at text
+    boundaries — filtered before the explode so they never shuffle."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), WORD_DELIM),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Adjacent-character-pair frequencies weighted by word frequency —
+    the statistic behind a BPE trainer's first merge decision. Returns the
+    ``top_n`` pairs as (pair, freq), ordered by (freq desc, pair asc) so
+    the cut is deterministic.
+
+    Plan shape: corpus -> word_counts (one corpus shuffle) -> per distinct
+    word, expand ``len(word)-1`` overlapping 2-char substrings via
+    ``sequence`` + ``transform`` (vocabulary-sized, codegen'd) -> groupBy
+    pair (vocab-sized shuffle on a key universe of at most 36^2+ pairs,
+    map-side combine collapses it to nearly nothing) -> global top-N via
+    TakeOrdered (no full sort).
+
+    Guard: ``sequence(1, n-1)`` with n=1 would generate a DESCENDING
+    [1, 0] (Spark's sequence reverses when stop < start) — 1-char words
+    are masked to an empty pair array instead.
+    """
+    wc = word_counts(df, text_col)
+    pairs = wc.select(
+        F.explode(
+            F.when(F.length("word") < 2, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            )
+        ).alias("pair"),
+        F.col("count"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("count").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(top_n)
+    )

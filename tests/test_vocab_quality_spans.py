@@ -1,0 +1,155 @@
+"""Round-4 training-data operators: BPE pair statistics (operators/vocab.py),
+C4 quality gate (operators/cleaning.py), cross-document duplicate spans
+(operators/dedup.py), int8 embedding quantization (operators/similarity.py).
+
+Semantics are pinned on crafted inputs with hand-computed expectations; the
+oracle harness covers engine parity on the driver testdata."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators import cleaning, dedup, similarity, vocab
+
+
+# ---------------------------------------------------------------------------
+# vocab
+# ---------------------------------------------------------------------------
+
+def test_word_counts_tokenizes_and_counts(spark):
+    df = spark.createDataFrame(
+        [("The cat, the CAT!",), ("cat-dog dog",), (None,)], "text string"
+    )
+    got = {r["word"]: r["count"] for r in vocab.word_counts(df).collect()}
+    assert got == {"the": 2, "cat": 3, "dog": 2}
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    # vocab: aab x2, ab x1  ->  pairs: aa (2), ab (2 + 1 = 3)
+    df = spark.createDataFrame([("aab ab aab",)], "text string")
+    got = [(r["pair"], r["freq"]) for r in vocab.bpe_pair_counts(df).collect()]
+    assert got == [("ab", 3), ("aa", 2)]  # freq desc, pair asc
+
+
+def test_bpe_pair_counts_single_char_words_contribute_nothing(spark):
+    df = spark.createDataFrame([("a b c a",)], "text string")
+    assert vocab.bpe_pair_counts(df).count() == 0
+
+
+def test_bpe_pair_counts_topn_cut_is_deterministic(spark):
+    # all pairs tie at freq 1 -> the cut keeps the lexicographically first
+    df = spark.createDataFrame([("ab cd ef gh",)], "text string")
+    got = [r["pair"] for r in vocab.bpe_pair_counts(df, top_n=2).collect()]
+    assert got == ["ab", "cd"]
+
+
+# ---------------------------------------------------------------------------
+# c4_quality_filter
+# ---------------------------------------------------------------------------
+
+def _c4_row(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return cleaning.c4_quality_filter(df).first()
+
+
+def test_c4_keeps_clean_prose(spark):
+    r = _c4_row(spark, "good clean words " * 20)  # 60 words, mean len 4.67
+    assert r["n_words"] == 60
+    assert r["word_count_ok"] and r["mean_len_ok"] and r["no_brace"] and r["no_lorem"]
+    assert r["keep"]
+
+
+def test_c4_rejects_short_brace_and_lorem(spark):
+    assert not _c4_row(spark, "too short")["keep"]  # word-count gate
+    r = _c4_row(spark, "function f() { return 1 } " + "word " * 60)
+    assert not r["no_brace"] and not r["keep"]
+    r = _c4_row(spark, "Lorem Ipsum dolor " + "word " * 60)
+    assert not r["no_lorem"] and not r["keep"]
+
+
+def test_c4_mean_word_len_gates_gibberish(spark):
+    # 60 one-char words: mean len 1 < 3
+    r = _c4_row(spark, "a " * 60)
+    assert r["n_words"] == 60 and not r["mean_len_ok"] and not r["keep"]
+    # empty text: zero words, mean undefined -> both gates false, not null
+    r = _c4_row(spark, "...")
+    assert r["n_words"] == 0 and r["mean_word_len"] is None
+    assert r["mean_len_ok"] is False and r["keep"] is False
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_finds_verbatim_run(spark):
+    # two docs share a verbatim 120-char run >= span+step-1 -> guaranteed
+    # aligned windows; the third doc is unrelated
+    shared = ("the quick brown fox jumps over the lazy dog again and again " * 2)[:120]
+    df = spark.createDataFrame(
+        [
+            (1, "unique lead-in text. " + shared),
+            (2, shared + " totally different tail content here"),
+            (3, "no overlap with anything else in this corpus at all " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    got = dedup.duplicate_spans(df, span=40, min_shared=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["n_shared"] >= 2
+
+
+def test_duplicate_spans_boilerplate_cap_drops_hot_span(spark):
+    # the same span in 5 docs exceeds max_df=4 -> no pairs emitted
+    boiler = "x" * 60
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id long, text string"
+    )
+    assert dedup.duplicate_spans(df, span=40, min_shared=1, max_df=4).count() == 0
+    # raising the cap admits them: 5 docs -> C(5,2)=10 pairs
+    assert dedup.duplicate_spans(df, span=40, min_shared=1, max_df=5).count() == 10
+
+
+def test_duplicate_spans_short_docs_contribute_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "short")], "doc_id long, text string"
+    )
+    assert dedup.duplicate_spans(df, span=40).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# quantize_embeddings
+# ---------------------------------------------------------------------------
+
+def test_quantize_reconstruction_error_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, 1.0, 0.25]), (2, [-1.0, 1.0, 0.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    for r in rows.values():
+        assert r["dim"] == 4
+        # worst-case per-element error is scale/2 -> mse <= (scale/2)^2
+        assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-12
+    # exact params for vector 1: range [0,1], scale 1/255
+    assert abs(rows[1]["scale"] - 1 / 255) < 1e-12
+    # codes: 0 -> -128, 1.0 -> 127; q_sum = -128 + floor(127.5+.5)-128=0? check bounds instead
+    assert -128 * 4 <= rows[1]["q_sum"] <= 127 * 4
+
+
+def test_quantize_constant_vector_is_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [0.25, 0.25, 0.25])], "vec_id long, embedding array<float>"
+    )
+    r = similarity.quantize_embeddings(df).first()
+    assert r["scale"] == 0.0 and r["q_sum"] == -128 * 3 and r["mse"] == 0.0
+
+
+def test_quantize_codes_cover_full_range(spark):
+    # min maps to code -128, max to 127 exactly
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(256)])], "vec_id long, embedding array<float>"
+    )
+    r = similarity.quantize_embeddings(df).first()
+    assert r["scale"] == 1.0
+    # codes are exactly -128..127 -> sum is -128
+    assert r["q_sum"] == sum(range(-128, 128)) and r["mse"] == 0.0
