@@ -583,11 +583,25 @@ def connected_components(
     # propagation is the opposite — byte-bound joins over (id, label)
     # rows whose cost AQE's size estimates see perfectly. Letting AQE
     # coalesce collapses each iteration of a near-empty edge set to 1-2
-    # tasks (measured 14.9s -> 11.8s for the full dedup_clusters query at
-    # sf0.1), while a billion-edge corpus still fans out by bytes.
+    # tasks instead of 32 scheduled per stage, while a billion-edge corpus
+    # still fans out by bytes. (Combined with the single-scan edge build
+    # below: dedup_clusters at sf0.1 went 15.6s -> 9.3s, min-of-4.)
+    # Both directions come from ONE explode over ONE scan of `pairs` — the
+    # union-of-two-selects form references the pairs plan twice, and when
+    # the caller hands in an unpersisted expensive pipeline (e.g. the
+    # n-gram-Jaccard join feeding dedup_clusters) both union branches
+    # re-run every non-persisted stage of it (measured ~6s of the 15.4s
+    # dedup_clusters query at sf0.1 was the candidate join running twice).
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     edges = edges.localCheckpoint(eager=False)
