@@ -27,7 +27,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast, pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from ..functions.binding import let
 from ..functions.vectors import to_double_array
@@ -265,6 +265,35 @@ def _nearest_centroid(u: Column, centroids: list[list[float]]) -> Column:
     return let(u, body).cast("int")
 
 
+def _centroid_topn_pd(centroids: list[list[float]], n: int):
+    """Arrow-batched top-n centroid selection: ONE numpy matmul per batch
+    against the centroid matrix, stable argsort so ties break to the
+    smallest centroid index — the same contract as the expression-level
+    ``_nearest_centroid`` (pinned by test). Same rationale as
+    ``_signatures_pd``: the expression tree embeds n_centroids*dim
+    literals (1024 at the 16x64 default) and is REBUILT with fresh
+    literals every Lloyd iteration, so the driver re-analyzes and janino
+    re-compiles a ~100 KB expression per pass — more time than the
+    executors spend. Null/short vectors zero-pad; all dots then tie and
+    the stable sort yields [0..n-1], matching the expression's
+    all-sentinel tie-break."""
+    C = np.asarray(centroids, dtype=np.float64)  # (K, D)
+    dim = C.shape[1]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        M = np.zeros((len(vecs), dim))
+        for i, v in enumerate(vecs):
+            if v is not None:
+                a = np.asarray(v, dtype=np.float64)
+                M[i, : min(dim, len(a))] = a[:dim]
+        dots = M @ C.T  # (N, K)
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probe
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -306,7 +335,13 @@ def ivf_topk(
         u = dn.select(id_col, _unit_vec(F.col("__v"), F.col("__n")).alias("__u"))
         return spread(u, F.col(id_col))
 
-    c = prep(corpus, corpus_id)
+    # persist: the prepped corpus (id, unit-vec) is consumed iters+1 times
+    # (every Lloyd pass + the final assignment); without it each pass
+    # re-runs scan -> normalize -> spread. This is also the 100 TB
+    # posture: IVF training materializes the normalized corpus once and
+    # shares it across iterations (then writes the assignment for reuse
+    # across query batches, per the scale notes above).
+    c = prep(corpus, corpus_id).persist()
 
     seeds = (
         corpus.select(corpus_id, vec_col)
@@ -321,9 +356,16 @@ def ivf_topk(
 
     cents = [normalize([float(x) for x in row[1]]) for row in seeds]
 
+    # Assignment/probing runs through the Arrow-batched matmul UDF
+    # (_centroid_topn_pd): the literal-centroid expression alternative
+    # (_nearest_centroid, kept as the pinned spec) is rebuilt with fresh
+    # literals every Lloyd pass, paying driver analysis + janino
+    # compilation that dwarfs the executor work (measured 5.2s -> ~2s for
+    # the full ann_ivf query at sf0.1).
     for _ in range(iters):
+        nearest = _centroid_topn_pd(cents, 1)
         sums = (
-            c.select(_nearest_centroid(F.col("__u"), cents).alias("cid"), "__u")
+            c.select(F.element_at(nearest(F.col("__u")), 1).alias("cid"), "__u")
             .select("cid", F.posexplode("__u").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -335,32 +377,22 @@ def ivf_topk(
         # empty cells keep their previous centroid
         cents = [normalize(means.get(j, cents[j])) for j in range(n_centroids)]
 
-    assigned = c.select(corpus_id, "__u", _nearest_centroid(F.col("__u"), cents).alias("cid"))
+    # cid must be a GENERATOR output, not a projection over the UDF: when
+    # queries share lineage with the corpus (self-search), constraint
+    # inference synthesizes isnotnull/equality filters from the join key,
+    # and a filter containing a PythonUDF cannot be evaluated by the
+    # interpreted predicate evaluator. explode() makes cid a plain
+    # attribute, so inferred filters reference the attribute only.
+    nearest = _centroid_topn_pd(cents, 1)
+    assigned = c.select(
+        corpus_id, "__u", F.explode(nearest(F.col("__u"))).alias("cid")
+    )
 
     q = prep(queries, query_id)
-    probe_cids = let(
-        F.col("__u"),
-        lambda uu: F.transform(
-            F.slice(
-                F.sort_array(
-                    F.array(
-                        *[
-                            F.struct(d.alias("d"), F.lit(-j).alias("nj"))
-                            for j, d in enumerate(_centroid_dots(uu, cents))
-                        ]
-                    ),
-                    asc=False,
-                ),
-                1,
-                n_probe,
-            ),
-            lambda s: -s["nj"],
-        ),
-    ).cast("array<int>")
     q_probe = q.select(
         query_id,
         F.col("__u").alias("__qu"),
-        F.explode(probe_cids).alias("cid"),
+        F.explode(_centroid_topn_pd(cents, n_probe)(F.col("__u"))).alias("cid"),
     )
 
     scored = (

@@ -200,3 +200,28 @@ def test_pandas_signatures_match_expression_reference(spark):
         expr_sigs.alias("a"), pd_sigs.alias("b")
     ).collect()
     assert rows and all(list(r["a"]) == list(r["b"]) for r in rows)
+
+
+def test_centroid_topn_pd_matches_expression_spec(spark):
+    # the Arrow-batched matmul must agree with the literal-tree
+    # _nearest_centroid (argmax dot, ties to smallest index) and order
+    # probes by descending dot
+    import random
+
+    random.seed(7)
+    cents = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(5)]
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = (
+        df.select(
+            "id",
+            F.element_at(similarity._centroid_topn_pd(cents, 1)(F.col("v")), 1).alias("pd_cid"),
+            similarity._nearest_centroid(F.col("v"), cents).alias("ex_cid"),
+        )
+        .collect()
+    )
+    assert all(r["pd_cid"] == r["ex_cid"] for r in got)
+    # null vector: all dots tie -> stable order [0, 1]
+    nulldf = spark.createDataFrame([(1, None)], "id long, v array<double>")
+    r = nulldf.select(similarity._centroid_topn_pd(cents, 2)(F.col("v")).alias("p")).first()
+    assert r["p"] == [0, 1]
