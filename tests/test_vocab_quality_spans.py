@@ -153,3 +153,45 @@ def test_quantize_codes_cover_full_range(spark):
     assert r["scale"] == 1.0
     # codes are exactly -128..127 -> sum is -128
     assert r["q_sum"] == sum(range(-128, 128)) and r["mse"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): the invariants that make the designs correct
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=0, max_size=8
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(prefix_a=_words, prefix_b=_words, run=st.lists(
+    st.text(alphabet="mnopqrst", min_size=4, max_size=6), min_size=12, max_size=16))
+def test_duplicate_spans_offset_invariant(spark, prefix_a, prefix_b, run):
+    # THE content-defined-anchoring property: a shared verbatim word run is
+    # found no matter what distinct prefixes precede it in each document
+    # (a fixed-stride sampler fails whenever the prefix lengths differ
+    # mod step). Run length > span + max word len guarantees >= 1 shared
+    # anchored window; distinct alphabets keep prefixes from colliding
+    # with the run.
+    shared = " ".join(run)
+    a = " ".join([*prefix_a, shared])
+    b = " ".join([*prefix_b, shared, "tail"])
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    got = dedup.duplicate_spans(df, span=40, min_shared=1).collect()
+    assert (1, 2) in [(r["id_a"], r["id_b"]) for r in got]
+
+
+@settings(max_examples=5, deadline=None)
+@given(vec=st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    min_size=2, max_size=32))
+def test_quantize_error_bound_holds(spark, vec):
+    # per-element reconstruction error is at most scale/2 by construction,
+    # so mse <= (scale/2)^2 for ANY input vector
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    r = similarity.quantize_embeddings(df).first()
+    assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-9
+    assert -128 * r["dim"] <= r["q_sum"] <= 127 * r["dim"]
