@@ -176,13 +176,14 @@ def contamination_screen(
         benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
+    # spread the INPUT rows, not the exploded grams: the exchange must sit
+    # UPSTREAM of the expensive n-gram expression to parallelize it (an
+    # exchange after the explode computes the grams on the scan's few
+    # partitions and then pointlessly shuffles the widest rows — the gram
+    # strings — once more).
     doc_grams = spread(
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-        ),
-        "id",
-    )
+        docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select("id", F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
     return (
         doc_grams.join(bench_grams, "gram")
         .groupBy("id")

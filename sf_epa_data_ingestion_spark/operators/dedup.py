@@ -319,19 +319,29 @@ def ngram_jaccard_pairs(
     eps = 1e-9  # float-safe slack on the filter inequalities
     # Distinct (id, shingle-hash) rows. char_shingles is array_distinct so
     # the explode yields unique rows per doc; no dedup shuffle needed. The
-    # spread() is a materialization barrier for the shingling expression
-    # (interpreted HOF — see minhash notes) and parallelizes the scan.
-    # persist: two consumers (dfreq + the df-attach join) would otherwise
-    # each re-run the interpreted shingling. Rows are narrow (id, int64).
-    sh = spread(
-        df.filter(F.col(text_col).isNotNull()).select(
-            F.col(id_col).alias("id"),
+    # spread() sits UPSTREAM of the shingling expression: the corpus is a
+    # handful of parquet files (one scan task at sf0.1), and an exchange
+    # placed after the explode would run the interpreted HOF shingling on
+    # the scan's few partitions and then shuffle the already-computed
+    # rows — the expensive expression must be DOWNSTREAM of the fan-out
+    # to parallelize. persist: two consumers (dfreq + the df-attach join)
+    # would otherwise each re-run the shingling. Rows are narrow
+    # (id, int64).
+    sh = (
+        spread(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("id"), F.col(text_col)
+            ),
+            "id",
+        )
+        .select(
+            "id",
             F.explode(
                 F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
             ).alias("sh"),
-        ),
-        "id",
-    ).persist()
+        )
+        .persist()
+    )
     # Rebuild each doc's shingle set as an array sorted by (df asc, sh).
     # df rides in via a COUNT window over the shingle partition — one
     # shuffle (by sh) instead of the aggregate+join form's two (measured
@@ -510,25 +520,35 @@ def duplicate_spans(
     t = normalized_text(F.col(text_col))
     # anchors: position 1 plus every position following a space, while a
     # full span still fits; docs shorter than one span contribute nothing.
+    # spread() BEFORE the span expression (small-file scans would run the
+    # interpreted hashing on one task — see the ngram_jaccard note);
+    # within-doc duplicate spans are removed by array_distinct INSIDE the
+    # per-row expression, so no (id, sh) dedup exchange is needed.
     spans = (
-        df.filter(F.length(t) >= span)
+        spread(
+            df.filter(F.length(t) >= span).select(
+                F.col(id_col).alias("id"), F.col(text_col)
+            ),
+            "id",
+        )
         .select(
-            F.col(id_col).alias("id"),
+            "id",
             F.explode(
                 let(
                     t,
-                    lambda tt: F.transform(
-                        F.filter(
-                            F.sequence(F.lit(1), F.length(tt) - F.lit(span - 1)),
-                            lambda i: (i == 1)
-                            | (tt.substr(i - 1, F.lit(1)) == F.lit(" ")),
-                        ),
-                        lambda i: F.xxhash64(tt.substr(i, F.lit(span))),
+                    lambda tt: F.array_distinct(
+                        F.transform(
+                            F.filter(
+                                F.sequence(F.lit(1), F.length(tt) - F.lit(span - 1)),
+                                lambda i: (i == 1)
+                                | (tt.substr(i - 1, F.lit(1)) == F.lit(" ")),
+                            ),
+                            lambda i: F.xxhash64(tt.substr(i, F.lit(span))),
+                        )
                     ),
                 )
             ).alias("sh"),
         )
-        .dropDuplicates(["id", "sh"])
     )
     spans = spread(spans, "sh").persist()  # two consumers: df filter + self-join
     eligible = (
