@@ -994,9 +994,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exploded to one (doc_id, fingerprint) row per hash: the driver's pandas
     comparator canonicalizes by sorting cells, which cannot handle array
     cells (r03 red row) — scalar rows are stable under any row order.
+
+    The repartition ahead of the UDF fans the corpus out of the single
+    scan task (sub-MB parquet) so the winnowing runs on every core, not
+    one Python worker (see SCALE.md on spread placement).
     """
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    n = spark.sparkContext.defaultParallelism
+    return d.select("doc_id", "text").repartition(n, "doc_id").select(
         "doc_id",
         F.explode(text.fingerprint_udf(F.col("text"))).alias("fingerprint"),
     )

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
 
 from ..functions.text import tokens
+from ..partitioning import spread
 
 
 def _norm_tokens(col: Column) -> Column:
@@ -33,9 +34,13 @@ def _norm_tokens(col: Column) -> Column:
 
 
 def build_postings(docs: DataFrame, id_col: str = "id", text_col: str = "chunk") -> DataFrame:
-    """Posting list: (token, id, tf). One explode + one groupBy shuffle."""
+    """Posting list: (token, id, tf). One explode + one groupBy shuffle.
+    The fan-out exchange sits UPSTREAM of the tokenization so a small-file
+    scan (one task) doesn't run the regex+split for the whole corpus
+    serially (see SCALE.md on spread placement)."""
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(_norm_tokens(F.col(text_col))).alias("token"))
+        spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+        .select("id", F.explode(_norm_tokens(F.col(text_col))).alias("token"))
         .groupBy("token", "id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
