@@ -142,3 +142,24 @@ def test_ngram_positional_filter_inside_join(spark):
     # and the join stays SHUFFLE_HASH (heavy-duplicate key)
     assert "ShuffledHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_expensive_expressions_run_below_the_fanout_exchange(spark):
+    # The r4 lesson (SCALE.md "spread placement"): the interpreted per-row
+    # expression (shingling / span hashing / n-gram expansion) must sit
+    # DOWNSTREAM of the fan-out exchange, or a sub-MB single-file scan
+    # runs it in one task. Pin: in the formatted plan the Generate
+    # (explode) node appears only after an Exchange above the documents
+    # scan, never directly on it.
+    for q in ("ngram_jaccard", "dup_spans", "contamination"):
+        p = plan_of(spark, q)
+        # every Generate over the corpus must have an Exchange between it
+        # and the scan: scan node ids strictly precede the first exchange,
+        # which strictly precedes the first generate in the operator chain
+        first_scan = p.find("Scan parquet")
+        first_exchange = p.find("Exchange", first_scan)
+        first_generate = p.find("Generate", first_scan)
+        assert first_scan != -1 and first_exchange != -1 and first_generate != -1, q
+        assert first_exchange < first_generate, (
+            f"{q}: explode computed at scan parallelism (Generate before Exchange)"
+        )
