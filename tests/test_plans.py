@@ -151,7 +151,13 @@ def test_expensive_expressions_run_below_the_fanout_exchange(spark):
     # runs it in one task. Pin: in the formatted plan the Generate
     # (explode) node appears only after an Exchange above the documents
     # scan, never directly on it.
+    #
+    # clearCache first: these operators persist() subtrees, and a prior
+    # test that built the same query leaves CacheManager entries that
+    # render as InMemoryTableScan, hiding the Exchange/Scan nodes this
+    # test asserts on.
     for q in ("ngram_jaccard", "dup_spans", "contamination"):
+        spark.catalog.clearCache()
         p = plan_of(spark, q)
         # every Generate over the corpus must have an Exchange between it
         # and the scan: scan node ids strictly precede the first exchange,
