@@ -1,0 +1,101 @@
+"""Streaming training-data ingestion: quality gate -> dedup -> exactly-once
+transactional append.
+
+This is the composed form of the engine's training-data operators as a
+continuous pipeline — the shape a 100 TB corpus build actually runs
+(documents arrive forever; the corpus table must only ever grow by clean,
+novel text):
+
+1. C4/Gopher quality gate (operators/cleaning.c4_quality_filter) drops
+   low-quality documents inside the micro-batch.
+2. In-batch exact dedup: lowest-id row per normalized-text digest
+   (same keep-lowest contract as operators/dedup.exact_dedup).
+3. Cross-batch exact dedup: anti-join the batch's digests against the
+   digests already in the target table — the table itself is the dedup
+   state, so there is no unbounded streaming state store to manage and a
+   cold restart needs no state migration.
+4. Exactly-once append through the txlog txn marker (streaming/txsink
+   design): a replayed micro-batch is acknowledged without writing.
+
+Scale notes: the gate and digest are per-row expressions (scan speed);
+the in-batch dedup shuffles one micro-batch by digest; the cross-batch
+anti-join ships only (digest) columns of the corpus — Catalyst broadcasts
+the BATCH side when it is small (the common case: micro-batches are MBs
+against a TB corpus table), so the corpus never reshuffles per batch. At
+very large corpus sizes the digest scan rides txlog data skipping /
+column pruning (only `text_hash` is read).
+
+Single-writer discipline: the anti-join reads the table snapshot at batch
+start; two concurrent writers could both admit the same new digest. Run
+one logical writer per table (the txn marker already requires a stable
+``app_id``); multi-writer dedup belongs in a MERGE, at the cost of a
+per-batch join against the full table.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from sf_epa_data_ingestion_spark.operators.cleaning import c4_quality_filter
+from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
+from sf_epa_data_ingestion_spark.storage.txlog import (
+    ConcurrentCommitError,
+    TxTable,
+)
+
+
+def training_doc_appender(
+    table: TxTable,
+    app_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_retries: int = 5,
+):
+    """Build a ``foreachBatch`` callable ingesting documents into ``table``
+    (schema: source columns + ``text_hash``) with quality gating, exact
+    dedup against everything already ingested, and exactly-once appends::
+
+        (docs.writeStream
+             .foreachBatch(training_doc_appender(tbl, "doc-ingest"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    """
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        last = table.last_txn(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already durable
+        flags = c4_quality_filter(batch_df, id_col, text_col).select(id_col, "keep")
+        kept = (
+            batch_df.join(flags, id_col)
+            .filter(F.col("keep"))
+            .drop("keep")
+            .withColumn("text_hash", F.md5(normalized_text(F.col(text_col))))
+        )
+        # in-batch dedup: deterministic keep-lowest-id per digest
+        w = Window.partitionBy("text_hash").orderBy(id_col)
+        kept = (
+            kept.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # cross-batch dedup: the table IS the state (digest column only)
+        existing = table.read().select("text_hash").distinct()
+        fresh = kept.join(existing, "text_hash", "left_anti")
+        for _ in range(max_retries):
+            last = table.last_txn(app_id)
+            if last is not None and batch_id <= last:
+                return
+            try:
+                table.append(fresh, txn={"app": app_id, "batch": int(batch_id)})
+                return
+            except ConcurrentCommitError:
+                continue  # log advanced under us: re-check marker, retry
+        raise ConcurrentCommitError(
+            f"gave up appending batch {batch_id} for {app_id!r} "
+            f"after {max_retries} conflicts"
+        )
+
+    return write_batch

@@ -1,0 +1,82 @@
+"""End-to-end streaming training-data ingestion (streaming/ingest.py):
+quality gate -> in-batch + cross-batch exact dedup -> exactly-once txlog
+append, through a REAL Structured Streaming query with restart."""
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators.cleaning import c4_quality_filter
+from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
+from sf_epa_data_ingestion_spark.storage import TxTable
+from sf_epa_data_ingestion_spark.streaming.ingest import training_doc_appender
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _expected_corpus(docs):
+    """Batch-side oracle: C4-keep docs, lowest id per normalized digest."""
+    flags = c4_quality_filter(docs).select("doc_id", "keep")
+    kept = docs.join(flags, "doc_id").filter("keep")
+    kept = kept.withColumn("text_hash", F.md5(normalized_text(F.col("text"))))
+    keep_ids = kept.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(keep_ids, ["text_hash", "doc_id"])
+
+
+def test_stream_ingest_gates_dedups_and_survives_restart(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: the corpus itself plus junk that must be gated out
+    junk = spark.createDataFrame(
+        [(900001, "too short", "en", "junk", 9),
+         (900002, "curly { brace " + "word " * 60, "en", "junk", 300)],
+        docs.schema,
+    )
+    docs.unionByName(junk).write.mode("overwrite").parquet(src)
+
+    t = TxTable(
+        spark, str(tmp_path / "tbl")
+    ).create(docs.withColumn("text_hash", F.lit("")).limit(0))
+    sink = training_doc_appender(t, "doc-ingest")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(docs.schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    expected = _expected_corpus(docs)
+    got = t.read()
+    assert got.count() == expected.count()
+    # digests unique, junk gated
+    assert got.select("text_hash").distinct().count() == got.count()
+    assert got.filter(F.col("doc_id") >= 900000).count() == 0
+
+    # wave 2 (restart with the same checkpoint): verbatim copies of
+    # existing docs under new ids + one genuinely new document
+    dupes = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 800000)
+    fresh = spark.createDataFrame(
+        [(700001, "genuinely new clean document " + "alpha beta gamma " * 30,
+          "en", "new", 500)],
+        docs.schema,
+    )
+    dupes.unionByName(fresh).write.mode("append").parquet(src)
+    run_once()
+
+    got2 = t.read()
+    # only the fresh document landed; every duplicate was rejected
+    assert got2.count() == expected.count() + 1
+    assert got2.filter(F.col("doc_id") == 700001).count() == 1
+    assert got2.filter(F.col("doc_id") >= 800000).count() == 0
+    assert got2.select("text_hash").distinct().count() == got2.count()
+
+    # replaying the sink with an old batch id is acknowledged, not written
+    n = got2.count()
+    sink(dupes.unionByName(fresh).withColumn(
+        "text_hash", F.md5(normalized_text(F.col("text")))), 0)
+    assert t.read().count() == n
