@@ -2190,6 +2190,45 @@ FROM q
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM perplexity per document (CCNet head/middle/tail
+    quality signal; operators/vocab.py bigram_lm_scores). Scores rounded
+    to 6 dp at the query layer so cross-engine double drift (summation
+    order) cannot blur the comparison — same pattern as cosine_sim."""
+    return vocab.bigram_lm_scores(_t(spark, sf_dir, "documents"), alpha=0.1).select(
+        "id",
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+ORACLE_LM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT w) AS vs FROM (SELECT unnest(t) AS w FROM toks)
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+), model AS (
+  SELECT b.w1, b.w2, (c12 + 0.1) / (c1 + 0.1 * vs) AS p
+  FROM bi b JOIN uni USING (w1) CROSS JOIN v
+)
+SELECT doc_id AS id, COUNT(*) AS n_bigrams,
+       round(-AVG(ln(p)), 6) AS avg_nll,
+       round(exp(-AVG(ln(p))), 6) AS perplexity
+FROM bg JOIN model USING (w1, w2) GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2254,7 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "fingerprint": q_fingerprint,
-        "sample_hash": q_sample_hash,
+        "lm_perplexity": q_lm_perplexity,
         "column_profile": q_column_profile,
         "c4_filter": q_c4_filter,
         "embed_quantize": q_embed_quantize,
@@ -2268,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the 50-entry window: 3x green in r01-r03 (30) ------------
         "update_from_join": q_update_from_join,
         "delete_using": q_delete_using,
+        "sample_hash": q_sample_hash,
         "percentiles": q_percentiles,
         "heavy_hitters": q_heavy_hitters,
         "semi_join": q_semi_join,
@@ -2363,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": ORACLE_DUP_SPANS,
         "c4_filter": ORACLE_C4_FILTER,
         "embed_quantize": ORACLE_EMBED_QUANTIZE,
+        "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "attribution": ORACLE_ATTRIBUTION,
         "asof_clicks": ORACLE_ASOF_CLICKS,

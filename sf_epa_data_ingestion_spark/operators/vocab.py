@@ -31,6 +31,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..partitioning import spread
+
 
 #: Word delimiter: anything outside [a-z0-9] after lowercasing. Shared by
 #: the Spark operators and the DuckDB oracles (RE2-compatible: no
@@ -95,4 +97,84 @@ def bpe_pair_counts(
         .agg(F.sum("count").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("pair"))
         .limit(top_n)
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Corpus-LM perplexity scoring (the CCNet quality signal): train an
+    add-α-smoothed bigram language model ON the corpus, then score every
+    document by its average negative log-likelihood and perplexity.
+    Low-perplexity documents look like the corpus (fluent, typical); very
+    high perplexity flags gibberish, very low flags boilerplate — CCNet
+    buckets the corpus into head/middle/tail exactly this way.
+
+    Model: P(w2|w1) = (C(w1,w2) + α) / (C(w1) + α·V) over the corpus'
+    word bigrams (V = unigram vocabulary size). Documents with < 2 words
+    have no bigrams and are excluded (no defined score).
+
+    Returns (id, n_bigrams, avg_nll, perplexity = exp(avg_nll)).
+
+    Scale shape (100 TB): training is two map-side-combinable groupBys
+    (unigram + bigram counts) — the same shuffles word_counts pays, and
+    the count tables are vocabulary-sized, far below corpus size. Scoring
+    joins each document's bigrams against the bigram table (equi-join on
+    the bigram key; the model side is the SMALL side and broadcasts when
+    it fits) and aggregates one row per document. Every step is codegen'd
+    expressions — no Python. The trained tables can be persisted once and
+    reused to score any number of corpora (score-only reruns skip the
+    training shuffles).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_DELIM), lambda w: w != F.lit("")
+    )
+    # fan out BEFORE tokenization/bigram expansion (SCALE.md spread
+    # placement: a sub-MB single-file scan would otherwise run the
+    # expression serially in the scan task)
+    docs = spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col)
+        ),
+        "id",
+    ).select("id", toks.alias("__t"))
+    bigrams = docs.filter(F.size("__t") >= 2).select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, F.size("__t") - 1),
+                F.slice("__t", 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # persist: training (2 aggregates) + scoring all consume the bigram rows
+    bigrams = bigrams.persist()
+
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # V counts every distinct word (including final words that never open
+    # a bigram): derive from the token arrays, not the bigram table
+    vocab_size = (
+        docs.select(F.explode("__t").alias("w")).agg(F.countDistinct("w")).collect()[0][0]
+    )
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    model = bi.join(uni, "w1").select(
+        "w1",
+        "w2",
+        (
+            (F.col("c12") + F.lit(alpha))
+            / (F.col("c1") + F.lit(alpha * float(vocab_size)))
+        ).alias("p"),
+    )
+    return (
+        bigrams.join(model, ["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg(F.log("p"))).alias("avg_nll"),
+        )
+        .select("id", "n_bigrams", "avg_nll", F.exp("avg_nll").alias("perplexity"))
     )

@@ -32,7 +32,11 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # round BEFORE sorting/comparing: sub-ulp cross-engine drift in
+        # double arithmetic (summation order) must neither reorder rows
+        # nor fail the equality — same 7 dp the driver-replica
+        # (tools/check_correctness.py) uses.
+        return round(v, 7)
     if pd.isna(v):
         return None
     if isinstance(v, pd.Timestamp):

@@ -195,3 +195,39 @@ def test_quantize_error_bound_holds(spark, vec):
     r = similarity.quantize_embeddings(df).first()
     assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-9
     assert -128 * r["dim"] <= r["q_sum"] <= 127 * r["dim"]
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_scores
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_hand_computed(spark):
+    import math
+
+    import pytest
+
+    # corpus: "a b a" + "a b" + "solo". bigrams: (a,b)x2, (b,a)x1.
+    # c1: a=2, b=1; V=3 (a, b, solo — the vocabulary counts every word,
+    # including bigram-less docs); alpha=0.1
+    # P(b|a) = 2.1/2.3 ; P(a|b) = 1.1/1.3
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in vocab.bigram_lm_scores(df, alpha=0.1).collect()}
+    assert set(rows) == {1, 2}  # 1-word doc has no bigrams -> excluded
+    nll1 = -(math.log(2.1 / 2.3) + math.log(1.1 / 1.3)) / 2
+    nll2 = -math.log(2.1 / 2.3)
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["avg_nll"] == pytest.approx(nll1, rel=1e-9)
+    assert rows[1]["perplexity"] == pytest.approx(math.exp(nll1), rel=1e-9)
+    assert rows[2]["avg_nll"] == pytest.approx(nll2, rel=1e-9)
+
+
+def test_bigram_lm_flags_atypical_docs(spark):
+    # docs made of corpus-typical bigrams score lower perplexity than a
+    # doc whose bigrams are unique in the corpus
+    common = [(i, "the cat sat on the mat") for i in range(10)]
+    rare = [(99, "zq xv qj vk jx kq")]
+    df = spark.createDataFrame(common + rare, "doc_id long, text string")
+    rows = {r["id"]: r["perplexity"] for r in vocab.bigram_lm_scores(df).collect()}
+    assert rows[99] > rows[0]
