@@ -17,6 +17,9 @@ implements the corpus-heavy steps as Catalyst expressions:
                        not |corpus| rows (the classic BPE-training trick:
                        1B tokens collapse to ~1M distinct words before any
                        per-character work happens).
+- ``bigram_lm_scores`` corpus -> per-document LM perplexity (train an
+                       add-α bigram model on the corpus, score every doc
+                       by average NLL — the CCNet quality signal).
 
 Scale notes (100 TB): ``word_counts`` shuffles (word, partial-count) pairs
 after a map-side combine — the only corpus-sized exchange. Everything
