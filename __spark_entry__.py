@@ -2229,6 +2229,40 @@ FROM bg JOIN model USING (w1, w2) GROUP BY doc_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights against the benchmark stand-in subset
+    (doc_id % 11 = 0 — same convention as `contamination`); weights
+    rounded to 6 dp at the query layer (cross-engine float drift)."""
+    return vocab.dsir_log_weights(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") % 11 == 0, alpha=0.1
+    ).select("id", "n_bigrams", F.round("log_weight", 6).alias("log_weight"))
+
+
+ORACLE_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 11 = 0 AS is_target,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, is_target, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), counts AS (
+  SELECT f, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+            SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+  FROM bg GROUP BY f
+), tot AS (
+  SELECT SUM(ct) AS nt, SUM(cs) AS ns, COUNT(*) AS b FROM counts
+), feats AS (
+  SELECT f, ln((ct + 0.1) / (nt + 0.1 * b)) - ln((cs + 0.1) / (ns + 0.1 * b)) AS llr
+  FROM counts CROSS JOIN tot
+)
+SELECT doc_id AS id, COUNT(*) AS n_bigrams, round(SUM(llr), 6) AS log_weight
+FROM bg JOIN feats USING (f)
+WHERE NOT is_target GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2282,7 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "window_dedup_latest": q_window_dedup_latest,
         "group_collect": q_group_collect,
-        "merge_upsert": q_merge_upsert,
+        "dsir_weights": q_dsir_weights,
         # r4 additions take these four window slots so they get driver
         # rows; update_from_join/delete_using/percentiles/heavy_hitters
         # (3x green in r01-r03) move below the window.
@@ -2305,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_tx": q_merge_upsert_tx,
         "search_bm25": q_search_bm25,
         # -- past the 50-entry window: 3x green in r01-r03 (30) ------------
+        "merge_upsert": q_merge_upsert,
         "update_from_join": q_update_from_join,
         "delete_using": q_delete_using,
         "sample_hash": q_sample_hash,
@@ -2404,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": ORACLE_C4_FILTER,
         "embed_quantize": ORACLE_EMBED_QUANTIZE,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
+        "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "attribution": ORACLE_ATTRIBUTION,
         "asof_clicks": ORACLE_ASOF_CLICKS,

@@ -181,3 +181,88 @@ def bigram_lm_scores(
         )
         .select("id", "n_bigrams", "avg_nll", F.exp("avg_nll").alias("perplexity"))
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every
+    NON-target document by how target-like its n-gram features are,
+    ``log w(doc) = Σ_f [ln P_target(f) − ln P_source(f)]`` over the
+    document's word-bigram features, with add-α multinomial smoothing
+    over the union feature space. Feed the weights to
+    ``sampling.priority_sample`` to complete the resampling step — that
+    pairing IS the DSIR pipeline.
+
+    ``target_pred`` is a Column predicate selecting the target-domain
+    rows inside ``df`` (e.g. a trusted high-quality subset); every other
+    document is source and gets a weight. P_side(f) = (C_side(f) + α) /
+    (N_side + α·B), B = distinct bigrams across both sides, N_side =
+    total bigram tokens on that side.
+
+    Returns (id, n_bigrams, log_weight) — higher = more target-like.
+
+    Scale shape: one bigram explode over the corpus (fanned out before
+    the expression), two map-side-combinable count aggregates (one per
+    side via conditional sums — a single groupBy, not two passes), three
+    scalar aggregates, then a feature-table equi-join back to the source
+    documents' bigrams and a per-doc sum. The feature table is
+    vocabulary-sized and broadcasts when it fits.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_DELIM), lambda w: w != F.lit("")
+    )
+    docs = spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.col(text_col),
+            target_pred.cast("boolean").alias("__is_target"),
+        ),
+        "id",
+    ).select("id", "__is_target", toks.alias("__t"))
+    bigrams = (
+        docs.filter(F.size("__t") >= 2)
+        .select(
+            "id",
+            "__is_target",
+            F.explode(
+                F.zip_with(
+                    F.slice("__t", 1, F.size("__t") - 1),
+                    F.slice("__t", 2, F.size("__t") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("f"),
+        )
+    )
+    bigrams = bigrams.persist()  # counts + totals + the scoring join
+
+    counts = bigrams.groupBy("f").agg(
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__is_target"), 0).otherwise(1)).alias("cs"),
+    )
+    counts = counts.persist()  # totals aggregate + scoring join
+    tot = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("b")
+    ).collect()[0]
+    nt, ns, b = float(tot["nt"]), float(tot["ns"]), float(tot["b"])
+    feats = counts.select(
+        "f",
+        (
+            F.log((F.col("ct") + F.lit(alpha)) / F.lit(nt + alpha * b))
+            - F.log((F.col("cs") + F.lit(alpha)) / F.lit(ns + alpha * b))
+        ).alias("llr"),
+    )
+    return (
+        bigrams.filter(~F.col("__is_target"))
+        .join(feats, "f")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("llr").alias("log_weight"),
+        )
+    )

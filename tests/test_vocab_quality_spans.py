@@ -231,3 +231,21 @@ def test_bigram_lm_flags_atypical_docs(spark):
     df = spark.createDataFrame(common + rare, "doc_id long, text string")
     rows = {r["id"]: r["perplexity"] for r in vocab.bigram_lm_scores(df).collect()}
     assert rows[99] > rows[0]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    # target: pet docs. Source doc 10 shares the target's bigrams; source
+    # doc 11 is about something else entirely -> lower weight
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ate the fish"),
+        (10, "the cat sat on the fish"),
+        (11, "quarterly revenue grew four percent"),
+        (12, "x"),  # no bigrams -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in vocab.dsir_log_weights(
+        df, F.col("doc_id") < 10).collect()}
+    assert set(got) == {10, 11}  # targets and bigram-less docs excluded
+    assert got[10]["log_weight"] > got[11]["log_weight"]
+    assert got[10]["n_bigrams"] == 5 and got[11]["n_bigrams"] == 4
