@@ -31,8 +31,13 @@ under Java regex and RE2 (DuckDB oracle) with identical token sets.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 from ..partitioning import spread
 
@@ -266,3 +271,113 @@ def dsir_log_weights(
             F.sum("llr").alias("log_weight"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    vocab_cap: int = 200_000,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge list (Sennrich et al. ACL 2016) on the corpus.
+
+    Division of labor (and why this shape is the 100 TB one): the ONLY
+    corpus-sized work is ``word_counts`` — one distributed shuffle with
+    map-side combine. The merge loop itself operates on the (word, count)
+    table, which is vocabulary-sized, and runs as a plain in-memory loop
+    on the driver over the ``vocab_cap`` most frequent words (ties broken
+    by word for determinism). That is the standard practice: every real
+    BPE trainer (subword-nmt, HuggingFace tokenizers) trains from a word-
+    frequency table, and a frequency cap bounds driver memory regardless
+    of corpus size while changing merges only through the counts of words
+    below the cap — noise at web scale.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    rows = (
+        word_counts(df, text_col)
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .limit(vocab_cap)
+        .collect()
+    )
+    # symbol-sequence representation of each word, weighted by count
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        vocab[tuple(r["word"])] = vocab.get(tuple(r["word"]), 0) + r["count"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        # most frequent pair; ties break lexicographically (deterministic)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    return merges
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched BPE encoder applying a learned merge list: text ->
+    array<string> of subword tokens (word-internal merges only, words
+    separated by the shared WORD_DELIM tokenizer). Apply is the
+    embarrassingly parallel half of BPE — per row, no shuffle; the merge
+    ranks ship to executors once inside the UDF closure (broadcast-sized:
+    a merge table is tens of KB).
+
+    Encoding uses the standard lowest-rank-first strategy (equivalent to
+    replaying the merges in training order), with an LRU-less per-batch
+    word cache — corpora repeat words heavily, so each distinct word in a
+    batch is encoded once."""
+    rank = {tuple(m): i for i, m in enumerate(merges)}
+    delim = re.compile(WORD_DELIM)
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        while len(syms) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    @pandas_udf(ArrayType(StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks: list[str] = []
+            for w in delim.split(t.lower()):
+                if not w:
+                    continue
+                enc = cache.get(w)
+                if enc is None:
+                    enc = encode_word(w)
+                    cache[w] = enc
+                toks.extend(enc)
+            out.append(toks)
+        return pd.Series(out)
+
+    return encode

@@ -249,3 +249,42 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert set(got) == {10, 11}  # targets and bigram-less docs excluded
     assert got[10]["log_weight"] > got[11]["log_weight"]
     assert got[10]["n_bigrams"] == 5 and got[11]["n_bigrams"] == 4
+
+
+# ---------------------------------------------------------------------------
+# BPE train + encode
+# ---------------------------------------------------------------------------
+
+def test_bpe_learn_merges_classic_corpus(spark):
+    # Sennrich-style toy corpus: "low" x5, "lowest" x2 -> "lo" then "low"
+    # must be among the earliest merges
+    df = spark.createDataFrame(
+        [("low " * 5 + "lowest " * 2,)], "text string"
+    )
+    merges = vocab.bpe_learn_merges(df, n_merges=3)
+    assert merges[0] == ("l", "o")  # lo appears in all 7 words
+    assert ("lo", "w") in merges[:2]
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+    df = spark.createDataFrame(
+        [(1, "low lowest unknown"), (2, None)], "id long, text string"
+    )
+    enc = vocab.bpe_encode_udf(merges)
+    rows = {r["id"]: r["toks"] for r in df.select("id", enc("text").alias("toks")).collect()}
+    assert rows[1] == ["low", "low", "est", "u", "n", "k", "n", "o", "w", "n"]
+    assert rows[2] is None
+
+
+def test_bpe_train_then_encode_round_trip(spark):
+    # encoding with the learned merges reconstructs each word exactly
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog " * 3,)], "text string"
+    )
+    merges = vocab.bpe_learn_merges(df, n_merges=50)
+    enc = vocab.bpe_encode_udf(merges)
+    toks = df.select(enc("text").alias("t")).first()["t"]
+    assert "".join(toks) == "thequickbrownfoxjumpsoverthelazydog" * 3
+    # with 50 merges on a 9-word corpus every word collapses to 1 token
+    assert "the" in toks and "quick" in toks
