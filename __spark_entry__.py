@@ -2263,6 +2263,72 @@ WHERE NOT is_target GROUP BY doc_id
 """
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REWRITE (Lee et al.): cut every 40-char verbatim
+    window (word-start-anchored, df 2..20) from its non-canonical
+    carriers; output the cleaned normalized text + chars removed
+    (operators/dedup.py strip_duplicate_spans)."""
+    return dedup.strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"), span=40, max_df=20
+    )
+
+
+ORACLE_STRIP_DUP_SPANS = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL
+), occ AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, substr(t, CAST(i AS INT), 40) AS s
+  FROM norm, unnest(range(1, len(t) - 38)) AS u(i)
+  WHERE len(t) >= 40
+    AND (i = 1 OR substr(t, CAST(i AS INT) - 1, 1) = ' ')
+), grp AS (
+  SELECT s, MIN(doc_id) AS canon
+  FROM (SELECT DISTINCT doc_id, s FROM occ)
+  GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 20
+), rem AS (
+  SELECT o.doc_id, o.pos AS st, o.pos + 39 AS en
+  FROM occ o JOIN grp g ON o.s = g.s AND o.doc_id <> g.canon
+), marked AS (
+  SELECT doc_id, st, en,
+         CASE WHEN st > COALESCE(MAX(en) OVER (
+                PARTITION BY doc_id ORDER BY st
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              THEN 1 ELSE 0 END AS brk
+  FROM rem
+), numbered AS (
+  SELECT doc_id, st, en,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY st) AS isl
+  FROM marked
+), islands AS (
+  SELECT doc_id, MIN(st) AS s, MAX(en) AS e
+  FROM numbered GROUP BY doc_id, isl
+), segs AS (
+  -- kept segment BEFORE each island, plus one tail segment per doc
+  SELECT doc_id,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+         s - 1 AS ke
+  FROM islands
+  UNION ALL
+  SELECT i.doc_id, MAX(i.e) + 1 AS ks, MAX(len(n.t)) AS ke
+  FROM islands i JOIN norm n USING (doc_id) GROUP BY i.doc_id
+), rebuilt AS (
+  SELECT s.doc_id,
+         string_agg(substr(n.t, s.ks, greatest(s.ke - s.ks + 1, 0)), ''
+                    ORDER BY s.ks) AS clean_text
+  FROM segs s JOIN norm n USING (doc_id) GROUP BY s.doc_id
+), removed AS (
+  SELECT doc_id, SUM(e - s + 1) AS n_removed FROM islands GROUP BY doc_id
+)
+SELECT n.doc_id AS id,
+       COALESCE(r.clean_text, n.t) AS clean_text,
+       COALESCE(x.n_removed, 0) AS n_removed
+FROM norm n
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN removed x USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2315,7 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiway_left_enrich": q_multiway_left_enrich,
         "anti_join": q_anti_join,
         "window_dedup_latest": q_window_dedup_latest,
-        "group_collect": q_group_collect,
+        "strip_dup_spans": q_strip_dup_spans,
         "dsir_weights": q_dsir_weights,
         # r4 additions take these four window slots so they get driver
         # rows; update_from_join/delete_using/percentiles/heavy_hitters
@@ -2339,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_tx": q_merge_upsert_tx,
         "search_bm25": q_search_bm25,
         # -- past the 50-entry window: 3x green in r01-r03 (30) ------------
+        "group_collect": q_group_collect,
         "merge_upsert": q_merge_upsert,
         "update_from_join": q_update_from_join,
         "delete_using": q_delete_using,
@@ -2440,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_quantize": ORACLE_EMBED_QUANTIZE,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "strip_dup_spans": ORACLE_STRIP_DUP_SPANS,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "attribution": ORACLE_ATTRIBUTION,
         "asof_clicks": ORACLE_ASOF_CLICKS,

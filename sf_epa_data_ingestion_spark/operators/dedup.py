@@ -570,6 +570,120 @@ def duplicate_spans(
     )
 
 
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 40,
+    max_df: int = 20,
+) -> DataFrame:
+    """The REWRITE half of span-level dedup (Lee et al. ACL 2022: cut the
+    duplicated substring, keep the rest of the document): every verbatim
+    ``span``-char window shared by 2..``max_df`` documents is kept only in
+    its CANONICAL carrier (lowest doc id) and removed everywhere else.
+    Returns one row per input document: (id, clean_text, n_removed) over
+    the NORMALIZED text — clean_text = the normalized text with the
+    non-canonical duplicate regions cut, n_removed = characters removed.
+
+    Pipeline (all relational/expression — no Python):
+    1. span occurrences at word-start anchors (same content-defined
+       sampling as ``duplicate_spans``), KEEPING positions;
+    2. per span value: document frequency (distinct carriers) and the
+       canonical (min) carrier; boilerplate above ``max_df`` is left
+       alone — deleting navigation chrome from every page is a separate
+       policy decision (``dedup_lines``), not span dedup;
+    3. removal ranges = occurrences in non-canonical docs; overlapping
+       ranges merge into islands with the classic gaps-and-islands
+       window (running max of range ends);
+    4. rebuild each document with ONE ``aggregate`` fold over its sorted
+       island array: keep [cursor, island.start), jump cursor past the
+       island, append the tail in the finish lambda.
+
+    Scale shape: occurrences are (id, pos, hash64) rows — one explode,
+    one groupBy(hash); islands are two windows over the (small) removal
+    set partitioned by doc; the rebuild joins the island lists (one array
+    row per AFFECTED doc) back to the corpus — broadcastable, and docs
+    without removals never shuffle their text.
+    """
+    t = normalized_text(F.col(text_col))
+    base = spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), t.alias("t")
+        ),
+        "id",
+    ).persist()  # two consumers: occurrence explode + final rebuild join
+    occ = base.filter(F.length("t") >= span).select(
+        "id",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.length("t") - F.lit(span - 1)),
+                lambda i: (i == 1) | (F.col("t").substr(i - 1, F.lit(1)) == F.lit(" ")),
+            )
+        ).alias("pos"),
+        "t",
+    ).select("id", "pos", F.xxhash64(F.col("t").substr(F.col("pos"), F.lit(span))).alias("sh"))
+    occ = spread(occ, "sh").persist()  # grouping + removal join
+    grp = (
+        occ.groupBy("sh")
+        .agg(F.countDistinct("id").alias("span_df"), F.min("id").alias("canon"))
+        .filter((F.col("span_df") >= 2) & (F.col("span_df") <= max_df))
+        .select("sh", "canon")
+    )
+    rem = (
+        occ.join(grp, "sh")
+        .filter(F.col("id") != F.col("canon"))
+        .select("id", F.col("pos").alias("s"), (F.col("pos") + F.lit(span - 1)).alias("e"))
+    )
+    w_order = Window.partitionBy("id").orderBy("s")
+    running = (
+        Window.partitionBy("id").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        rem.withColumn("prev_max_e", F.max("e").over(running))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("brk").over(w_order))
+        .groupBy("id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("isl"))
+    )
+    rebuilt = base.join(islands, "id", "left").select(
+        "id",
+        F.when(F.col("isl").isNull(), F.col("t"))
+        .otherwise(
+            F.aggregate(
+                "isl",
+                F.struct(F.lit("").alias("txt"), F.lit(1).cast("int").alias("cur")),
+                lambda acc, i: F.struct(
+                    F.concat(
+                        acc["txt"], F.col("t").substr(acc["cur"], i["s"] - acc["cur"])
+                    ).alias("txt"),
+                    (i["e"] + 1).cast("int").alias("cur"),
+                ),
+                lambda acc: F.concat(
+                    acc["txt"],
+                    F.col("t").substr(
+                        acc["cur"], F.length("t") - acc["cur"] + 1
+                    ),
+                ),
+            )
+        )
+        .alias("clean_text"),
+        F.coalesce(
+            F.aggregate(
+                "isl", F.lit(0).cast("long"), lambda acc, i: acc + (i["e"] - i["s"] + 1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_removed"),
+    )
+    return rebuilt
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,

@@ -288,3 +288,55 @@ def test_bpe_train_then_encode_round_trip(spark):
     assert "".join(toks) == "thequickbrownfoxjumpsoverthelazydog" * 3
     # with 50 merges on a 9-word corpus every word collapses to 1 token
     assert "the" in toks and "quick" in toks
+
+
+# ---------------------------------------------------------------------------
+# strip_duplicate_spans (the rewrite half of span dedup)
+# ---------------------------------------------------------------------------
+
+def test_strip_dup_spans_cuts_only_noncanonical(spark):
+    shared = ("alpha beta gamma delta epsilon zeta eta theta " * 2).strip()
+    df = spark.createDataFrame(
+        [
+            (1, "intro text one. " + shared + " tail one"),
+            (2, "different intro here. " + shared + " other tail"),
+            (3, "unrelated content entirely without any overlap at all " * 2),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in dedup.strip_duplicate_spans(df, span=40).collect()}
+    # canonical (lowest id) keeps the run verbatim
+    assert shared in rows[1]["clean_text"] and rows[1]["n_removed"] == 0
+    # non-canonical: the duplicated region is cut, the unique parts survive
+    assert shared not in rows[2]["clean_text"]
+    assert rows[2]["clean_text"].startswith("different intro here.")
+    assert rows[2]["clean_text"].endswith("other tail")
+    assert rows[2]["n_removed"] > 0
+    # untouched doc passes through at length (self-repetition is df=1)
+    assert rows[3]["n_removed"] == 0
+
+
+def test_strip_dup_spans_merges_overlapping_islands(spark):
+    # the whole text of doc 2 is one duplicated run -> the overlapping
+    # windows merge into ONE island covering everything except a tail
+    # shorter than one span (window-granularity residue: the last anchored
+    # window must FIT, so trailing chars past it survive — the documented
+    # approximation vs exact suffix-array ranges)
+    run = ("omicron sigma upsilon phi chi psi omega " * 3).strip()
+    df = spark.createDataFrame(
+        [(1, run), (2, run)], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in dedup.strip_duplicate_spans(df, span=40).collect()}
+    assert rows[1]["n_removed"] == 0
+    assert len(rows[2]["clean_text"]) < 40  # residue < one span
+    assert rows[2]["n_removed"] == len(run) - len(rows[2]["clean_text"])
+    # the surviving residue is a SUFFIX of the run, not an interior cut
+    assert run.endswith(rows[2]["clean_text"])
+
+
+def test_strip_dup_spans_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "short")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in dedup.strip_duplicate_spans(df, span=40).collect()}
+    assert rows[1]["clean_text"] == "short" and rows[2]["clean_text"] == "short"
