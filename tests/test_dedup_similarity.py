@@ -225,3 +225,42 @@ def test_centroid_topn_pd_matches_expression_spec(spark):
     nulldf = spark.createDataFrame([(1, None)], "id long, v array<double>")
     r = nulldf.select(similarity._centroid_topn_pd(cents, 2)(F.col("v")).alias("p")).first()
     assert r["p"] == [0, 1]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from("lorem ipsum dolor sit amet alpha beta gamma".split()),
+             min_size=3, max_size=12).map(" ".join),
+    min_size=2, max_size=8))
+def test_ngram_jaccard_matches_bruteforce_reference(spark, docs):
+    # EXACTNESS pin for the whole PPJoin machinery (rarest-first global
+    # order, asymmetric probe/index prefixes, in-join positional filter,
+    # array_intersect verify): on arbitrary template-heavy corpora the
+    # result must equal the brute-force all-pairs Jaccard over k-shingle
+    # sets computed in plain Python.
+    k, t = 5, 0.30
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(df, k=k, threshold=t).collect()
+    }
+
+    def shingles(s):
+        s = " ".join(s.lower().split())
+        return {s[i:i + k] for i in range(max(len(s) - k + 1, 1))}
+
+    want = {}
+    sh = [shingles(d) for d in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i] | sh[j])
+            if union and inter / union >= t:
+                want[(i, j)] = (inter, inter / union)
+    assert set(got) == set(want), (got, want)
+    for p, (n, jac) in want.items():
+        assert got[p][0] == n
+        assert abs(got[p][1] - jac) < 1e-9
