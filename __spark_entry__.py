@@ -2329,6 +2329,67 @@ LEFT JOIN removed x USING (doc_id)
 """
 
 
+def q_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture budgeting: docs / total whitespace tokens / token share per
+    source. The share window runs over the already-aggregated
+    source-level table (a handful of rows at any corpus size)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count_ws(F.col("text"))).alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w), 6
+        ).alias("token_share"),
+    )
+
+
+ORACLE_TOKENS_BY_SOURCE = r"""
+WITH per AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+  FROM documents WHERE text IS NOT NULL
+), agg AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens FROM per GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER (), 6) AS token_share
+FROM agg
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 4-gram novelty fraction (first-carrier attribution;
+    operators/cleaning.py ngram_novelty)."""
+    return cleaning.ngram_novelty(_t(spark, sf_dir, "documents"), n=4).select(
+        "id", "n_grams", F.round("novel_frac", 6).alias("novel_frac")
+    )
+
+
+ORACLE_NGRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+3], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+), first AS (
+  SELECT gram, MIN(doc_id) AS first_id FROM grams GROUP BY gram
+)
+SELECT g.doc_id AS id, COUNT(*) AS n_grams,
+       round(AVG(CASE WHEN g.doc_id = f.first_id THEN 1.0 ELSE 0.0 END), 6) AS novel_frac
+FROM grams g JOIN first f USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2440,6 +2501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test": q_train_val_test,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
+        # r4 late additions (beyond the window this round; rotate into the
+        # checked 50 in r5 — oracle-backed and green in the local harness)
+        "tokens_by_source": q_tokens_by_source,
+        "ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -2508,6 +2573,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "strip_dup_spans": ORACLE_STRIP_DUP_SPANS,
+        "tokens_by_source": ORACLE_TOKENS_BY_SOURCE,
+        "ngram_novelty": ORACLE_NGRAM_NOVELTY,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "attribution": ORACLE_ATTRIBUTION,
         "asof_clicks": ORACLE_ASOF_CLICKS,

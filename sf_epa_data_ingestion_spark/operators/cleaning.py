@@ -319,3 +319,44 @@ def c4_quality_filter(
             word_count_ok & F.coalesce(mean_len_ok, F.lit(False)) & no_brace & no_lorem
         ).alias("keep"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word-``n``-grams whose FIRST carrier (minimum doc id over the corpus)
+    is the document itself. Documents full of already-seen phrasing score
+    near 0; genuinely novel text scores near 1 — the cheap diversity /
+    curriculum-ordering signal (novelty-weighted sampling keeps a mixture
+    from collapsing onto template text).
+
+    Returns (id, n_grams, novel_frac) for documents with >= 1 n-gram.
+
+    Scale shape: one explode to distinct (id, gram) rows, one
+    groupBy(gram) for the first carrier (map-side combinable MIN), one
+    join back on the gram key, one per-doc aggregate. The first-carrier
+    table is distinct-gram-sized and the join is the same shuffle the
+    contamination screen pays.
+    """
+    grams = spread(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(text_col)
+        ),
+        "id",
+    ).select("id", F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    grams = grams.persist()  # first-carrier aggregate + the novelty join
+    first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg(F.when(F.col("id") == F.col("first_id"), 1.0).otherwise(0.0)).alias(
+                "novel_frac"
+            ),
+        )
+    )

@@ -141,3 +141,17 @@ def test_dedup_lines_max_freq_and_delimiter(spark):
     }
     # 'a' (2x within one doc), 'b', 'c' all exceed freq 1; 'd' survives
     assert out1 == {1: "", 2: "", 3: "d"}
+
+
+def test_ngram_novelty_first_carrier_attribution(spark):
+    from sf_epa_data_ingestion_spark.operators.cleaning import ngram_novelty
+
+    # doc 1 coins both 2-grams; doc 2 repeats one of them and coins one
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "zz")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in ngram_novelty(df, n=2).collect()}
+    assert rows[1]["n_grams"] == 2 and rows[1]["novel_frac"] == 1.0
+    # doc 2: "a b" first seen in doc 1; "b d" is its own
+    assert rows[2]["n_grams"] == 2 and abs(rows[2]["novel_frac"] - 0.5) < 1e-9
+    assert 3 not in rows  # too short for a 2-gram
