@@ -95,6 +95,22 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def minhash_band_rows(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, sig) -> narrow (id, band_id, band_hash) bucket rows: hash each
+    of the ``bands`` contiguous signature slices. Shared by the batch LSH
+    join (``minhash_lsh_pairs``) and the streaming near-dup monitor
+    (streaming/neardup.py) so both probe identical buckets."""
+    return sig_df.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -147,15 +163,7 @@ def minhash_lsh_pairs(
     # 64-wide signature agreement there multiplies work by the bucket
     # blow-up. Instead: dedup candidate pairs first (narrow shuffle), then
     # join the signature table back once per UNIQUE pair.
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = minhash_band_rows(sig, bands, rows_per_band)
     banded = spread(banded, "band_id", "band_hash")  # parallelize bucket-pair work (see ngram note)
 
     a = banded.alias("a")

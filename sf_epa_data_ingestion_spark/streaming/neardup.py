@@ -1,0 +1,151 @@
+"""Incremental near-duplicate detection over a document stream.
+
+Batch near-dup (operators/dedup.minhash_lsh_pairs) answers "which pairs in
+THIS corpus are near-dups"; a continuously-ingesting corpus needs the
+incremental question: "is this NEW document a near-dup of anything seen so
+far?" — asked once per arriving micro-batch, without re-scoring the whole
+history pairwise.
+
+Design (the streaming face of the same banded-LSH index):
+- STATE = a txlog table of (id, sig): one MinHash signature row per
+  document ever seen. The signature is the sufficient statistic — raw
+  text never enters the state.
+- per micro-batch: sign the batch, expand batch + state signatures into
+  narrow (id, band_id, band_hash) bucket rows (the SAME banding as the
+  batch operator — shared ``minhash_band_rows``), equi-join buckets to get
+  candidates (batch x history plus batch-internal), verify every unique
+  candidate pair by signature agreement, append pairs >= threshold to the
+  RESULTS txlog table, then append the batch's signatures to state.
+- exactly-once under foreachBatch replay: results and state each carry
+  their own txn marker; pairs commit BEFORE state, so a crash between the
+  two replays into "skip pairs (already committed), redo state" — neither
+  table ever double-counts a batch.
+
+Scale notes (100 TB): the per-batch probe joins batch bucket rows against
+history bucket rows re-derived from the state signatures — an O(history)
+expression + shuffle per batch, which is the right simplicity below ~10^8
+documents (signatures are ~0.5 KB/doc). Beyond that, persist the bucket
+rows themselves in a txlog table clustered by band_hash (storage/zorder +
+data skipping) so a batch probes only its own buckets; the detection logic
+here is unchanged — only the probe-side source swaps.
+
+Single-writer discipline: like streaming/ingest.py, the state read at
+batch start is the dedup horizon; run one logical writer per state table.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators.dedup import (
+    char_shingles,
+    minhash_band_rows,
+    minhash_signature,
+)
+from sf_epa_data_ingestion_spark.partitioning import spread
+from sf_epa_data_ingestion_spark.storage.txlog import (
+    ConcurrentCommitError,
+    TxTable,
+)
+
+
+def _signatures(batch_df, id_col, text_col, num_hashes, shingle_k):
+    return (
+        spread(batch_df.filter(F.col(text_col).isNotNull()), F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            minhash_signature(
+                char_shingles(F.col(text_col), shingle_k), num_hashes
+            ).alias("sig"),
+        )
+    )
+
+
+def _append_once(table: TxTable, df, app_id: str, batch_id: int, max_retries: int):
+    for _ in range(max_retries):
+        last = table.last_txn(app_id)
+        if last is not None and batch_id <= last:
+            return
+        try:
+            table.append(df, txn={"app": app_id, "batch": int(batch_id)})
+            return
+        except ConcurrentCommitError:
+            continue
+    raise ConcurrentCommitError(
+        f"gave up appending batch {batch_id} for {app_id!r} after {max_retries} conflicts"
+    )
+
+
+def near_dup_monitor(
+    state: TxTable,
+    pairs_out: TxTable,
+    app_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 8,
+    threshold: float = 0.7,
+    max_retries: int = 5,
+):
+    """Build a ``foreachBatch`` callable that detects near-dups of every
+    arriving document against the full ingestion history.
+
+    ``state`` schema: (id long, sig array<long>); ``pairs_out`` schema:
+    (id_a long, id_b long, est_jaccard double) where ``id_b`` is always
+    the NEW document and ``id_a`` the earlier one (id_a < id_b holds for
+    batch-internal pairs too, since ids are assigned in arrival order).
+    """
+    rows_per_band = num_hashes // bands
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        if (last := state.last_txn(app_id)) is not None and batch_id <= last:
+            return  # fully processed (state commits LAST)
+        sig = _signatures(batch_df, id_col, text_col, num_hashes, shingle_k).persist()
+        new_bands = minhash_band_rows(sig, bands, rows_per_band)
+        seen = state.read().select("id", "sig")
+        old_bands = minhash_band_rows(seen, bands, rows_per_band)
+        a_new, b_old = new_bands.alias("a"), old_bands.alias("b")
+        cross = a_new.join(
+            b_old,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        ).select(F.col("b.id").alias("id_a"), F.col("a.id").alias("id_b"))
+        a2, b2 = new_bands.alias("a"), new_bands.alias("b")
+        internal = a2.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand = cross.unionByName(internal).dropDuplicates(["id_a", "id_b"])
+        all_sigs = seen.unionByName(sig)
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        pairs = (
+            cand.join(
+                all_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+                "id_a",
+            )
+            .join(
+                sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+        # pairs FIRST, state LAST: a crash in between replays into
+        # "pairs already committed (marker) -> skip; state redone".
+        _append_once(pairs_out, pairs, app_id, batch_id, max_retries)
+        _append_once(state, sig, app_id, batch_id, max_retries)
+        sig.unpersist()
+
+    return write_batch

@@ -1,0 +1,60 @@
+"""Incremental streaming near-dup detection (streaming/neardup.py): each
+micro-batch probes the full signature history, cross-batch and in-batch
+pairs are detected once, replay is exactly-once on both output tables."""
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.storage import TxTable
+from sf_epa_data_ingestion_spark.streaming.neardup import near_dup_monitor
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_monitor_cross_batch_in_batch_and_replay(spark, tmp_path):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the late afternoon sun "
+    ) * 3
+    other = (
+        "completely different subject matter about database engines and "
+        "query optimizers with columnar storage layouts and vectorized io "
+    ) * 3
+
+    state = TxTable(spark, str(tmp_path / "state")).create(
+        spark.createDataFrame([], "id long, sig array<long>")
+    )
+    pairs_out = TxTable(spark, str(tmp_path / "pairs")).create(
+        spark.createDataFrame([], "id_a long, id_b long, est_jaccard double")
+    )
+    sink = near_dup_monitor(state, pairs_out, "neardup-test", threshold=0.6)
+
+    # batch 0: two unrelated docs -> no pairs, 2 signatures in state
+    sink(_docs(spark, [(1, base), (2, other)]), 0)
+    assert pairs_out.read().count() == 0
+    assert state.read().count() == 2
+
+    # batch 1: doc 3 = near-copy of doc 1 (cross-batch hit), docs 4 and 5
+    # identical to each other (in-batch hit), doc 6 novel
+    near = base.replace("lazy dog", "sleepy dog")
+    wave = [(3, near), (4, other + " extra tail"), (5, other + " extra tail"), (6, "x y z " * 30)]
+    sink(_docs(spark, wave), 1)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs_out.read().collect()}
+    assert (1, 3) in got and got[(1, 3)] >= 0.6
+    assert (4, 5) in got and got[(4, 5)] == 1.0
+    assert all(6 not in p for p in got)
+    # doc 2 vs 4/5 share the `other` prefix -> allowed but must point new-ward
+    assert all(a < b for a, b in got)
+    n_pairs, n_state = pairs_out.read().count(), state.read().count()
+    assert n_state == 6
+
+    # replay batch 1: both tables unchanged (per-table txn markers)
+    sink(_docs(spark, wave), 1)
+    assert pairs_out.read().count() == n_pairs
+    assert state.read().count() == n_state
+
+    # batch 2: another near-copy of doc 1 -> pairs against BOTH 1 and 3
+    sink(_docs(spark, [(7, base.replace("warm", "cold"))]), 2)
+    got2 = {(r["id_a"], r["id_b"]) for r in pairs_out.read().collect()}
+    assert (1, 7) in got2 and (3, 7) in got2
