@@ -19,7 +19,6 @@ proprietary Cortex ranker is explicitly out of scope — SURVEY §7 hard-part
 
 from __future__ import annotations
 
-import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
