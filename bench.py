@@ -129,12 +129,24 @@ def main() -> None:
                 pass
 
     total = round(sum(timings.values()), 3)
+    # Like-for-like anchor: the suite GROWS round over round (76 queries in
+    # r3, 87+ in r4), so the headline total is not comparable across
+    # rounds by itself. `r3_subset_total` sums only the queries that
+    # existed in round 3's suite.
+    r4_new = {
+        "merge_upsert_tx", "search_bm25", "bpe_pair_counts", "dup_spans",
+        "c4_filter", "embed_quantize", "lm_perplexity", "dsir_weights",
+        "strip_dup_spans", "tokens_by_source", "ngram_novelty",
+    }
+    subset = round(sum(v for k, v in timings.items() if k not in r4_new), 3)
     print(
         json.dumps(
             {
                 "metric": "suite_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
+                "r3_subset_total": subset,
                 "queries": timings,
                 "sf": sf,
                 "noise_suspects": noise,
