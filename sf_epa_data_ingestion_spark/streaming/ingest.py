@@ -39,10 +39,8 @@ from pyspark.sql import Window
 
 from sf_epa_data_ingestion_spark.operators.cleaning import c4_quality_filter
 from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
-from sf_epa_data_ingestion_spark.storage.txlog import (
-    ConcurrentCommitError,
-    TxTable,
-)
+from sf_epa_data_ingestion_spark.storage.txlog import TxTable
+from sf_epa_data_ingestion_spark.streaming.txsink import append_once
 
 
 def training_doc_appender(
@@ -84,18 +82,6 @@ def training_doc_appender(
         # cross-batch dedup: the table IS the state (digest column only)
         existing = table.read().select("text_hash").distinct()
         fresh = kept.join(existing, "text_hash", "left_anti")
-        for _ in range(max_retries):
-            last = table.last_txn(app_id)
-            if last is not None and batch_id <= last:
-                return
-            try:
-                table.append(fresh, txn={"app": app_id, "batch": int(batch_id)})
-                return
-            except ConcurrentCommitError:
-                continue  # log advanced under us: re-check marker, retry
-        raise ConcurrentCommitError(
-            f"gave up appending batch {batch_id} for {app_id!r} "
-            f"after {max_retries} conflicts"
-        )
+        append_once(table, fresh, app_id, batch_id, max_retries)
 
     return write_batch

@@ -43,10 +43,8 @@ from sf_epa_data_ingestion_spark.operators.dedup import (
     minhash_signature,
 )
 from sf_epa_data_ingestion_spark.partitioning import spread
-from sf_epa_data_ingestion_spark.storage.txlog import (
-    ConcurrentCommitError,
-    TxTable,
-)
+from sf_epa_data_ingestion_spark.storage.txlog import TxTable
+from sf_epa_data_ingestion_spark.streaming.txsink import append_once
 
 
 def _signatures(batch_df, id_col, text_col, num_hashes, shingle_k):
@@ -58,21 +56,6 @@ def _signatures(batch_df, id_col, text_col, num_hashes, shingle_k):
                 char_shingles(F.col(text_col), shingle_k), num_hashes
             ).alias("sig"),
         )
-    )
-
-
-def _append_once(table: TxTable, df, app_id: str, batch_id: int, max_retries: int):
-    for _ in range(max_retries):
-        last = table.last_txn(app_id)
-        if last is not None and batch_id <= last:
-            return
-        try:
-            table.append(df, txn={"app": app_id, "batch": int(batch_id)})
-            return
-        except ConcurrentCommitError:
-            continue
-    raise ConcurrentCommitError(
-        f"gave up appending batch {batch_id} for {app_id!r} after {max_retries} conflicts"
     )
 
 
@@ -144,8 +127,8 @@ def near_dup_monitor(
         )
         # pairs FIRST, state LAST: a crash in between replays into
         # "pairs already committed (marker) -> skip; state redone".
-        _append_once(pairs_out, pairs, app_id, batch_id, max_retries)
-        _append_once(state, sig, app_id, batch_id, max_retries)
+        append_once(pairs_out, pairs, app_id, batch_id, max_retries)
+        append_once(state, sig, app_id, batch_id, max_retries)
         sig.unpersist()
 
     return write_batch

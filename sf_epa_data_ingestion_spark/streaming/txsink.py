@@ -29,6 +29,32 @@ from sf_epa_data_ingestion_spark.storage.txlog import (
 )
 
 
+def append_once(
+    table: TxTable, df, app_id: str, batch_id: int, max_retries: int = 5
+) -> None:
+    """Append ``df`` to ``table`` exactly once for ``(app_id, batch_id)``:
+    a batch id at or below the table's recorded marker is acknowledged
+    without writing; a ``ConcurrentCommitError`` re-reads the log and
+    re-checks the marker (a concurrent replica that already committed our
+    batch turns the retry into a no-op). The ONE copy of the replay
+    protocol — every foreachBatch sink in this package
+    (``exactly_once_appender``, streaming/ingest.py, streaming/neardup.py)
+    routes through it so the semantics cannot drift."""
+    for _ in range(max_retries):
+        last = table.last_txn(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already durable, acknowledge
+        try:
+            table.append(df, txn={"app": app_id, "batch": int(batch_id)})
+            return
+        except ConcurrentCommitError:
+            continue  # log advanced under us: re-check marker, retry
+    raise ConcurrentCommitError(
+        f"gave up appending batch {batch_id} for {app_id!r} "
+        f"after {max_retries} conflicts"
+    )
+
+
 def exactly_once_appender(table: TxTable, app_id: str, max_retries: int = 5):
     """Build a ``foreachBatch`` callable appending into ``table`` with
     exactly-once semantics under micro-batch replay::
@@ -44,18 +70,6 @@ def exactly_once_appender(table: TxTable, app_id: str, max_retries: int = 5):
     """
 
     def write_batch(batch_df, batch_id: int) -> None:
-        for _ in range(max_retries):
-            last = table.last_txn(app_id)
-            if last is not None and batch_id <= last:
-                return  # replayed batch: already durable, acknowledge
-            try:
-                table.append(batch_df, txn={"app": app_id, "batch": int(batch_id)})
-                return
-            except ConcurrentCommitError:
-                continue  # log advanced under us: re-check marker, retry
-        raise ConcurrentCommitError(
-            f"gave up appending batch {batch_id} for {app_id!r} "
-            f"after {max_retries} conflicts"
-        )
+        append_once(table, batch_df, app_id, batch_id, max_retries)
 
     return write_batch
