@@ -9,6 +9,9 @@ needs the standard *cleaning* passes before dedup/tokenization:
 - ``extract_url_domains``   URL harvesting -> per-domain frequency table
 - ``repetition_stats``      per-doc token repetition (boilerplate signal)
 - ``contamination_screen``  word-n-gram overlap against a benchmark corpus
+- ``dedup_lines``           cross-document boilerplate line removal
+- ``c4_quality_filter``     C4/Gopher rule gate with per-rule audit flags
+- ``ngram_novelty``         first-carrier n-gram novelty (diversity signal)
 
 Everything is built from JVM-side expressions (regexp_replace /
 regexp_extract_all / split / higher-order array functions) — no Python in
