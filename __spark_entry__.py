@@ -2092,7 +2092,7 @@ WITH words AS (
   SELECT substr(w, CAST(i AS INT), 2) AS pair, c
   FROM wc, unnest(range(1, len(w))) AS u(i)
 )
-SELECT pair, SUM(c) AS freq FROM pairs GROUP BY pair
+SELECT pair, CAST(SUM(c) AS BIGINT) AS freq FROM pairs GROUP BY pair
 ORDER BY freq DESC, pair LIMIT 100
 """
 
@@ -2182,7 +2182,7 @@ WITH v AS (
   FROM mm
 )
 SELECT vec_id, dim, vmin, vmax, scale,
-       list_sum(codes) AS q_sum,
+       CAST(list_sum(codes) AS BIGINT) AS q_sum,
        list_sum(list_transform(range(1, dim + 1), i ->
          power((CAST(codes[CAST(i AS INT)] + 128 AS DOUBLE) * scale + vmin)
                - vec[CAST(i AS INT)], 2))) / dim AS mse
@@ -2318,7 +2318,7 @@ WITH norm AS (
                     ORDER BY s.ks) AS clean_text
   FROM segs s JOIN norm n USING (doc_id) GROUP BY s.doc_id
 ), removed AS (
-  SELECT doc_id, SUM(e - s + 1) AS n_removed FROM islands GROUP BY doc_id
+  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed FROM islands GROUP BY doc_id
 )
 SELECT n.doc_id AS id,
        COALESCE(r.clean_text, n.t) AS clean_text,
@@ -2355,7 +2355,7 @@ WITH per AS (
          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
   FROM documents WHERE text IS NOT NULL
 ), agg AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(n) AS total_tokens FROM per GROUP BY source
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens FROM per GROUP BY source
 )
 SELECT source, n_docs, total_tokens,
        round(CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER (), 6) AS token_share
@@ -2400,72 +2400,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (r4): the driver's correctness harness checks only the
-    # FIRST 50 entries.  Rounds 1-3 checked the same first-50 window, so the
-    # 26 queries below (oracle-backed, locally green) never received a driver
-    # row.  They now lead; the window is completed by 24 representative,
-    # already-triple-verified queries (incl. the r4-fixed `fingerprint`,
-    # which needs a fresh row to prove the fix).  The 26 pushed past 50 all
-    # have three consecutive green driver rows (CORRECTNESS_r01..r03).
+    # Ordering note (r5): the driver's correctness harness checks only the
+    # FIRST 50 entries.  This round's window leads with the five queries
+    # that still lack a green driver hash row (3 were r4 hash-fails on
+    # DuckDB HUGEINT output types, fixed this round by CAST(... AS BIGINT)
+    # in the oracles; 2 were added after r4's window was frozen), then the
+    # 35 queries that sat past r4's window (each 3x green in r01-r03, so
+    # an r4 gap is their only missing recent row), then 10 representative
+    # core queries incl. the ops touched by this round's perf work
+    # (simhash rewrite, IVF ragged-vector fix are in the 35).  The 37
+    # pushed past 50 all have a green r4 row (CORRECTNESS_r04).
     return {
-        # -- never driver-checked before r4 (26) ---------------------------
-        "grouping_sets": q_grouping_sets,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "pivot_status": q_pivot_status,
-        "window_analytics": q_window_analytics,
-        "above_customer_avg": q_above_customer_avg,
-        "scd2_history": q_scd2_history,
-        "asof_clicks": q_asof_clicks,
-        "range_band_join": q_range_band_join,
-        "promo_overlap": q_promo_overlap,
-        "funnel": q_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "histogram": q_histogram,
-        "fuzzy_match": q_fuzzy_match,
-        "pii_redact": q_pii_redact,
-        "strip_html": q_strip_html,
-        "url_domains": q_url_domains,
-        "repetition_stats": q_repetition_stats,
-        "contamination": q_contamination,
-        "dedup_clusters": q_dedup_clusters,
-        "pack_sequences": q_pack_sequences,
-        "attribution": q_attribution,
-        "search_hybrid": q_search_hybrid,
-        "multimodal_meta": q_multimodal_meta,
-        # -- representative core, keeps the window honest (24) -------------
-        "pdf_to_download": q_pdf_to_download,
-        "pricing_summary": q_pricing_summary,
-        "join_dims_rollup": q_join_dims_rollup,
-        "multiway_left_enrich": q_multiway_left_enrich,
-        "anti_join": q_anti_join,
-        "window_dedup_latest": q_window_dedup_latest,
+        # -- no green driver hash row before r5 (5) ------------------------
         "strip_dup_spans": q_strip_dup_spans,
-        "dsir_weights": q_dsir_weights,
-        # r4 additions take these four window slots so they get driver
-        # rows; update_from_join/delete_using/percentiles/heavy_hitters
-        # (3x green in r01-r03) move below the window.
         "bpe_pair_counts": q_bpe_pair_counts,
-        "dup_spans": q_dup_spans,
-        "chunk_documents": q_chunk_documents,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "fingerprint": q_fingerprint,
-        "lm_perplexity": q_lm_perplexity,
-        "column_profile": q_column_profile,
-        "c4_filter": q_c4_filter,
         "embed_quantize": q_embed_quantize,
-        "search_postings": q_search_postings,
-        "ann_bruteforce": q_ann_bruteforce,
-        "embedding_near_dup": q_embedding_near_dup,
-        # r4 additions take these two window slots so they get driver
-        # rows; lang_id/token_count (3x green in r01-r03) move below.
-        "merge_upsert_tx": q_merge_upsert_tx,
-        "search_bm25": q_search_bm25,
-        # -- past the 50-entry window: 3x green in r01-r03 (30) ------------
+        "ngram_novelty": q_ngram_novelty,
+        "tokens_by_source": q_tokens_by_source,
+        # -- past r4's window, 3x green r01-r03 (35) -----------------------
         "group_collect": q_group_collect,
         "merge_upsert": q_merge_upsert,
         "update_from_join": q_update_from_join,
@@ -2501,10 +2453,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test": q_train_val_test,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
-        # r4 late additions (beyond the window this round; rotate into the
-        # checked 50 in r5 — oracle-backed and green in the local harness)
-        "tokens_by_source": q_tokens_by_source,
-        "ngram_novelty": q_ngram_novelty,
+        # -- representative core, keeps the window honest (10) -------------
+        "pdf_to_download": q_pdf_to_download,
+        "pricing_summary": q_pricing_summary,
+        "join_dims_rollup": q_join_dims_rollup,
+        "anti_join": q_anti_join,
+        "window_dedup_latest": q_window_dedup_latest,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "chunk_documents": q_chunk_documents,
+        "dup_spans": q_dup_spans,
+        # -- past the 50-entry window: green in CORRECTNESS_r04 (37) -------
+        "grouping_sets": q_grouping_sets,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "pivot_status": q_pivot_status,
+        "window_analytics": q_window_analytics,
+        "above_customer_avg": q_above_customer_avg,
+        "scd2_history": q_scd2_history,
+        "asof_clicks": q_asof_clicks,
+        "range_band_join": q_range_band_join,
+        "promo_overlap": q_promo_overlap,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "histogram": q_histogram,
+        "fuzzy_match": q_fuzzy_match,
+        "pii_redact": q_pii_redact,
+        "strip_html": q_strip_html,
+        "url_domains": q_url_domains,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
+        "dedup_clusters": q_dedup_clusters,
+        "pack_sequences": q_pack_sequences,
+        "attribution": q_attribution,
+        "search_hybrid": q_search_hybrid,
+        "multimodal_meta": q_multimodal_meta,
+        "multiway_left_enrich": q_multiway_left_enrich,
+        "dsir_weights": q_dsir_weights,
+        "fingerprint": q_fingerprint,
+        "lm_perplexity": q_lm_perplexity,
+        "column_profile": q_column_profile,
+        "c4_filter": q_c4_filter,
+        "search_postings": q_search_postings,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
+        "merge_upsert_tx": q_merge_upsert_tx,
+        "search_bm25": q_search_bm25,
     }
 
 

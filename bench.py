@@ -3,10 +3,15 @@
 
 Runs every ``queries()`` entry from ``__spark_entry__`` against
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line to stdout:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+     "queries": {<5 slowest>: sec, ...}, "sf": 0.1}
+
+The full per-query timing map is written to ``BENCH_LOCAL.json`` (committed)
+and echoed to stderr — the driver captures only the final ~2000 chars of
+stdout, and an 87-query map overflows that window (BENCH_r04 lost its
+headline total this way), so stdout carries just the summary.
 
 Each query is forced end-to-end with the ``noop`` sink so the full physical
 plan executes (a bare ``count()`` would let Catalyst prune projections and
@@ -139,6 +144,30 @@ def main() -> None:
         "strip_dup_spans", "tokens_by_source", "ngram_novelty",
     }
     subset = round(sum(v for k, v in timings.items() if k not in r4_new), 3)
+    full = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "r3_subset_total": subset,
+        "queries": timings,
+        "sf": sf,
+        "noise_suspects": noise,
+    }
+    # The driver stores only the LAST 2000 chars of stdout, and the full
+    # per-query map is ~3000 chars — round 4's headline total was lost to
+    # the tail capture (`parsed: null` in BENCH_r04). Write the full
+    # document to BENCH_LOCAL.json, print it for human runs, then print a
+    # compact summary (headline fields + the 5 slowest queries) as the
+    # FINAL stdout line so the driver's tail always parses.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(full), file=sys.stderr, flush=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
@@ -147,11 +176,12 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "r3_subset_total": subset,
-                "queries": timings,
                 "sf": sf,
-                "noise_suspects": noise,
+                "queries": slowest,
+                "queries_note": "5 slowest of n_queries; full map in BENCH_LOCAL.json",
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -51,6 +51,46 @@ def _canon(df):
     return df
 
 
+def _value_hash(df):
+    """Exact, dtype-canonicalized value hash mirroring the driver's compare.
+
+    The driver's hash is dtype-sensitive: in round 4 three oracles whose
+    values were *exactly* equal to Spark's still hash-failed because DuckDB
+    SUM/list_sum over integers returns HUGEINT, which lands in pandas as
+    float64 while Spark's bigint stays int64.  The tolerant
+    ``_values_equal`` below cannot see that (it compares through float), so
+    this hash normalizes integers to int64 and floats to float64 (already
+    rounded by ``_canon``) and digests the *bit patterns* — an uncast
+    HUGEINT aggregate now fails locally before it fails a driver round.
+    Run on the output of ``_canon`` (sorted columns + rows, floats rounded).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    h = hashlib.sha256()
+    for c in df.columns:
+        x = df[c]
+        if pd.api.types.is_bool_dtype(x):
+            kind, payload = "b", x.to_numpy(dtype=np.uint8).tobytes()
+        elif pd.api.types.is_integer_dtype(x):
+            kind, payload = "i", x.to_numpy(dtype=np.int64).tobytes()
+        elif pd.api.types.is_float_dtype(x):
+            v = x.to_numpy(dtype=np.float64)
+            v = np.where(v == 0.0, 0.0, v)  # -0.0 -> +0.0
+            kind, payload = "f", v.tobytes()
+        else:  # object: already stringified (or None) by _canon
+            kind = "s"
+            payload = b"\x00".join(
+                b"<NULL>" if v is None else str(v).encode() for v in x
+            )
+        h.update(f"{c}|{kind}|".encode())
+        h.update(payload)
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 def _values_equal(a, b, rel=1e-6, abs_tol=1e-9):
     import numpy as np
     import pandas as pd
@@ -112,8 +152,8 @@ def main():
         if only and name not in only:
             continue
         rec = {"pos": i, "rows_match": None, "schema_match": None,
-               "values_match": None, "spark_rows": None, "oracle_rows": None,
-               "err": None, "sec": None}
+               "values_match": None, "hash_match": None, "spark_rows": None,
+               "oracle_rows": None, "err": None, "sec": None}
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -130,8 +170,14 @@ def main():
                     a, b = _canon(sdf.copy()), _canon(odf.copy())
                     ok, why = _values_equal(a, b)
                     rec["values_match"] = bool(ok)
+                    rec["hash_match"] = _value_hash(a) == _value_hash(b)
                     if not ok:
                         rec["err"] = why
+                    elif not rec["hash_match"]:
+                        rec["err"] = (
+                            "exact-hash mismatch (values equal under tolerance "
+                            "-> output dtype drift, e.g. HUGEINT oracle)"
+                        )
             else:
                 rec["err"] = "no_oracle"
                 _canon(sdf.copy())  # driver canonicalizes even rows-only results
@@ -139,13 +185,15 @@ def main():
             rec["err"] = traceback.format_exc(limit=3).splitlines()[-1]
         rec["sec"] = round(time.time() - t0, 2)
         results[name] = rec
-        tag = ("OK" if rec["values_match"] else
+        tag = ("OK" if rec["values_match"] and rec["hash_match"] else
                "rows-only" if rec["err"] == "no_oracle" else "FAIL")
         print(f"[{i:3d}] {name:28s} {tag:9s} rows={rec['spark_rows']} "
               f"{rec['sec']}s {'' if rec['values_match'] or rec['err'] in (None, 'no_oracle') else rec['err']}",
               flush=True)
 
-    n_ok = sum(1 for r in results.values() if r["values_match"])
+    n_ok = sum(
+        1 for r in results.values() if r["values_match"] and r["hash_match"]
+    )
     n_ro = sum(1 for r in results.values() if r["err"] == "no_oracle")
     n_bad = len(results) - n_ok - n_ro
     print(f"\n{n_ok} ok / {n_ro} rows-only / {n_bad} FAIL of {len(results)}")
