@@ -24,6 +24,8 @@ verify LSH candidates, not as the primary pass.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -195,16 +197,25 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sum +-1 across token
-    xxhash64 values; bit set iff the sum is positive. All expression-level:
-    fold token-hash array into a 64-wide counter array, then pack bits."""
-    # Signature computation is a heavy per-row expression (64-wide counter
-    # fold per token); spread rows across cores first — a small-file scan
-    # would otherwise compute every signature in one task.
-    df = spread(df, F.col(id_col))
+def _token_hashes(text_col: str) -> Column:
+    """xxhash64 of each non-empty whitespace token of the normalized text.
+    JVM-side: tokenization and hashing stay in codegen'd expressions; only
+    the 64-wide bit counting moves to Python (``_simhash_pack_pd``)."""
     toks = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def simhash_expression(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """EXPRESSION-level SimHash — the pinned reference spec.
+
+    64-bit SimHash over whitespace tokens: per bit, sum +-1 across token
+    xxhash64 values; bit set iff the sum is positive. The production path
+    is ``simhash`` (Arrow-batched numpy, same spec — parity pinned by
+    tests/test_dedup_similarity.py); this tree folds a 64-wide counter
+    array per token in the interpreter and measured ~1.6x slower at sf0.1.
+    """
+    df = spread(df, F.col(id_col))
+    hashes = _token_hashes(text_col)
 
     # shiftright/shiftleft take a literal shift count, so the 64 bit
     # positions are unrolled Python-side into array literals.
@@ -242,6 +253,87 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return spread(df.select(F.col(id_col).alias("id"), packed.alias("simhash")), F.col("id"))
 
 
+def _simhash_pack_pd():
+    """Arrow-batched SimHash bit counting: token-hash array<long> -> packed
+    64-bit signature, exactly matching ``simhash_expression``'s fold (bit b
+    set iff sum over tokens of +-1 on hash-bit b is positive; bit 63 is the
+    long sign bit; NULL token array -> NULL signature; empty -> 0).
+
+    Same pattern as similarity._signatures_pd: the interpreted 64-wide HOF
+    fold per token becomes one numpy unpackbits + segment-sum per Arrow
+    batch. Tokens are flattened across the batch, bits expanded via
+    ``np.unpackbits`` on the little-endian byte view (64 uint8 lanes per
+    hash), and summed per document with ``add.reduceat`` on the row
+    offsets — no per-token Python dispatch anywhere.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(LongType())
+    def pack(hashes: pd.Series) -> pd.Series:
+        n = len(hashes)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        out = np.zeros(n, dtype=np.uint64)
+        nz = np.flatnonzero(lens)
+        # Chunk rows so the transient (n_tokens, 64) uint8 bit matrix stays
+        # ~64 MB regardless of batch shape (bounds Python-worker memory at
+        # any document length distribution).
+        chunk_start = 0
+        while chunk_start < nz.size:
+            chunk_end, tok = chunk_start, 0
+            while chunk_end < nz.size and (tok == 0 or tok + lens[nz[chunk_end]] <= 1 << 20):
+                tok += lens[nz[chunk_end]]
+                chunk_end += 1
+            rows = nz[chunk_start:chunk_end]
+            flat = np.concatenate(
+                [np.asarray(hashes.iloc[i], dtype=np.int64) for i in rows]
+            )
+            # (T, 64) 0/1 bit matrix: unpackbits over the LE byte view puts
+            # bit 0 of byte 0 (the hash LSB) first with bitorder='little'.
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            offsets = np.zeros(rows.size, dtype=np.int64)
+            np.cumsum(lens[rows][:-1], out=offsets[1:])
+            ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+            # sum of +-1 contributions = 2*ones - n_tokens; positive iff
+            # ones > n_tokens/2  <=>  2*ones > n_tokens
+            pos = (2 * ones) > lens[rows][:, None]
+            out[rows] = (pos.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+            chunk_start = chunk_end
+        sig = out.view(np.int64)
+        return pd.Series(
+            [None if hashes.iloc[i] is None else int(sig[i]) for i in range(n)],
+            dtype=object,
+        )
+
+    return pack
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens — production path.
+
+    Tokenize + xxhash64 stay JVM-side (codegen); the per-token 64-wide
+    counter fold runs as one Arrow-batched numpy pass per batch
+    (``_simhash_pack_pd``), pinned bit-for-bit against
+    ``simhash_expression`` by test. At 100 TB this is a single scan-shaped
+    map stage: no shuffle, no driver state, batch-local memory only."""
+    df = spread(df, F.col(id_col))
+    pack = _simhash_pack_pd()
+    # No trailing barrier (unlike simhash_expression): Python UDFs are
+    # extracted into one ArrowEvalPython node and evaluated once per row
+    # however many downstream expressions reference the column, so the
+    # CollapseProject recompute hazard the expression path guards against
+    # does not exist here — one shuffle saved.
+    return df.select(
+        F.col(id_col).alias("id"), pack(_token_hashes(text_col)).alias("simhash")
+    )
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Hamming-near pairs via the 4-block pigeonhole trick: split the 64-bit
     signature into 4 16-bit blocks — any pair within Hamming distance 3
@@ -265,17 +357,31 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     blocks = blocks.persist()
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+
+    # First-matching-block gate: a pair sharing several blocks would be
+    # emitted once per shared block; instead of a dropDuplicates SHUFFLE of
+    # the candidate set, emit the pair only at its lowest matching block —
+    # for block i require every block j<i to DISAGREE (a static 3-term
+    # predicate over the two signature columns, evaluated inside the join).
+    def blk(side: str, j: int) -> Column:
+        return F.shiftright(F.col(f"{side}.simhash"), j * 16).bitwiseAND(F.lit(0xFFFF))
+
+    earlier_match = F.lit(False)
+    for j in range(3):
+        earlier_match = earlier_match | (
+            (F.col("a.block_id") > j) & (blk("a", j) == blk("b", j))
+        )
     return (
         a.join(
             b,
             (F.col("a.block_id") == F.col("b.block_id"))
             & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & ~earlier_match,
         )
-        # filter in the join projection: only near pairs reach the dedup
+        # filter in the join projection: only near pairs survive
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -39,6 +39,28 @@ def test_simhash_identical_zero_hamming(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(0, 1)}
 
 
+def test_simhash_pandas_matches_expression_reference(spark):
+    """The Arrow-batched numpy simhash must agree bit-for-bit with the
+    pinned expression-level fold on real corpus text plus the edge cases
+    (empty text -> signature 0, NULL text -> NULL, sign-bit doc)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(64)
+    )
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, None), (100003, "x " * 300), (100004, "one")],
+        ["doc_id", "text"],
+    )
+    df = docs.unionByName(extra)
+    a = {r["id"]: r["simhash"] for r in dedup.simhash_expression(df).collect()}
+    b = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert set(a) == set(b) and len(a) >= 60
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+    assert b[100001] == 0 and b[100002] is None
+
+
 def test_ngram_jaccard_exact_values(spark):
     df = _docs(spark, ["abcdefgh", "abcdefgh", "zzzzzzzz"])
     out = dedup.ngram_jaccard_pairs(df, k=8, threshold=0.5).collect()
