@@ -154,8 +154,11 @@ def _signatures_pd(n_tables: int, bits: int, dim: int):
     place a vectorized pandas UDF beats JVM expressions: the literal
     hyperplane tree is gone from the plan (driver analysis ~3.3s -> ms)
     and the per-row interpreted folds become a batched BLAS call.
-    Null/short vectors zero-pad, matching the expression's null->0-sig
-    behaviour."""
+    NULL vectors and vectors whose length differs from ``dim`` stay zero
+    rows (every dot 0, no bit set, signature 0 in every table) — the
+    expression's zip_with NULL-pads any length mismatch, nulling every
+    dot, so it also emits the all-zero signature; a partial dot over the
+    overlapping prefix would bucket ragged vectors differently."""
     H = np.array(
         [_hyperplane(t, b, dim) for t in range(n_tables) for b in range(bits)]
     )  # (T*B, D)
@@ -165,9 +168,8 @@ def _signatures_pd(n_tables: int, bits: int, dim: int):
     def sig(vecs: pd.Series) -> pd.Series:
         M = np.zeros((len(vecs), dim))
         for i, v in enumerate(vecs):
-            if v is not None:
-                a = np.asarray(v, dtype=np.float64)
-                M[i, : min(dim, len(a))] = a[:dim]
+            if v is not None and len(v) == dim:
+                M[i] = np.asarray(v, dtype=np.float64)
         dots = M @ H.T  # (N, T*B)
         bitm = (dots > 0).reshape(len(vecs), n_tables, bits)
         sigs = (bitm * W).sum(axis=2, dtype=np.int64)
@@ -274,9 +276,12 @@ def _centroid_topn_pd(centroids: list[list[float]], n: int):
     literals (1024 at the 16x64 default) and is REBUILT with fresh
     literals every Lloyd iteration, so the driver re-analyzes and janino
     re-compiles a ~100 KB expression per pass — more time than the
-    executors spend. Null/short vectors zero-pad; all dots then tie and
-    the stable sort yields [0..n-1], matching the expression's
-    all-sentinel tie-break."""
+    executors spend. NULL vectors and vectors whose length differs from
+    ``dim`` stay zero rows: every dot ties at 0 and the stable sort
+    yields [0..n-1], matching the expression path, where zip_with's NULL
+    padding nulls the whole dot (sentinel -2.0 for every centroid) on ANY
+    length mismatch — a partial dot over the overlapping prefix would
+    assign ragged embeddings to different IVF cells than the spec."""
     C = np.asarray(centroids, dtype=np.float64)  # (K, D)
     dim = C.shape[1]
 
@@ -284,9 +289,8 @@ def _centroid_topn_pd(centroids: list[list[float]], n: int):
     def probe(vecs: pd.Series) -> pd.Series:
         M = np.zeros((len(vecs), dim))
         for i, v in enumerate(vecs):
-            if v is not None:
-                a = np.asarray(v, dtype=np.float64)
-                M[i, : min(dim, len(a))] = a[:dim]
+            if v is not None and len(v) == dim:
+                M[i] = np.asarray(v, dtype=np.float64)
         dots = M @ C.T  # (N, K)
         order = np.argsort(-dots, axis=1, kind="stable")[:, :n]
         return pd.Series([row.astype("int32").tolist() for row in order])

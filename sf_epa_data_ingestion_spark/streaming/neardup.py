@@ -84,9 +84,16 @@ def near_dup_monitor(
     def write_batch(batch_df, batch_id: int) -> None:
         if (last := state.last_txn(app_id)) is not None and batch_id <= last:
             return  # fully processed (state commits LAST)
+        seen = state.read().select("id", "sig")
+        # Re-delivery guard: a doc id can arrive again in a LATER batch (at-
+        # least-once upstream) or twice within one batch. Without the drop,
+        # state would hold two sig rows for the id and every candidate pair
+        # it joins would fan out into duplicate output rows.
+        batch_df = batch_df.dropDuplicates([id_col]).join(
+            seen.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
         sig = _signatures(batch_df, id_col, text_col, num_hashes, shingle_k).persist()
         new_bands = minhash_band_rows(sig, bands, rows_per_band)
-        seen = state.read().select("id", "sig")
         old_bands = minhash_band_rows(seen, bands, rows_per_band)
         a_new, b_old = new_bands.alias("a"), old_bands.alias("b")
         cross = a_new.join(

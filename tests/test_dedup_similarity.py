@@ -222,6 +222,16 @@ def test_pandas_signatures_match_expression_reference(spark):
         expr_sigs.alias("a"), pd_sigs.alias("b")
     ).collect()
     assert rows and all(list(r["a"]) == list(r["b"]) for r in rows)
+    # ragged vectors: any length mismatch nulls every expression dot ->
+    # all-zero signature; the UDF must match (zero row), not partial-dot
+    ragged = spark.createDataFrame(
+        [(1, [0.7] * (dim - 2)), (2, [0.7] * (dim + 3))], "id long, embedding array<double>"
+    )
+    for r in ragged.select(
+        similarity._signatures(F.col("embedding"), 4, 8, dim).alias("a"),
+        similarity._signatures_pd(4, 8, dim)(F.col("embedding")).alias("b"),
+    ).collect():
+        assert list(r["a"]) == list(r["b"]) == [0, 0, 0, 0], r
 
 
 def test_centroid_topn_pd_matches_expression_spec(spark):
@@ -243,10 +253,19 @@ def test_centroid_topn_pd_matches_expression_spec(spark):
         .collect()
     )
     assert all(r["pd_cid"] == r["ex_cid"] for r in got)
-    # null vector: all dots tie -> stable order [0, 1]
-    nulldf = spark.createDataFrame([(1, None)], "id long, v array<double>")
-    r = nulldf.select(similarity._centroid_topn_pd(cents, 2)(F.col("v")).alias("p")).first()
-    assert r["p"] == [0, 1]
+    # NULL and ragged (short/long) vectors: the expression path nulls every
+    # dot on any length mismatch (zip_with NULL padding) so all centroids
+    # tie and index 0 wins; the UDF must emit the same all-tie order, not a
+    # partial dot over the overlapping prefix.
+    ragged = spark.createDataFrame(
+        [(1, None), (2, [0.5] * 5), (3, [0.5] * 11)], "id long, v array<double>"
+    )
+    for r in ragged.select(
+        "id",
+        similarity._centroid_topn_pd(cents, 2)(F.col("v")).alias("p"),
+        similarity._nearest_centroid(F.col("v"), cents).alias("ex_cid"),
+    ).collect():
+        assert r["p"] == [0, 1] and r["ex_cid"] == 0, r
 
 
 from hypothesis import given, settings, strategies as st

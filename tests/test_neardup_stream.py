@@ -54,7 +54,17 @@ def test_near_dup_monitor_cross_batch_in_batch_and_replay(spark, tmp_path):
     assert pairs_out.read().count() == n_pairs
     assert state.read().count() == n_state
 
-    # batch 2: another near-copy of doc 1 -> pairs against BOTH 1 and 3
-    sink(_docs(spark, [(7, base.replace("warm", "cold"))]), 2)
-    got2 = {(r["id_a"], r["id_b"]) for r in pairs_out.read().collect()}
+    # batch 2: another near-copy of doc 1 -> pairs against BOTH 1 and 3.
+    # The batch also RE-DELIVERS doc 4 under a new batch id (at-least-once
+    # upstream) and carries doc 7 twice: neither may duplicate state rows
+    # or fan pairs out, and no (4, 5) rematch may appear pointing old-ward.
+    sink(_docs(spark, [(7, base.replace("warm", "cold")),
+                       (7, base.replace("warm", "cold")),
+                       (4, other + " extra tail")]), 2)
+    rows2 = pairs_out.read().collect()
+    got2 = {(r["id_a"], r["id_b"]) for r in rows2}
     assert (1, 7) in got2 and (3, 7) in got2
+    assert len(rows2) == len(got2), "duplicate pair rows after re-delivery"
+    st = state.read().groupBy("id").count().filter(F.col("count") > 1).collect()
+    assert st == [], f"duplicate state rows: {st}"
+    assert state.read().count() == 7
