@@ -1,0 +1,138 @@
+"""Recall floors for the approximate operator family.
+
+These operators are rows-only forever (their outputs hinge on engine
+hashes, so no SQL oracle exists); a pinned recall floor against the exact
+counterpart is the missing correctness signal (VERDICT r4 §next-round #5).
+
+Two regimes:
+
+- **Pair recall on the real sf0.01 corpus** (minhash vs exact n-gram
+  Jaccard, simhash vs exact n-gram Jaccard): the documents table carries
+  genuine near-duplicates, so the exact PPJoin operator provides ground
+  truth. Both gates are deterministic — signatures are seeded engine
+  hashes over fixed data.
+
+- **Planted-neighbor recall for ANN** (lsh_topk, ivf_topk): the sf
+  embeddings are isotropic random vectors, where NO sublinear method can
+  concentrate (measured recall@10 vs brute force: LSH 0.03, IVF 0.51 at
+  25% scan fraction — the curse of dimensionality, not an operator bug;
+  see SCALE.md "Similarity search"). The meaningful gate plants jittered
+  near-copies (cos ~0.98) into a random corpus and requires the planted
+  partner to be retrieved — the near-dup retrieval job ANN exists for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators import dedup, similarity
+from sf_epa_data_ingestion_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_minhash_pair_recall_vs_exact_jaccard(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, k=8, threshold=0.7).collect()
+    }
+    assert len(truth) >= 10, "corpus lost its planted near-dups?"
+    cand = {
+        (r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    recall = len(cand & truth) / len(truth)
+    # banding theory at j=0.7 (16 bands x 4 rows): 1-(1-0.7^4)^16 = 0.988;
+    # measured 1.0 on this corpus
+    assert recall >= 0.95, f"minhash pair recall {recall:.3f} < 0.95"
+
+
+def test_simhash_pair_recall_vs_exact_jaccard(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, k=8, threshold=0.9).collect()
+    }
+    assert len(truth) >= 10
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs(docs, max_hamming=8).collect()
+    }
+    recall = len(cand & truth) / len(truth)
+    # measured 0.92: the 4-block pigeonhole is complete only to hamming 3,
+    # so a handful of j>=0.9 pairs with token-level noise sit just outside
+    assert recall >= 0.9, f"simhash pair recall {recall:.3f} < 0.9"
+
+
+def _planted_corpus(spark, dim=64, n_base=200, n_planted=30, jitter=0.02, seed=7):
+    """Random unit corpus + jittered near-copies.
+
+    Per-component noise of ``jitter`` has total norm jitter*sqrt(dim)
+    (0.16 at the defaults), so the copy's cosine to its base is
+    ~1/sqrt(1+0.16^2) ~= 0.987 — the near-duplicate regime ANN retrieval
+    is built for."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    planted = []  # (query_id, partner_id)
+    for j in range(n_planted):
+        v = base[j] + jitter * rng.standard_normal(dim)
+        rows.append((1000 + j, (v / np.linalg.norm(v)).tolist()))
+        planted.append((1000 + j, j))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (
+        corpus.filter(F.col("vec_id") >= 1000)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return corpus, queries, planted
+
+
+def _retrieved(df):
+    got: dict[int, set[int]] = {}
+    for r in df.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return got
+
+
+def test_lsh_topk_planted_neighbor_recall(spark):
+    corpus, queries, planted = _planted_corpus(spark)
+    got = _retrieved(similarity.lsh_topk(corpus, queries, k=10, dim=64))
+    hits = sum(1 for q, p in planted if p in got.get(q, set()))
+    recall = hits / len(planted)
+    # hyperplane theory at cos 0.98 (4 tables x 8 bits):
+    # 1-(1-(1-theta/pi)^8)^4 ~= 0.97
+    assert recall >= 0.9, f"lsh planted recall {recall:.3f} < 0.9"
+
+
+def test_ivf_topk_planted_neighbor_recall(spark):
+    corpus, queries, planted = _planted_corpus(spark)
+    got = _retrieved(
+        similarity.ivf_topk(corpus, queries, k=10, dim=64, n_centroids=8, n_probe=3)
+    )
+    hits = sum(1 for q, p in planted if p in got.get(q, set()))
+    recall = hits / len(planted)
+    assert recall >= 0.9, f"ivf planted recall {recall:.3f} < 0.9"
+
+
+def test_ivf_topk_isotropic_recall_vs_bruteforce(spark):
+    """On the isotropic sf0.01 embeddings, IVF at n_probe/n_centroids=25%
+    scan fraction must still beat the random-scan baseline 2x — the honest
+    floor for data with no cluster structure (measured 0.51)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=10, dim=64, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, f"ivf isotropic recall {recall:.3f} < 0.4"
