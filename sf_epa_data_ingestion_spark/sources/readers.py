@@ -110,3 +110,53 @@ def load_binary_stage(spark: SparkSession, stage_dir: str, glob: str | None = No
         F.md5(F.col("content")).alias("md5"),
         F.col("content"),
     )
+
+
+def load_binary_files(
+    spark: SparkSession, directory: str, suffix: str | None = None
+) -> DataFrame:
+    """Binary file source that does NOT skip ``_``/``.``-prefixed names.
+
+    Spark's InMemoryFileIndex hardcodes a hidden-file filter: any path
+    whose name starts with ``_`` or ``.`` is treated as metadata and
+    silently dropped — even when listed explicitly. Real stages contain
+    such names (the reference corpus ships ``_USF_0411.pdf``;
+    epa_ingestion.py:485-494 lists the stage unfiltered), so silently
+    losing them is a correctness bug, not a convention.
+
+    Listing happens driver-side (metadata-scale: one (path, size) row per
+    file); byte reads happen executor-side through ``pyarrow.fs`` inside
+    ``mapInPandas``, so content never moves through the driver and the
+    same code path serves local, HDFS, and S3 URIs on a cluster.
+    """
+    import pyarrow.fs as pafs
+
+    fs, root = pafs.FileSystem.from_uri(directory)
+    infos = fs.get_file_info(pafs.FileSelector(root, recursive=True))
+    paths = sorted(
+        (i.path, i.size)
+        for i in infos
+        if i.type == pafs.FileType.File
+        and (suffix is None or i.path.lower().endswith(suffix.lower()))
+    )
+    listing = spark.createDataFrame(paths, "path string, length long")
+
+    def read_bytes(batches):
+        import pandas as pd
+        import pyarrow.fs as pafs2
+
+        fs2, _ = pafs2.FileSystem.from_uri(directory)
+        for pdf in batches:
+            contents = []
+            for p in pdf["path"]:
+                with fs2.open_input_stream(p) as f:
+                    contents.append(f.read())
+            yield pd.DataFrame(
+                {"path": pdf["path"], "length": pdf["length"], "content": contents}
+            )
+
+    # spread the (tiny) listing so file reads parallelize across cores
+    n = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    return listing.repartition(n).mapInPandas(
+        read_bytes, schema="path string, length long, content binary"
+    )
