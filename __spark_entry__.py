@@ -707,14 +707,32 @@ SELECT doc_id, u.token FROM documents, unnest(string_split(text, ' ')) AS u(toke
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 chunker UDTF applied laterally (rows-only check: the recursive
-    splitter is not SQL-expressible; golden unit tests cover boundaries).
-    Small geometry so the small test documents actually produce multiple
-    chunks; production default stays 1512/256."""
+    """§2.8 chunker UDTF applied laterally. Small geometry so the small
+    test documents actually produce multiple chunks; production default
+    stays 1512/256.
+
+    Oracle: the recursive atomize-and-pack splitter is not SQL-expressible,
+    so the oracle joins a content-addressed GOLDEN FIXTURE
+    (tests/fixtures/golden_chunks_128_32.parquet: md5(text) -> chunk rows,
+    generated by tools/make_golden_chunks.py from the pure-Python
+    ``split_text`` over every distinct sf0.001+sf0.01 document text).
+    What the hash-exact compare then proves is that the DISTRIBUTED path —
+    Arrow chunker UDF + posexplode + keep_cols plumbing — reproduces the
+    committed reference output byte-for-byte; ``split_text`` itself is
+    pinned separately by golden boundary unit tests
+    (tests/test_text_chunker.py)."""
     d = _t(spark, sf_dir, "documents")
     return text.chunk_documents(
         d.select("doc_id", "text"), text_col="text", chunk_size=128, overlap=32
     )
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+SELECT d.doc_id, f.chunk_index, f.chunk
+FROM documents d
+JOIN '/root/repo/tests/fixtures/golden_chunks_128_32.parquet' f
+  ON md5(d.text) = f.text_md5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2572,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": ORACLE_STRIP_DUP_SPANS,
         "tokens_by_source": ORACLE_TOKENS_BY_SOURCE,
         "ngram_novelty": ORACLE_NGRAM_NOVELTY,
+        "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "attribution": ORACLE_ATTRIBUTION,
         "asof_clicks": ORACLE_ASOF_CLICKS,
