@@ -37,9 +37,19 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects outright (PARQUET_TYPE_ILLEGAL). Footer-only metadata
     read on the driver — no data IO."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
+    # a table may be a single file (the driver's testdata) or a directory
+    # of part files (any Spark-written table); the footer probe reads one
+    # part — every part of a table shares the schema
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
     schema = pq.read_schema(path)
     return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
 

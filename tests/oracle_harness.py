@@ -62,6 +62,22 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
     if len(spdf) != len(oracle_pdf):
         problems.append(f"{name}: row count spark={len(spdf)} oracle={len(oracle_pdf)}")
         return problems
+    # dtype-kind parity: the driver's value hash is dtype-sensitive — a
+    # DuckDB HUGEINT aggregate lands in pandas as float64 while Spark's
+    # bigint stays int64, and Python-level value compares (100 == 100.0)
+    # cannot see it. Flag any column whose numeric KIND diverges.
+    for c in sorted(spdf.columns):
+        ka, kb = spdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+        if {ka, kb} <= {"i", "u"} or ka == kb:
+            continue
+        if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+            problems.append(
+                f"{name}: col {c!r} dtype kind spark={spdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype} (HUGEINT-class drift: the "
+                "driver's exact hash fails on this even when values match)"
+            )
+    if problems:
+        return problems
     a, b = canonicalize(spdf), canonicalize(oracle_pdf)
     n_bad = 0
     for i, (ra, rb) in enumerate(zip(a, b)):

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Measure sf0.1 -> sf1 (10x) wall-time scaling for the heavy operators.
+
+Runs each query at both scales on the same session (min of N cold runs,
+cache cleared between runs — the box shows bursty CPU steal, see
+bench.py), prints a ratio table, and emits one JSON line. A subquadratic
+operator should grow ~10x on 10x data on a fixed-core box; the SCALE.md
+gate is <15x (linear-ish: 10x data plus shuffle/log-factor headroom).
+
+Usage: python tools/scale_check.py [runs=3]
+Requires .scaledata/sf1 (tools/make_sf1.py).
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry  # noqa: E402
+from sf_epa_data_ingestion_spark.session import get_spark  # noqa: E402
+
+HEAVY = ["dedup_clusters", "ngram_jaccard", "dup_spans", "minhash_lsh", "ann_ivf"]
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".scaledata", "sf1")
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_spark(app_name="scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    # warm JVM + python workers
+    qs["simhash"](spark, "/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    out = {}
+    for name in HEAVY:
+        row = {}
+        for tag, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+                spark.catalog.clearCache()
+            row[tag] = round(best, 3)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        out[name] = row
+        print(f"{name:16s} sf0.1={row['sf0.1']:7.3f}s sf1={row['sf1']:8.3f}s "
+              f"ratio={row['ratio']:.2f}x", flush=True)
+    print(json.dumps({"metric": "sf01_to_sf1_scaling", "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
