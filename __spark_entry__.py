@@ -3,9 +3,14 @@
 Every implemented operator from SURVEY.md §2 (plus the north-star
 LLM-pipeline extensions) is exposed as a ``queries()`` entry, with a
 DuckDB-runnable ANSI-SQL oracle in ``oracle_sql()`` wherever the semantics
-are SQL-expressible. Non-SQL-expressible ops (recursive chunker UDTF,
-MinHash/SimHash signatures, LSH ANN, winnowing fingerprints, iterative
-connected components) ship without an oracle → rows-only check.
+are SQL-expressible. Ops whose values hang off JVM-internal hashes get
+content-addressed golden-fixture oracles instead: the chunker UDTF against
+pure-Python ``split_text`` output, and (r5) MinHash-LSH / SimHash /
+winnowing fingerprints against signatures recomputed by the pure-Python
+Spark-hash mirrors in ``functions/refhash.py`` — the DuckDB side then
+re-derives the band-bucket / pigeonhole pair logic in plain SQL. Only
+genuinely approximate ops (ANN recall, HLL sketches) stay rows-only,
+backed by recall-floor tests.
 
 Determinism discipline (so order-insensitive value-hashes match):
 - every aggregate over doubles goes through DECIMAL(38,6) (exact, order-
@@ -843,14 +848,77 @@ WHERE CAST(c.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (rows-only: signatures depend on
-    Spark's murmur3 hash, not SQL-expressible)."""
+    """MinHash+LSH near-dup candidates.
+
+    Hash-exact oracle since r5: signatures hang off Spark's murmur3,
+    which DuckDB can't compute — but murmur3 is a public algorithm, so
+    ``functions/refhash.py`` re-implements it (parity-pinned by
+    tests/test_refhash.py) and ``tools/make_golden_sigs.py`` bakes
+    content-addressed signature + band fixtures. The oracle re-derives
+    the banded bucket join and the signature agreement rate in plain SQL
+    on those fixtures — an independent end-to-end check of the whole
+    LSH pipeline (shingling, permutations, banding, pair dedup)."""
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+ORACLE_MINHASH_LSH = """
+WITH docs AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+), bands AS (
+  SELECT d.doc_id AS id, f.band_id, f.band_hash
+  FROM docs d
+  JOIN '/root/repo/tests/fixtures/golden_minhash_bands.parquet' f
+    ON d.h = f.text_md5
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+), sigs AS (
+  SELECT d.doc_id AS id, f.i, f.v
+  FROM docs d
+  JOIN '/root/repo/tests/fixtures/golden_minhash_sig.parquet' f
+    ON d.h = f.text_md5
+)
+SELECT c.id_a, c.id_b,
+       CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64
+         AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.id = c.id_a
+JOIN sigs sb ON sb.id = c.id_b AND sb.i = sa.i
+GROUP BY c.id_a, c.id_b
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-near pairs (rows-only: xxhash64-based)."""
+    """SimHash Hamming-near pairs.
+
+    Hash-exact oracle since r5 (was rows-only): xxhash64 is public, so
+    the golden-signature fixture (see q_minhash_lsh docstring) carries a
+    pure-Python 64-bit SimHash per distinct text; the oracle replays the
+    4-block pigeonhole candidate rule (share >=1 of the 16-bit blocks)
+    and the Hamming cut in SQL — checking the Arrow bit-counting UDF,
+    the block join AND the first-matching-block dedup gate at once."""
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+ORACLE_SIMHASH = """
+WITH sigs AS (
+  SELECT d.doc_id AS id, f.sig
+  FROM documents d
+  JOIN '/root/repo/tests/fixtures/golden_simhash.parquet' f
+    ON md5(d.text) = f.text_md5
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a
+JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= 8
+  AND (((a.sig >> 0)  & 65535) = ((b.sig >> 0)  & 65535)
+    OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+    OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+    OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535))
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1007,7 +1075,13 @@ FROM documents
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (rows-only: pandas UDF).
+    """Winnowing rolling-hash fingerprints.
+
+    Hash-exact oracle since r5 (was rows-only): the winnowing hash is
+    already pure Python, so ``tools/make_golden_sigs.py`` bakes its
+    output per distinct text into a content-addressed fixture and the
+    oracle joins documents to it on md5(text) — verifying the Arrow
+    batching + explode plumbing reproduces the reference fingerprints.
 
     Exploded to one (doc_id, fingerprint) row per hash: the driver's pandas
     comparator canonicalizes by sorting cells, which cannot handle array
@@ -1023,6 +1097,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(text.fingerprint_udf(F.col("text"))).alias("fingerprint"),
     )
+
+
+ORACLE_FINGERPRINT = """
+SELECT d.doc_id, f.fingerprint
+FROM documents d
+JOIN '/root/repo/tests/fixtures/golden_fingerprints.parquet' f
+  ON md5(d.text) = f.text_md5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2428,6 +2510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # core queries incl. the ops touched by this round's perf work
     # (simhash rewrite, IVF ragged-vector fix are in the 35).  The 37
     # pushed past 50 all have a green r4 row (CORRECTNESS_r04).
+    # r5 second pass: simhash / minhash_lsh / fingerprint gained golden-
+    # fixture oracles (refhash.py) and must earn their FIRST driver hash
+    # row — simhash and minhash_lsh already sit inside the window;
+    # fingerprint swaps in for anti_join (r4-green, and its anti-join
+    # plan shape stays covered in-window by pdf_to_download).
     return {
         # -- no green driver hash row before r5 (5) ------------------------
         "strip_dup_spans": q_strip_dup_spans,
@@ -2475,7 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_to_download": q_pdf_to_download,
         "pricing_summary": q_pricing_summary,
         "join_dims_rollup": q_join_dims_rollup,
-        "anti_join": q_anti_join,
+        "fingerprint": q_fingerprint,
         "window_dedup_latest": q_window_dedup_latest,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2511,7 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multiway_left_enrich": q_multiway_left_enrich,
         "dsir_weights": q_dsir_weights,
-        "fingerprint": q_fingerprint,
+        "anti_join": q_anti_join,
         "lm_perplexity": q_lm_perplexity,
         "column_profile": q_column_profile,
         "c4_filter": q_c4_filter,
@@ -2556,6 +2643,9 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": ORACLE_SESSION_WINDOWS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "minhash_lsh": ORACLE_MINHASH_LSH,
+        "simhash": ORACLE_SIMHASH,
+        "fingerprint": ORACLE_FINGERPRINT,
         "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "lang_id": ORACLE_LANG_ID,

@@ -1,0 +1,290 @@
+"""Pure-Python reference implementations of Spark's hash primitives.
+
+Spark's ``F.hash`` (Murmur3 x86_32, seed 42) and ``F.xxhash64`` (XXH64,
+seed 42) are the deterministic backbone of the MinHash / SimHash dedup
+family, but they are JVM-internal — DuckDB cannot reproduce them, which is
+why those queries were rows-only for four rounds.  Both algorithms are
+public (Austin Appleby's MurmurHash3 and Yann Collet's xxHash; Spark's
+variants live in ``Murmur3_x86_32.java`` / ``XXH64.java`` in the Spark
+source tree), so this module re-implements them bit-for-bit in Python.
+That makes the signature pipelines *independently* computable outside the
+JVM: ``tools/make_golden_sigs.py`` uses these to derive content-addressed
+golden signatures, and the DuckDB oracles replicate the banding /
+pigeonhole pair logic in SQL on top of them — turning three rows-only
+queries into hash-exact driver checks.
+
+Byte-level quirks mirrored deliberately (pinned by
+``tests/test_refhash.py`` against live Spark):
+
+- Murmur3 tail bytes are each mixed as a FULL round with the byte read as
+  a *signed* Java byte (Spark hashes tails byte-wise so results don't
+  depend on platform endianness of the tail read).
+- Word/long reads are little-endian (``Platform.getInt/getLong`` on
+  x86 — the only platform this engine targets, same as Spark's CI).
+- ``F.hash`` over an ``array<T>`` chains element hashes: the running
+  result is the seed for the next element.
+- Java ``%`` truncates toward zero (Python's floors), and Java
+  ``Math.abs(Integer.MIN_VALUE)`` stays negative — both mirrored in
+  ``java_rem`` / ``java_abs_int`` for the MinHash arithmetic.
+"""
+
+from __future__ import annotations
+
+_M32 = 0xFFFFFFFF
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _i32(v: int) -> int:
+    """Wrap to signed 32-bit."""
+    v &= _M32
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _i64(v: int) -> int:
+    """Wrap to signed 64-bit."""
+    v &= _M64
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _rotl32(v: int, n: int) -> int:
+    v &= _M32
+    return ((v << n) | (v >> (32 - n))) & _M32
+
+
+def _rotl64(v: int, n: int) -> int:
+    v &= _M64
+    return ((v << n) | (v >> (64 - n))) & _M64
+
+
+# ---------------------------------------------------------------------------
+# Murmur3 x86_32  (Spark F.hash, default seed 42)
+# ---------------------------------------------------------------------------
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * _C1) & _M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * _C2) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 = (h1 ^ k1) & _M32
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 = (h1 ^ length) & _M32
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def murmur3_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark ``Murmur3_x86_32.hashUnsafeBytes``: 4-byte LE words, then each
+    tail byte mixed individually as a signed byte. Returns signed int32 —
+    exactly ``F.hash(string_col)`` for UTF-8 ``data``."""
+    h1 = seed & _M32
+    n_words = len(data) // 4
+    for i in range(n_words):
+        k1 = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        h1 = _mix_h1(h1, _mix_k1(k1))
+    for i in range(4 * n_words, len(data)):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # Java byte is signed
+        h1 = _mix_h1(h1, _mix_k1(b & _M32))  # & gives two's complement
+    return _i32(_fmix(h1, len(data)))
+
+
+def murmur3_string(s: str, seed: int = 42) -> int:
+    return murmur3_bytes(s.encode("utf-8"), seed)
+
+
+def murmur3_long(value: int, seed: int) -> int:
+    """Spark ``Murmur3_x86_32.hashLong``: mix low word then high word."""
+    v = value & _M64
+    low = v & _M32
+    high = (v >> 32) & _M32
+    h1 = _mix_h1(seed & _M32, _mix_k1(low))
+    h1 = _mix_h1(h1, _mix_k1(high))
+    return _i32(_fmix(h1, 8))
+
+
+def murmur3_int(value: int, seed: int) -> int:
+    """Spark ``Murmur3_x86_32.hashInt``: one mixed word."""
+    h1 = _mix_h1(seed & _M32, _mix_k1(value & _M32))
+    return _i32(_fmix(h1, 4))
+
+
+def hash_long_array(values: list[int], seed: int = 42) -> int:
+    """``F.hash(array<long>)``: element hashes chain — each result seeds
+    the next element (null elements, which leave the seed unchanged in
+    Spark, do not occur in this engine's band slices)."""
+    h = seed
+    for v in values:
+        h = murmur3_long(v, h & _M32)
+    return _i32(h)
+
+
+def java_abs_int(v: int) -> int:
+    """Java ``Math.abs`` on int32: MIN_VALUE stays negative (overflow)."""
+    if v == -(1 << 31):
+        return v
+    return abs(v)
+
+
+def java_rem(a: int, b: int) -> int:
+    """Java ``%``: remainder truncates toward zero (sign follows ``a``)."""
+    r = abs(a) % abs(b)
+    return -r if a < 0 else r
+
+
+# ---------------------------------------------------------------------------
+# XXH64  (Spark F.xxhash64, default seed 42)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _xx_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M64
+    acc = _rotl64(acc, 31)
+    return (acc * _P1) & _M64
+
+
+def _xx_merge(acc: int, v: int) -> int:
+    acc = (acc ^ _xx_round(0, v)) & _M64
+    return (acc * _P1 + _P4) & _M64
+
+
+def xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark ``XXH64.hashUnsafeBytesBlock`` (= reference xxHash64): 32-byte
+    stripes with 4 lanes, 8-byte words, one 4-byte word, then single
+    (unsigned) tail bytes. Returns signed int64 — exactly
+    ``F.xxhash64(string_col)`` for UTF-8 ``data``."""
+    length = len(data)
+    pos = 0
+    if length >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while pos + 32 <= length:
+            v1 = _xx_round(v1, int.from_bytes(data[pos : pos + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[pos + 8 : pos + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[pos + 16 : pos + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[pos + 24 : pos + 32], "little"))
+            pos += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        h = _xx_merge(h, v1)
+        h = _xx_merge(h, v2)
+        h = _xx_merge(h, v3)
+        h = _xx_merge(h, v4)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + length) & _M64
+    while pos + 8 <= length:
+        k1 = _xx_round(0, int.from_bytes(data[pos : pos + 8], "little"))
+        h = (h ^ k1) & _M64
+        h = (_rotl64(h, 27) * _P1 + _P4) & _M64
+        pos += 8
+    if pos + 4 <= length:
+        k1 = int.from_bytes(data[pos : pos + 4], "little")
+        h = (h ^ ((k1 * _P1) & _M64)) & _M64
+        h = (_rotl64(h, 23) * _P2 + _P3) & _M64
+        pos += 4
+    while pos < length:
+        h = (h ^ ((data[pos] & 0xFF) * _P5) & _M64) & _M64
+        h = (_rotl64(h, 11) * _P1) & _M64
+        pos += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return _i64(h)
+
+
+def xxh64_string(s: str, seed: int = 42) -> int:
+    return xxh64_bytes(s.encode("utf-8"), seed)
+
+
+# ---------------------------------------------------------------------------
+# Reference signature pipelines (mirror the dedup operators' expression
+# trees outside the JVM — the basis for the golden signature fixtures)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s is
+# unicode-aware, so spell the class out to mirror Spark's regexp_replace.
+_JAVA_WS = _re.compile("[ \t\n\x0b\f\r]+")
+
+MINHASH_P = (1 << 31) - 1  # mirrors operators.dedup._P
+
+
+def ref_normalize(text: str) -> str:
+    """Mirror ``operators.dedup.normalized_text``: lower, collapse Java
+    ``\\s+`` runs to one space, trim spaces (Spark trim strips 0x20 only)."""
+    return _JAVA_WS.sub(" ", text.lower()).strip(" ")
+
+
+def ref_simhash(text: str) -> int:
+    """Mirror ``operators.dedup.simhash`` / ``simhash_expression``: 64-bit
+    majority vote over xxhash64(seed 42) of whitespace tokens of the
+    normalized text. Token-less text yields signature 0 (no bit has a
+    positive +/-1 sum), matching the expression spec."""
+    tokens = [t for t in ref_normalize(text).split(" ") if t]
+    n = len(tokens)
+    if n == 0:
+        return 0
+    ones = [0] * 64
+    for t in tokens:
+        h = xxh64_string(t) & _M64
+        for b in range(64):
+            if (h >> b) & 1:
+                ones[b] += 1
+    sig = 0
+    for b in range(64):
+        if 2 * ones[b] > n:  # sum of +-1 positive iff ones > n/2
+            sig |= 1 << b
+    return _i64(sig)
+
+
+def ref_char_shingles(text: str, k: int = 8) -> list[str]:
+    """Mirror ``operators.dedup.char_shingles``: distinct k-grams of the
+    normalized text; texts shorter than ``k`` contribute the whole string
+    (sequence(1, greatest(len-k+1, 1)) keeps position 1)."""
+    t = ref_normalize(text)
+    n_pos = max(len(t) - k + 1, 1)
+    return list(dict.fromkeys(t[i : i + k] for i in range(n_pos)))
+
+
+def ref_minhash_sig(text: str, num_hashes: int = 64, k: int = 8) -> list[int]:
+    """Mirror ``operators.dedup.minhash_signature``: per permutation i,
+    min over shingles of java_rem((2i+1)*h + i*i + 7, P) with
+    h = java_abs(murmur3(shingle)) — including Java's truncating ``%``
+    and the Math.abs(MIN_VALUE) overflow."""
+    base = [java_abs_int(murmur3_string(s)) for s in ref_char_shingles(text, k)]
+    return [
+        min(java_rem((2 * i + 1) * h + i * i + 7, MINHASH_P) for h in base)
+        for i in range(num_hashes)
+    ]
+
+
+def ref_minhash_bands(sig: list[int], bands: int = 16) -> list[int]:
+    """Mirror ``operators.dedup.minhash_band_rows``: F.hash over each
+    contiguous signature slice."""
+    rpb = len(sig) // bands
+    return [hash_long_array(sig[b * rpb : (b + 1) * rpb]) for b in range(bands)]

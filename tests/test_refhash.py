@@ -1,0 +1,108 @@
+"""Parity pins for functions/refhash.py — the pure-Python mirrors of
+Spark's hash primitives that the golden signature fixtures (and therefore
+the q_simhash / q_minhash_lsh / q_fingerprint oracles) are built from.
+
+If any of these drift from the JVM, the fixtures silently rot; every test
+here compares refhash output against LIVE Spark on adversarial inputs
+(empty string, all tail lengths around the 4/8/32-byte block boundaries,
+multi-byte UTF-8, negative longs) plus real corpus texts.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sf_epa_data_ingestion_spark.functions.refhash import (
+    hash_long_array,
+    java_abs_int,
+    java_rem,
+    murmur3_string,
+    ref_minhash_bands,
+    ref_minhash_sig,
+    ref_simhash,
+    xxh64_string,
+)
+from sf_epa_data_ingestion_spark.operators import dedup
+
+ADVERSARIAL = [
+    "",
+    "a",
+    "ab",
+    "abc",
+    "abcd",
+    "abcde",
+    "abcdefg",
+    "abcdefgh",
+    "abcdefghi",
+    "x" * 31,
+    "x" * 32,
+    "x" * 33,
+    "x" * 63,
+    "x" * 64,
+    "x" * 65,
+    "hello world",
+    "café ☃ 你好",  # multi-byte UTF-8 (2/3-byte sequences, signed tail bytes)
+    "naïve space",  # NBSP is NOT Java \s — must survive normalization
+    "tab\tand\nnewline\x0b\f\r",
+    "ümlaut ÄÖÜ ß",
+]
+
+
+@pytest.fixture(scope="module")
+def hash_rows(spark):
+    df = spark.createDataFrame([(s,) for s in ADVERSARIAL], ["s"])
+    return df.select(
+        "s", F.hash("s").alias("m32"), F.xxhash64("s").alias("x64")
+    ).collect()
+
+
+def test_murmur3_matches_spark(hash_rows):
+    for r in hash_rows:
+        assert murmur3_string(r["s"]) == r["m32"], repr(r["s"])
+
+
+def test_xxh64_matches_spark(hash_rows):
+    for r in hash_rows:
+        assert xxh64_string(r["s"]) == r["x64"], repr(r["s"])
+
+
+def test_hash_long_array_matches_spark(spark):
+    arrs = [[1, 2, 3], [0], [-5, 2**62, -(2**62)], [123456789012345], [-1],
+            [2**63 - 1, -(2**63)]]
+    df = spark.createDataFrame([(a,) for a in arrs], "arr: array<long>")
+    for r in df.select("arr", F.hash("arr").alias("m")).collect():
+        assert hash_long_array(list(r["arr"])) == r["m"], r["arr"]
+
+
+def test_java_arithmetic_quirks():
+    assert java_abs_int(-(1 << 31)) == -(1 << 31)  # Math.abs overflow
+    assert java_abs_int(-7) == 7
+    assert java_rem(-7, 3) == -1  # Java % truncates toward zero
+    assert java_rem(7, 3) == 1
+
+
+def test_signature_pipeline_parity(spark):
+    """End-to-end: the pure-Python signature pipelines reproduce the Spark
+    operators' output bit-for-bit over the real corpus — the exact
+    property the golden fixtures (and their driver oracles) rely on."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+
+    for r in dedup.simhash(d).collect():
+        t = texts[r["id"]]
+        expected = None if t is None else ref_simhash(t)
+        assert r["simhash"] == expected, r["id"]
+
+    sig = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"),
+        dedup.minhash_signature(dedup.char_shingles(F.col("text"), 8), 64).alias("sig"),
+    )
+    ref_sigs = {}
+    for r in sig.collect():
+        ref_sigs[r["id"]] = ref_minhash_sig(texts[r["id"]])
+        assert list(r["sig"]) == ref_sigs[r["id"]], r["id"]
+
+    got_bands = {}
+    for r in dedup.minhash_band_rows(sig, 16, 4).collect():
+        got_bands.setdefault(r["id"], {})[r["band_id"]] = r["band_hash"]
+    for rid, by_band in got_bands.items():
+        assert [by_band[b] for b in range(16)] == ref_minhash_bands(ref_sigs[rid])
