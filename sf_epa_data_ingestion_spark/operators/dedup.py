@@ -69,6 +69,113 @@ def char_shingles(col: Column, k: int = 8) -> Column:
     )
 
 
+def _xxh64_window_matrix(mat: np.ndarray) -> np.ndarray:
+    """Vectorized Spark-``xxhash64`` (seed 42) over an (n, k) uint8 window
+    matrix, k < 32: the short-input branch of XXH64 — 8-byte words, one
+    4-byte word, byte tail, avalanche — as ~3k numpy ops over all n
+    windows at once. Parity with ``functions.refhash.xxh64_bytes`` (and
+    therefore with the JVM) is pinned by tests/test_dedup_similarity.py.
+    """
+    n, k = mat.shape
+    u64 = np.uint64
+    p1, p2, p3, p5 = u64(0x9E3779B185EBCA87), u64(0xC2B2AE3D27D4EB4F), u64(
+        0x165667B19E3779F9
+    ), u64(0x27D4EB2F165667C5)
+    p4 = u64(0x85EBCA77C2B2AE63)
+
+    def rotl(x: np.ndarray, r: int) -> np.ndarray:
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    h = np.full(n, u64(42) + p5 + u64(k), dtype=np.uint64)
+    pos = 0
+    while pos + 8 <= k:
+        w = np.zeros(n, dtype=np.uint64)
+        for i in range(8):
+            w |= mat[:, pos + i].astype(np.uint64) << u64(8 * i)
+        h ^= rotl(w * p2, 31) * p1
+        h = rotl(h, 27) * p1 + p4
+        pos += 8
+    if pos + 4 <= k:
+        w = np.zeros(n, dtype=np.uint64)
+        for i in range(4):
+            w |= mat[:, pos + i].astype(np.uint64) << u64(8 * i)
+        h ^= w * p1
+        h = rotl(h, 23) * p2 + p3
+        pos += 4
+    while pos < k:
+        h ^= mat[:, pos].astype(np.uint64) * p5
+        h = rotl(h, 11) * p1
+        pos += 1
+    h ^= h >> u64(33)
+    h *= p2
+    h ^= h >> u64(29)
+    h *= p3
+    h ^= h >> u64(32)
+    return h.view(np.int64)
+
+
+def _shingle_hashes_pd(k: int):
+    """Arrow-batched ``array_distinct(transform(char_shingles(text, k),
+    xxhash64))`` — the hot front of the PPJoin pipeline, vectorized.
+
+    The expression form pays ~2 interpreted HOF lambda dispatches per
+    character position (substr + xxhash64) plus the array_distinct walk.
+    Here the whole Arrow batch becomes ONE (total_windows, k) uint8
+    matrix — per-doc sliding byte windows stacked — hashed by
+    ``_xxh64_window_matrix`` in a handful of numpy passes, then
+    deduplicated per doc with np.unique. Shingling is defined on
+    CHARACTERS; byte windows equal char windows only for pure-ASCII
+    normalized text, so non-ASCII docs (and docs shorter than ``k``)
+    take a per-shingle ``refhash.xxh64_string`` fallback — bit-identical,
+    just not vectorized. Output order differs from the expression form
+    (sorted unique vs first-occurrence) — irrelevant downstream, where
+    the set is re-sorted by (df, sh); the pin test compares as sets.
+
+    NULL text -> NULL (mirrors the expression tree's null propagation).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from sf_epa_data_ingestion_spark.functions.refhash import (
+        ref_normalize,
+        xxh64_string,
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def hashes(texts: pd.Series) -> pd.Series:
+        views: list[np.ndarray] = []
+        lens: list[int] = []
+        out: list[object] = [None] * len(texts)
+        slow: list[tuple[int, str]] = []  # (row, normalized text)
+        rows: list[int] = []
+        for row, t in enumerate(texts):
+            if t is None:
+                continue
+            t = ref_normalize(t)
+            b = t.encode("utf-8")
+            if len(t) < k or len(b) != len(t):
+                slow.append((row, t))
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8)
+            views.append(np.lib.stride_tricks.sliding_window_view(arr, k))
+            lens.append(len(t) - k + 1)
+            rows.append(row)
+        if views:
+            flat = _xxh64_window_matrix(np.concatenate(views))
+            offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            for j, row in enumerate(rows):
+                out[row] = np.unique(flat[offsets[j] : offsets[j + 1]])
+        for row, t in slow:
+            # short text: one shingle = the whole string (sequence(1,1));
+            # non-ASCII: per-char windows, each hashed by the pure mirror
+            n_pos = max(len(t) - k + 1, 1)
+            out[row] = sorted({xxh64_string(t[i : i + k]) for i in range(n_pos)})
+        return pd.Series(out, dtype=object)
+
+    return hashes
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash: for permutation i, min over shingles of (a_i*h + b_i) mod P,
     h = 32-bit murmur of the shingle. Fixed (a_i, b_i) derived from i keep
@@ -431,14 +538,16 @@ def ngram_jaccard_pairs(
     below.
     """
     eps = 1e-9  # float-safe slack on the filter inequalities
-    # Distinct (id, shingle-hash) rows. char_shingles is array_distinct so
-    # the explode yields unique rows per doc; no dedup shuffle needed. The
-    # spread() sits UPSTREAM of the shingling expression: the corpus is a
-    # handful of parquet files (one scan task at sf0.1), and an exchange
-    # placed after the explode would run the interpreted HOF shingling on
-    # the scan's few partitions and then shuffle the already-computed
-    # rows — the expensive expression must be DOWNSTREAM of the fan-out
-    # to parallelize. persist: two consumers (dfreq + the df-attach join)
+    # Distinct (id, shingle-hash) rows. The per-doc hash set comes from the
+    # Arrow/numpy shingler (r5 — replaced the interpreted HOF
+    # substr+xxhash64 expression, pinned set-equal by test); dedup happens
+    # inside the UDF, so the explode yields unique rows per doc and no
+    # dedup shuffle is needed. The spread() sits UPSTREAM of the UDF: the
+    # corpus is a handful of parquet files (one scan task at sf0.1), and
+    # an exchange placed after the explode would run the shingling on the
+    # scan's few partitions and then shuffle the already-computed rows —
+    # the expensive projection must be DOWNSTREAM of the fan-out to
+    # parallelize. persist: two consumers (dfreq + the df-attach join)
     # would otherwise each re-run the shingling. Rows are narrow
     # (id, int64).
     sh = (
@@ -450,9 +559,7 @@ def ngram_jaccard_pairs(
         )
         .select(
             "id",
-            F.explode(
-                F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
-            ).alias("sh"),
+            F.explode(_shingle_hashes_pd(k)(F.col(text_col))).alias("sh"),
         )
         .persist()
     )

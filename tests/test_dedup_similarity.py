@@ -61,6 +61,55 @@ def test_simhash_pandas_matches_expression_reference(spark):
     assert b[100001] == 0 and b[100002] is None
 
 
+def test_shingle_hashes_pd_matches_expression_reference(spark):
+    """The Arrow/numpy shingle hasher feeding the PPJoin pipeline must
+    produce the same SET of hashes as the expression form
+    ``array_distinct(transform(char_shingles(text, k), xxhash64))`` —
+    per doc, on real corpus text plus the edge cases that pick the
+    slow path (shorter than k, non-ASCII multi-byte, empty-after-trim).
+    NULL text contract differs deliberately (UDF -> NULL; the expression
+    yields [xxhash64(NULL)=42] via greatest's null-skip) — the pipeline
+    filters NULL text upstream, so only non-null parity matters."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .limit(64)
+    )
+    extra = spark.createDataFrame(
+        [
+            (200001, ""),
+            (200002, "tiny"),
+            (200003, "x" * 11),
+            (200004, "x" * 12),
+            (200005, "café ☃ unicode shingles exercise the per-char path"),
+            (200006, "Tabs\tand\nNEWLINES   collapse  "),
+            (200007, "abc " * 50),
+        ],
+        ["doc_id", "text"],
+    )
+    df = docs.unionByName(extra)
+    for k in (8, 12):
+        expr = {
+            r["doc_id"]: sorted(set(r["h"]))
+            for r in df.select(
+                "doc_id",
+                F.transform(
+                    dedup.char_shingles(F.col("text"), k), lambda s: F.xxhash64(s)
+                ).alias("h"),
+            ).collect()
+        }
+        udf = {
+            r["doc_id"]: sorted(r["h"])
+            for r in df.select(
+                "doc_id", dedup._shingle_hashes_pd(k)(F.col("text")).alias("h")
+            ).collect()
+        }
+        assert set(expr) == set(udf) and len(expr) >= 60
+        for doc in expr:
+            assert expr[doc] == udf[doc], (k, doc)
+
+
 def test_ngram_jaccard_exact_values(spark):
     df = _docs(spark, ["abcdefgh", "abcdefgh", "zzzzzzzz"])
     out = dedup.ngram_jaccard_pairs(df, k=8, threshold=0.5).collect()
