@@ -538,18 +538,23 @@ def ngram_jaccard_pairs(
     below.
     """
     eps = 1e-9  # float-safe slack on the filter inequalities
-    # Distinct (id, shingle-hash) rows. The per-doc hash set comes from the
-    # Arrow/numpy shingler (r5 — replaced the interpreted HOF
-    # substr+xxhash64 expression, pinned set-equal by test); dedup happens
-    # inside the UDF, so the explode yields unique rows per doc and no
-    # dedup shuffle is needed. The spread() sits UPSTREAM of the UDF: the
-    # corpus is a handful of parquet files (one scan task at sf0.1), and
-    # an exchange placed after the explode would run the shingling on the
-    # scan's few partitions and then shuffle the already-computed rows —
-    # the expensive projection must be DOWNSTREAM of the fan-out to
-    # parallelize. persist: two consumers (dfreq + the df-attach join)
+    # Distinct (id, shingle-hash) rows. char_shingles is array_distinct so
+    # the explode yields unique rows per doc; no dedup shuffle needed. The
+    # spread() sits UPSTREAM of the shingling expression: the corpus is a
+    # handful of parquet files (one scan task at sf0.1), and an exchange
+    # placed after the explode would run the interpreted HOF shingling on
+    # the scan's few partitions and then shuffle the already-computed
+    # rows — the expensive expression must be DOWNSTREAM of the fan-out
+    # to parallelize. persist: two consumers (dfreq + the df-attach join)
     # would otherwise each re-run the shingling. Rows are narrow
     # (id, int64).
+    # r5 note: an Arrow/numpy variant of this front (_shingle_hashes_pd,
+    # set-parity pinned by test) was measured min 4.87s vs 4.52s for the
+    # expression form over 5 alternating warm full-query runs at sf0.1 —
+    # Arrow transfer + the lost Generate fusion outweigh the interpreted
+    # HOF cost once codegen is warm, so the expression stays. The UDF
+    # remains as the measured alternative (and as executable evidence
+    # linking functions/refhash.py to this pipeline).
     sh = (
         spread(
             df.filter(F.col(text_col).isNotNull()).select(
@@ -559,7 +564,9 @@ def ngram_jaccard_pairs(
         )
         .select(
             "id",
-            F.explode(_shingle_hashes_pd(k)(F.col(text_col))).alias("sh"),
+            F.explode(
+                F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+            ).alias("sh"),
         )
         .persist()
     )

@@ -184,3 +184,93 @@ def priority_sample(
         .filter(F.col("__rn") <= k)
         .drop("__t", "__rn")
     )
+
+
+def sample_to_budget(
+    df: DataFrame,
+    budgets: DataFrame,
+    weight_col: str,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Apply per-source token budgets (the output half of mixture
+    budgeting — ``tokens_by_source`` measures shares, this enforces
+    them): within each source, walk the documents in content-hash order
+    and keep them while the budget is not yet filled. A document that
+    crosses the boundary is kept (fill-until-full), so every source with
+    a positive budget and any documents contributes at least one.
+
+    Deterministic by construction: the walk order is (hash_unit(key),
+    key) — the same selection on any partitioning, any engine, any day,
+    and stable under corpus appends *behind* the boundary.
+
+    ``budgets`` is a (source, budget) DataFrame — broadcast-joined; the
+    engine-side result matches the naive per-source running-sum window
+    exactly (pinned by test), but the plan is the SCALE-SAFE two-pass
+    form: the naive window partitions by source, which at 100 TB drops
+    an entire source — possibly most of the corpus — into ONE sort
+    task. Instead:
+
+    1. bucket each doc by the top bits of its hash unit (``n_buckets``
+       per source);
+    2. aggregate weight per (source, bucket) — map-side partial, tiny
+       result — and take a running sum over the bucket axis (window over
+       <= n_buckets rows per source: metadata-scale);
+    3. docs strictly below their source's boundary bucket pass with NO
+       per-row window; docs strictly above drop (a scan-level filter);
+       only the boundary bucket — expected corpus/n_buckets of one
+       source — pays a per-doc running-sum window, seeded with the
+       preceding buckets' cumulative weight.
+
+    Returns (key, source, weight) for the kept documents.
+    """
+    u = _hash_unit(F.col(key_col))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(source_col).alias("source"),
+        F.col(weight_col).cast("long").alias("w"),
+        u.alias("u"),
+    ).withColumn("bucket", F.floor(F.col("u") * n_buckets).cast("int"))
+    base = base.join(F.broadcast(budgets.select("source", "budget")), "source")
+
+    per_bucket = base.groupBy("source", "bucket").agg(F.sum("w").alias("bw"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_bucket.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bw").over(wb), F.lit(0).cast("long")).alias("cum_before"),
+        (F.coalesce(F.sum("bw").over(wb), F.lit(0).cast("long")) + F.col("bw")).alias(
+            "cum_through"
+        ),
+    )
+    tagged = base.join(F.broadcast(cum), ["source", "bucket"])
+
+    # whole buckets strictly inside / outside the budget: scan-level filter
+    inside = tagged.filter(F.col("cum_through") <= F.col("budget")).select(
+        "key", "source", "w"
+    )
+    # boundary bucket: cum_before < budget <= cum_through — per-doc walk,
+    # seeded with the preceding buckets' cumulative weight
+    wd = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("u", "key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        tagged.filter(
+            (F.col("cum_before") < F.col("budget"))
+            & (F.col("cum_through") > F.col("budget"))
+        )
+        .withColumn(
+            "doc_cum_before",
+            F.col("cum_before") + F.coalesce(F.sum("w").over(wd), F.lit(0).cast("long")),
+        )
+        .filter(F.col("doc_cum_before") < F.col("budget"))
+        .select("key", "source", "w")
+    )
+    return inside.unionByName(boundary)
