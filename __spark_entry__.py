@@ -2463,6 +2463,46 @@ FROM agg
 """
 
 
+def q_sample_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture budgeting, applied (r5): keep each source's documents in
+    content-hash order until a 500-token budget fills (the boundary doc
+    is kept — fill-until-full). The engine runs the scale-safe two-pass
+    bucket plan (operators/sampling.sample_to_budget: per-(source,bucket)
+    partial aggregate + metadata-scale bucket cumsum + a per-doc window
+    over ONLY the boundary bucket); the oracle is the naive per-source
+    running-sum window — pinned equal by construction and by test."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = d.select(
+        "doc_id", "source", text.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    budgets = (
+        docs.select("source").distinct().select("source", F.lit(500).alias("budget"))
+    )
+    return sampling.sample_to_budget(
+        docs, budgets, "n_tokens", key_col="doc_id", source_col="source"
+    ).select(
+        F.col("key").alias("doc_id"), "source", F.col("w").alias("n_tokens")
+    )
+
+
+ORACLE_SAMPLE_TO_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+           / 4503599627370496.0 AS u
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum_before < 500
+"""
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 4-gram novelty fraction (first-carrier attribution;
     operators/cleaning.py ngram_novelty)."""
@@ -2522,6 +2562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "ngram_novelty": q_ngram_novelty,
         "tokens_by_source": q_tokens_by_source,
+        # -- new in r5: needs its first driver row -------------------------
+        "sample_to_budget": q_sample_to_budget,
         # -- past r4's window, 3x green r01-r03 (35) -----------------------
         "group_collect": q_group_collect,
         "merge_upsert": q_merge_upsert,
@@ -2679,6 +2721,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "strip_dup_spans": ORACLE_STRIP_DUP_SPANS,
         "tokens_by_source": ORACLE_TOKENS_BY_SOURCE,
+        "sample_to_budget": ORACLE_SAMPLE_TO_BUDGET,
         "ngram_novelty": ORACLE_NGRAM_NOVELTY,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "pack_sequences": ORACLE_PACK_SEQUENCES,

@@ -184,3 +184,72 @@ def test_priority_sample_grouped(spark):
     for r in got.collect():
         per.setdefault(r["g"], []).append(r["doc_id"])
     assert sorted(per) == ["a", "b"] and all(len(v) == 5 for v in per.values())
+
+
+def _naive_budget_sample(rows, budgets):
+    """Greedy reference: per source, walk docs in (hash_unit, key) order,
+    keep while cumulative weight of already-kept docs < budget."""
+    import hashlib
+
+    def unit(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16) / float(1 << 52)
+
+    kept = set()
+    by_source = {}
+    for key, source, w in rows:
+        by_source.setdefault(source, []).append((unit(key), key, w))
+    for source, docs in by_source.items():
+        cum = 0
+        for u, key, w in sorted(docs):
+            if cum < budgets.get(source, 0):
+                kept.add(key)
+                cum += w
+    return kept
+
+
+def test_sample_to_budget_matches_naive_walk(spark):
+    """The scale-safe two-pass bucket plan must reproduce the naive
+    per-source running-sum walk exactly — including the fill-until-full
+    boundary doc — across bucket counts that force the boundary bucket
+    to hold one, several, or all docs of a source."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"s{i % 5}", rng.randint(1, 400)) for i in range(300)
+    ] + [(1000, "empty_budget", 10), (1001, "tiny", 5)]
+    budgets = {"s0": 2000, "s1": 1, "s2": 10_000_000, "s3": 0, "s4": 777,
+               "empty_budget": 0, "tiny": 1_000_000}
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    bdf = spark.createDataFrame(list(budgets.items()), ["source", "budget"])
+    expected = _naive_budget_sample(rows, budgets)
+    for n_buckets in (1, 7, 4096):
+        got = {
+            r["key"]
+            for r in sampling.sample_to_budget(
+                df, bdf, "w", key_col="doc_id", n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == expected, n_buckets
+    # fill-until-full: budget 1 keeps exactly the first doc of s1
+    assert any(k for k in expected if k % 5 == 1)
+    # zero budget keeps nothing
+    assert 1000 not in expected
+    # budget above total keeps the whole source
+    assert {k for k, s, _ in rows if s == "s2"} <= expected
+
+
+def test_sample_to_budget_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", 10 + i % 17) for i in range(500)],
+        ["doc_id", "source", "w"],
+    )
+    bdf = spark.createDataFrame(
+        [("s0", 300), ("s1", 900), ("s2", 40)], ["source", "budget"]
+    )
+    a = {r["key"] for r in sampling.sample_to_budget(df, bdf, "w").collect()}
+    b = {
+        r["key"]
+        for r in sampling.sample_to_budget(df.repartition(13), bdf, "w").collect()
+    }
+    assert a == b and a
