@@ -198,8 +198,14 @@ def test_connected_components_known_graph(spark):
         [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (22, 23)],
         "id_a long, id_b long",
     )
-    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    # threshold default -> driver union-find; 0 -> distributed loop
+    for thr in (500_000, 0):
+        comp = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, driver_edge_threshold=thr).collect()
+        }
+        assert comp == expected, thr
 
 
 def test_connected_components_matches_union_find(spark):
@@ -237,8 +243,13 @@ def test_connected_components_matches_union_find(spark):
         expected_sets.setdefault(find(x), set()).add(x)
     expected = {x: min(s) for root, s in expected_sets.items() for x in s}
 
-    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
-    assert got == expected
+    # both execution paths must agree with the reference union-find
+    for thr in (500_000, 0):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, driver_edge_threshold=thr).collect()
+        }
+        assert got == expected, thr
 
 
 def test_resolve_duplicates_keep_list(spark):
