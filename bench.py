@@ -142,6 +142,7 @@ def main() -> None:
         "merge_upsert_tx", "search_bm25", "bpe_pair_counts", "dup_spans",
         "c4_filter", "embed_quantize", "lm_perplexity", "dsir_weights",
         "strip_dup_spans", "tokens_by_source", "ngram_novelty",
+        "sample_to_budget",  # r5
     }
     subset = round(sum(v for k, v in timings.items() if k not in r4_new), 3)
     full = {
