@@ -169,3 +169,30 @@ def test_expensive_expressions_run_below_the_fanout_exchange(spark):
         assert first_exchange < first_generate, (
             f"{q}: explode computed at scan parallelism (Generate before Exchange)"
         )
+
+
+def test_sample_to_budget_windows_are_bounded(spark):
+    # The scale contract (SCALE.md "Mixture budget application"): no window
+    # runs over the raw per-doc rows of a whole source. Catalyst compiles
+    # the boundary selection onto the BROADCAST BUILD SIDE (the
+    # metadata-scale cum table keeps only boundary (source,bucket) rows:
+    # cum_before < budget AND cum_through > budget), so the inner
+    # broadcast join restricts the corpus to the boundary bucket BEFORE
+    # the per-doc window's exchange.
+    import re
+
+    spark.catalog.clearCache()
+    p = plan_of(spark, "sample_to_budget")
+    assert p.count("Window") >= 2
+    # boundary restriction exists as a filter combining both budget
+    # inequalities (the 500-token literal appears on both sides)
+    assert re.search(r"Condition : .*< 500.*> 500", p) or re.search(
+        r"Condition : .*> 500.*< 500", p
+    )
+    # the per-doc walk windows by (source, bucket) — never by source alone
+    assert re.search(r"windowspecdefinition\(source#\d+, bucket#\d+, u#\d+ ASC", p)
+    assert not re.search(r"windowspecdefinition\(source#\d+, u#\d+ ASC", p)
+    # bucket cumsum runs over the per-(source,bucket) aggregate
+    assert "HashAggregate" in p
+    # budgets + cum tables broadcast; the corpus never shuffles by source
+    assert "BroadcastHashJoin" in p
