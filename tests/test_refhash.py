@@ -106,3 +106,31 @@ def test_signature_pipeline_parity(spark):
         got_bands.setdefault(r["id"], {})[r["band_id"]] = r["band_hash"]
     for rid, by_band in got_bands.items():
         assert [by_band[b] for b in range(16)] == ref_minhash_bands(ref_sigs[rid])
+
+
+def test_ref_normalize_matches_spark_on_random_unicode(spark):
+    """ref_normalize must mirror normalized_text (lower + Java-\\s collapse
+    + space trim) — the seam every golden signature fixture sits on. Java's
+    \\s is ASCII-only while Python's is unicode-aware, so the random corpus
+    leans on unicode whitespace (NBSP, ideographic space, zero-width),
+    case-mapping edge points (İ, ß, ﬁ), and control characters."""
+    import random
+
+    from sf_epa_data_ingestion_spark.functions.refhash import ref_normalize
+    from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
+
+    rng = random.Random(42)
+    alphabet = (
+        list("abcXYZ012 \t\n\x0b\f\r")
+        + [" ", " ", "　", "​", "İ", "ß", "ﬁ",
+           "é", "你", "☃", "\x00", "\x1f"]
+    )
+    cases = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], ["i", "s"])
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", normalized_text(F.col("s")).alias("t")).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == ref_normalize(s), (i, repr(s), repr(got[i]))
