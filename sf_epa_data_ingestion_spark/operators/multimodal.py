@@ -11,10 +11,15 @@ training-data pipelines: every asset is a row with
                duration_ms bigint, mime string>
 
 The Spark-side plumbing (schema, partition sizing, UDF signatures, batch
-shapes) is real and tested; the actual codec work is stubbed because
-image/audio libraries are not in this environment — each stub either
-raises ``NotImplementedError`` (strict mode) or produces a deterministic
-fake derived from the bytes (test mode), clearly marked below.
+shapes) is real and tested. Codec status (r5): PNG images and PCM WAV
+audio are decoded FOR REAL by the pure-stdlib codecs in
+``functions/codecs.py`` (zlib + scanline unfiltering; RIFF/PCM via the
+stdlib ``wave`` module) — pixels and samples, not digests — and
+``resize_images`` re-encodes genuinely resized PNGs. Only formats whose
+codecs truly need external libraries (JPEG's DCT, video containers)
+remain behind a deterministic fake: strict mode raises
+``NotImplementedError`` at those decode sites, test mode derives a
+stable pseudo-feature from the bytes, both clearly marked below.
 
 Scale notes: binary rows are large — ``mapInPandas`` streams Arrow batches
 so executor memory holds one batch, not one partition; keep
@@ -71,29 +76,64 @@ FEATURE_SCHEMA = StructType(
 
 
 def _fake_decode(content: bytes, modality: str) -> str:
-    """STUB — deterministic fake standing in for a real decoder
-    (PIL/librosa/ffmpeg are not installed in this container). Produces a
-    stable pseudo-feature from the bytes so plumbing is end-to-end
-    testable. Replace the body with the real codec in production."""
+    """STUB — deterministic fake standing in for decoders whose codecs
+    genuinely need external libraries (JPEG, video containers). Produces
+    a stable pseudo-feature from the bytes so plumbing is end-to-end
+    testable. PNG and WAV never reach this — they take the real codecs
+    in ``functions/codecs.py``."""
     h = hashlib.sha256(content or b"").hexdigest()
     return f"{modality}:{h[:16]}"
+
+
+def _real_feature(content: bytes) -> str | None:
+    """Real decode for the formats the stdlib can handle: PNG pixels
+    (geometry + mean intensity) and PCM WAV samples (rate, shape, RMS).
+    Returns None when the bytes are neither — caller picks fake/strict."""
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    if codecs.is_png(content):
+        img = codecs.decode_png(content)
+        h, w, ch = img.shape
+        return f"png:{w}x{h}x{ch}:mean={img.mean():.3f}"
+    if codecs.is_wav(content):
+        samples, rate = codecs.decode_wav(content)
+        rms = float((samples**2).mean() ** 0.5) if samples.size else 0.0
+        return f"wav:{rate}hz:{samples.shape[0]}x{samples.shape[1]}:rms={rms:.4f}"
+    return None
 
 
 def decode_features(assets: DataFrame, strict: bool = False) -> DataFrame:
     """Decode/feature-extract each asset via ``mapInPandas``.
 
-    ``strict=True`` raises NotImplementedError at the decode site — the
-    documented behavior when real codecs are required but unavailable.
-    """
+    PNG and WAV content decodes for real (``functions/codecs.py``); a
+    malformed real-format asset becomes an ``error:`` feature row
+    (errors-as-data, same posture as PDF parsing) rather than failing
+    the batch. For formats without a stdlib codec, ``strict=True``
+    raises NotImplementedError at the decode site — the documented
+    behavior when real codecs are required but unavailable — and
+    ``strict=False`` emits the deterministic fake."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image/audio/video decoding requires codec libraries "
-                    "not present in this environment; run with strict=False "
-                    "for the deterministic fake path"
-                )
+            features = []
+            for c, m in zip(pdf["content"], pdf["modality"]):
+                c = bytes(c) if c is not None else b""
+                try:
+                    feat = _real_feature(c)
+                except ValueError as exc:
+                    if strict:
+                        raise
+                    feat = f"error: {exc}"
+                if feat is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"real {m} decoding for this format requires codec "
+                            "libraries not present in this environment; only "
+                            "PNG image and PCM WAV audio decode natively — run "
+                            "with strict=False for the deterministic fake path"
+                        )
+                    feat = _fake_decode(c, m)
+                features.append(feat)
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -102,10 +142,7 @@ def decode_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                     "digest": pdf["content"].map(
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
-                    "feature": [
-                        _fake_decode(c, m)
-                        for c, m in zip(pdf["content"], pdf["modality"])
-                    ],
+                    "feature": features,
                 }
             )
             yield out
@@ -183,22 +220,48 @@ def parse_documents(
 
 
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB image resize: passes bytes through and records the requested
-    geometry in ``meta`` (real implementation: PIL in the pandas UDF).
-    The Spark plumbing — struct update without shuffling content — is real."""
-    return assets.withColumn(
-        "meta",
-        F.when(
-            F.col("modality") == "image",
-            F.struct(
-                F.lit(width).alias("width"),
-                F.lit(height).alias("height"),
-                F.col("meta.sample_rate").alias("sample_rate"),
-                F.col("meta.duration_ms").alias("duration_ms"),
-                F.col("meta.mime").alias("mime"),
-            ),
-        ).otherwise(F.col("meta")),
-    )
+    """Resize image assets to (width, height).
+
+    PNG content is resized FOR REAL: decode (functions/codecs.py) →
+    nearest-neighbor index-map resize → re-encode; content bytes AND meta
+    geometry both change. Non-PNG image formats keep the stub behavior
+    (bytes pass through, meta records the requested geometry) — their
+    codecs need libraries this environment lacks. Non-image assets are
+    untouched. One mapInPandas, no shuffle of content."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sf_epa_data_ingestion_spark.functions import codecs
+
+        for pdf in batches:
+            contents, metas = [], []
+            for c, m, meta in zip(pdf["content"], pdf["modality"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {
+                    "width": None, "height": None, "sample_rate": None,
+                    "duration_ms": None, "mime": None,
+                }
+                if m == "image":
+                    raw = bytes(c) if c is not None else b""
+                    if codecs.is_png(raw):
+                        try:
+                            img = codecs.decode_png(raw)
+                            c = codecs.encode_png(
+                                codecs.resize_nearest(img, width, height)
+                            )
+                        except ValueError:
+                            pass  # malformed PNG: stub behavior (meta only)
+                    meta = {**meta, "width": width, "height": height}
+                contents.append(c)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return assets.mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
