@@ -177,3 +177,181 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         f.setframerate(rate)
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW is pure bit-twiddling — no external codec needed), enough to make
+# video-style frame sampling REAL for one actual animated format.
+# ---------------------------------------------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def is_gif(data: bytes) -> bool:
+    return bool(data) and data[:6] in _GIF_MAGICS
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    CLEAR resets the table, EOI terminates."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = next_code = 0
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+                next_code += 1
+            else:  # KwKwK case
+                entry = prev + [prev[0]]
+                table.append(entry)
+                next_code += 1
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def decode_gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """GIF bytes -> [(cumulative_delay_ms, (H, W, 3) uint8 RGB frame)].
+
+    Frames are composited onto the logical-screen canvas honoring
+    transparency and disposal methods 0/1 (draw over) and 2 (restore to
+    background); method 3 (restore-previous) is treated as 2 — rare, and
+    the error is bounded to the next frame's untouched region. Raises
+    ValueError outside the supported profile."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[tuple[int, np.ndarray]] = []
+    t_ms = 0
+    delay_ms, transparent, disposal = 0, None, 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphics control
+                size = data[pos]
+                gflags = data[pos + 1]
+                delay_ms = struct.unpack("<H", data[pos + 2 : pos + 4])[0] * 10
+                transparent = data[pos + 4] if gflags & 1 else None
+                disposal = (gflags >> 2) & 7
+                pos += size + 1
+            while data[pos] != 0:  # skip (remaining) sub-blocks
+                pos += data[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("image without color table")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            pos += 1
+            idx = np.array(_lzw_decode(b"".join(chunks), min_code), dtype=np.int32)
+            if idx.size != iw * ih:
+                raise ValueError("LZW pixel count mismatch")
+            idx = idx.reshape(ih, iw)
+            region = canvas[iy : iy + ih, ix : ix + iw]
+            rgb = ct[idx.clip(0, len(ct) - 1)]
+            if transparent is not None:
+                mask = (idx != transparent)[:, :, None]
+                region[:] = np.where(mask, rgb, region)
+            else:
+                region[:] = rgb
+            t_ms += delay_ms
+            frames.append((t_ms, canvas.copy()))
+            if disposal == 2 or disposal == 3:
+                canvas[iy : iy + ih, ix : ix + iw] = 0
+            delay_ms, transparent, disposal = 0, None, 0
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    return frames
+
+
+def encode_gif(frames: list[np.ndarray], delays_ms: list[int]) -> bytes:
+    """Minimal animated-GIF encoder for tests: one global 256-entry
+    grayscale palette, each (H, W) uint8 frame stored as its own image
+    with LZW root codes + periodic CLEAR (valid, uncompressed-style)."""
+    h, w = frames[0].shape
+    out = [b"GIF89a", struct.pack("<HH", w, h), bytes([0xF7, 0, 0])]
+    out.append(bytes(v for i in range(256) for v in (i, i, i)))  # gray GCT
+    for img, delay in zip(frames, delays_ms):
+        out.append(b"\x21\xf9\x04\x00" + struct.pack("<H", delay // 10) + b"\x00\x00")
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00")
+        min_code = 8
+        clear = 1 << min_code
+        codes: list[int] = []
+        for i, px in enumerate(img.reshape(-1).tolist()):
+            if i % 200 == 0:
+                codes.append(clear)  # keep width at 9 bits throughout
+            codes.append(px)
+        codes.append(clear + 1)  # EOI
+        acc = nbits = 0
+        payload = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                payload.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            payload.append(acc & 0xFF)
+        out.append(bytes([min_code]))
+        for i in range(0, len(payload), 255):
+            block = payload[i : i + 255]
+            out.append(bytes([len(block)]) + bytes(block))
+        out.append(b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)

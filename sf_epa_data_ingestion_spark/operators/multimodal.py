@@ -265,9 +265,17 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB video frame sampling: emits one row per sampled timestamp with
-    a deterministic fake frame digest (real implementation: ffmpeg/pyav in
-    mapInPandas). Output schema: asset_id, frame_ts_ms, frame_digest."""
+    """Video frame sampling: one row per sampled timestamp with a digest
+    of the frame displayed at that instant.
+
+    Animated GIF content decodes FOR REAL (functions/codecs.py: LZW +
+    disposal-aware compositing): the sampling clock walks the actual
+    frame delays, the emitted digest is md5 of the composited RGB
+    pixels, and the schedule covers the true animation duration (meta
+    duration_ms is ignored for GIFs — the container knows better).
+    Other containers (mp4 etc.) genuinely need ffmpeg/pyav and keep the
+    deterministic fake digest over the meta-declared duration. Output
+    schema: asset_id, frame_ts_ms, frame_digest."""
     out_schema = StructType(
         [
             StructField("asset_id", LongType(), False),
@@ -277,10 +285,35 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sf_epa_data_ingestion_spark.functions import codecs
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 if r["modality"] != "video":
+                    continue
+                content = bytes(r["content"]) if r["content"] is not None else b""
+                if codecs.is_gif(content):
+                    try:
+                        frames = codecs.decode_gif_frames(content)
+                    except ValueError:
+                        frames = []
+                    dur = frames[-1][0] if frames else 0
+                    fi = 0
+                    for ts in range(0, int(dur), every_ms):
+                        # frame displayed at ts = first frame whose
+                        # cumulative end-time exceeds ts (ts grows
+                        # monotonically, so the cursor never rewinds)
+                        while fi < len(frames) - 1 and frames[fi][0] <= ts:
+                            fi += 1
+                        rows.append(
+                            {
+                                "asset_id": r["asset_id"],
+                                "frame_ts_ms": ts,
+                                "frame_digest": "gif:"
+                                + hashlib.md5(frames[fi][1].tobytes()).hexdigest(),
+                            }
+                        )
                     continue
                 dur = (r["meta"]["duration_ms"] or 0) if r["meta"] is not None else 0
                 for ts in range(0, int(dur), every_ms):
@@ -289,7 +322,7 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                             "asset_id": r["asset_id"],
                             "frame_ts_ms": ts,
                             "frame_digest": _fake_decode(
-                                (r["content"] or b"") + ts.to_bytes(8, "little"), "frame"
+                                content + ts.to_bytes(8, "little"), "frame"
                             ),
                         }
                     )

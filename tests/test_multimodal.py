@@ -261,3 +261,51 @@ def test_resize_images_really_resizes_png(spark):
     assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (5, 4)
     assert bytes(out[2]["content"]) == b"RIFFnotawav"  # non-image untouched
     assert out[2]["meta"]["sample_rate"] == 16000
+
+
+def test_gif_round_trip_and_compositing():
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, size=(7, 9), dtype=np.uint8) for _ in range(3)]
+    out = codecs.decode_gif_frames(codecs.encode_gif(frames, [100, 250, 400]))
+    assert [t for t, _ in out] == [100, 350, 750]
+    for (_, got), src in zip(out, frames):
+        assert got.shape == (7, 9, 3)
+        assert (got[:, :, 0] == src).all()  # grayscale palette: R==G==B==index
+
+
+def test_sample_frames_real_gif(spark):
+    """A real animated GIF drives the sampling clock from its own frame
+    delays and digests actual composited pixels; an mp4 asset keeps the
+    fake-digest schedule from meta duration."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    rng = np.random.default_rng(8)
+    frames = [rng.integers(0, 256, size=(5, 6), dtype=np.uint8) for _ in range(2)]
+    gif = codecs.encode_gif(frames, [1000, 1500])  # ends at t=2500ms
+    rows = [
+        (7, "video", gif, (6, 5, None, 99999, "image/gif")),  # meta lies: ignored
+        (8, "video", b"\x00\x00ftypmp4", (None, None, None, 2100, "video/mp4")),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    out = multimodal.sample_frames(df, every_ms=1000).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], []).append((r["frame_ts_ms"], r["frame_digest"]))
+    # GIF: duration 2500ms -> ts 0,1000,2000; frame 0 shows until 1000
+    gif_rows = sorted(by_asset[7])
+    assert [t for t, _ in gif_rows] == [0, 1000, 2000]
+    decoded = codecs.decode_gif_frames(gif)
+    d0 = "gif:" + _hashlib.md5(decoded[0][1].tobytes()).hexdigest()
+    d1 = "gif:" + _hashlib.md5(decoded[1][1].tobytes()).hexdigest()
+    assert [d for _, d in gif_rows] == [d0, d1, d1]
+    # mp4 keeps the fake path over meta duration (0,1000,2000)
+    assert [t for t, _ in sorted(by_asset[8])] == [0, 1000, 2000]
+    assert all(d.startswith("frame:") for _, d in by_asset[8])
