@@ -11,15 +11,17 @@ training-data pipelines: every asset is a row with
                duration_ms bigint, mime string>
 
 The Spark-side plumbing (schema, partition sizing, UDF signatures, batch
-shapes) is real and tested. Codec status (r5): PNG images and PCM WAV
-audio are decoded FOR REAL by the pure-stdlib codecs in
-``functions/codecs.py`` (zlib + scanline unfiltering; RIFF/PCM via the
-stdlib ``wave`` module) — pixels and samples, not digests — and
-``resize_images`` re-encodes genuinely resized PNGs. Only formats whose
-codecs truly need external libraries (JPEG's DCT, video containers)
-remain behind a deterministic fake: strict mode raises
-``NotImplementedError`` at those decode sites, test mode derives a
-stable pseudo-feature from the bytes, both clearly marked below.
+shapes) is real and tested. Codec status (r5): PNG, baseline JPEG and
+GIF images plus PCM WAV audio decode FOR REAL via the pure-stdlib/numpy
+codecs in ``functions/codecs.py`` (zlib + scanline unfiltering; huffman
++ 8x8 DCT; variable-width LZW with disposal compositing; RIFF/PCM via
+the stdlib ``wave`` module) — pixels and samples, not digests.
+``resize_images`` re-encodes genuinely resized PNGs and JPEGs, and
+``sample_frames`` walks real GIF frame delays. Only formats whose
+codecs truly need external libraries (mp4-style video containers,
+exotic image formats) remain behind a deterministic fake: strict mode
+raises ``NotImplementedError`` at those decode sites, test mode derives
+a stable pseudo-feature from the bytes, both clearly marked below.
 
 Scale notes: binary rows are large — ``mapInPandas`` streams Arrow batches
 so executor memory holds one batch, not one partition; keep
@@ -95,6 +97,16 @@ def _real_feature(content: bytes) -> str | None:
         img = codecs.decode_png(content)
         h, w, ch = img.shape
         return f"png:{w}x{h}x{ch}:mean={img.mean():.3f}"
+    if codecs.is_jpeg(content):
+        img = codecs.decode_jpeg(content)
+        h, w, ch = img.shape
+        return f"jpeg:{w}x{h}x{ch}:mean={img.mean():.3f}"
+    if codecs.is_gif(content):
+        frames = codecs.decode_gif_frames(content)
+        if not frames:
+            raise ValueError("GIF with no frames")
+        dur, last = frames[-1]
+        return f"gif:{last.shape[1]}x{last.shape[0]}:{len(frames)}f:{dur}ms"
     if codecs.is_wav(content):
         samples, rate = codecs.decode_wav(content)
         rms = float((samples**2).mean() ** 0.5) if samples.size else 0.0
@@ -129,8 +141,9 @@ def decode_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                         raise NotImplementedError(
                             f"real {m} decoding for this format requires codec "
                             "libraries not present in this environment; only "
-                            "PNG image and PCM WAV audio decode natively — run "
-                            "with strict=False for the deterministic fake path"
+                            "PNG/baseline-JPEG/GIF images and PCM WAV audio "
+                            "decode natively — run with strict=False for the "
+                            "deterministic fake path"
                         )
                     feat = _fake_decode(c, m)
                 features.append(feat)
@@ -241,14 +254,27 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
                 }
                 if m == "image":
                     raw = bytes(c) if c is not None else b""
-                    if codecs.is_png(raw):
-                        try:
+                    try:
+                        if codecs.is_png(raw):
                             img = codecs.decode_png(raw)
                             c = codecs.encode_png(
                                 codecs.resize_nearest(img, width, height)
                             )
-                        except ValueError:
-                            pass  # malformed PNG: stub behavior (meta only)
+                        elif codecs.is_jpeg(raw):
+                            img = codecs.resize_nearest(
+                                codecs.decode_jpeg(raw), width, height
+                            )
+                            # qscale 0.25: resized assets re-encode at high
+                            # fidelity — resizing shouldn't add quant loss
+                            c = (
+                                codecs.encode_jpeg_gray(img[:, :, 0], qscale=0.25)
+                                if img.shape[2] == 1
+                                else codecs.encode_jpeg_color(
+                                    img, qscale=0.25, subsample=False
+                                )
+                            )
+                    except ValueError:
+                        pass  # malformed content: stub behavior (meta only)
                     meta = {**meta, "width": width, "height": height}
                 contents.append(c)
                 metas.append(meta)

@@ -309,3 +309,70 @@ def test_sample_frames_real_gif(spark):
     # mp4 keeps the fake path over meta duration (0,1000,2000)
     assert [t for t, _ in sorted(by_asset[8])] == [0, 1000, 2000]
     assert all(d.startswith("frame:") for _, d in by_asset[8])
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec: spec-level pins (the encoder cannot mask decoder
+# bugs — expectations below come from ITU-T T.81, not from the encoder)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_block_decodes_bit_exact():
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg_gray(img))
+    assert out.shape == (8, 8, 1)
+    assert (out[:, :, 0] == 200).all()  # DC-only block: exact by spec
+
+
+def test_jpeg_transform_path_lossless_with_unit_quant(monkeypatch):
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    monkeypatch.setattr(codecs, "STD_LUM_Q", np.ones(64, dtype=np.int32))
+    y, x = np.mgrid[0:16, 0:24]
+    img = ((y * 3 + x * 5) % 256).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg_gray(img))[:, :, 0]
+    assert (out == img).all()  # unit quant: FDCT->IDCT must round-trip exactly
+
+
+def test_jpeg_color_subsampling_and_restarts():
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    y, x = np.mgrid[0:33, 0:41]  # odd dims exercise edge cropping
+    gray = ((y * 4 + x * 3) % 256).astype(np.uint8)
+    img = np.stack([gray] * 3, axis=2)  # constant chroma: 4:2:0 near-lossless
+    for subsample in (False, True):
+        data = codecs.encode_jpeg_color(img, qscale=0.25, subsample=subsample, restart=2)
+        out = codecs.decode_jpeg(data)
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1, subsample
+
+
+def test_jpeg_feature_and_resize_through_spark(spark):
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, size=(4, 5, 3)).astype(np.float64)
+    img = np.clip(np.round(np.kron(base, np.ones((8, 8, 1)))), 0, 255).astype(np.uint8)
+    jpg = codecs.encode_jpeg_color(img, qscale=0.5, subsample=False)
+    rows = [(1, "image", jpg, (40, 32, None, None, "image/jpeg"))]
+    df = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    feat = multimodal.decode_features(df).collect()[0]["feature"]
+    decoded = codecs.decode_jpeg(jpg)
+    assert feat == f"jpeg:40x32x3:mean={decoded.mean():.3f}"
+    out = multimodal.resize_images(df, 10, 8).collect()[0]
+    resized = codecs.decode_jpeg(bytes(out["content"]))
+    assert resized.shape == (8, 10, 3)
+    # re-encode is lossy (random content, every pixel a block edge after
+    # the resize); fine-quant re-encode must stay close to the reference
+    expect = codecs.resize_nearest(decoded, 10, 8)
+    assert np.abs(resized.astype(int) - expect.astype(int)).mean() < 10
