@@ -79,18 +79,20 @@ FEATURE_SCHEMA = StructType(
 
 def _fake_decode(content: bytes, modality: str) -> str:
     """STUB — deterministic fake standing in for decoders whose codecs
-    genuinely need external libraries (JPEG, video containers). Produces
-    a stable pseudo-feature from the bytes so plumbing is end-to-end
-    testable. PNG and WAV never reach this — they take the real codecs
-    in ``functions/codecs.py``."""
+    genuinely need external libraries (mp4-style containers, exotic
+    image formats). Produces a stable pseudo-feature from the bytes so
+    plumbing is end-to-end testable. PNG, baseline JPEG, GIF and WAV
+    never reach this — they take the real codecs in
+    ``functions/codecs.py``."""
     h = hashlib.sha256(content or b"").hexdigest()
     return f"{modality}:{h[:16]}"
 
 
 def _real_feature(content: bytes) -> str | None:
-    """Real decode for the formats the stdlib can handle: PNG pixels
-    (geometry + mean intensity) and PCM WAV samples (rate, shape, RMS).
-    Returns None when the bytes are neither — caller picks fake/strict."""
+    """Real decode for the formats the stdlib+numpy codecs handle: PNG
+    and baseline-JPEG pixels (geometry + mean intensity), GIF animation
+    shape (frames + duration), PCM WAV samples (rate, shape, RMS).
+    Returns None for anything else — caller picks fake/strict."""
     from sf_epa_data_ingestion_spark.functions import codecs
 
     if codecs.is_png(content):
@@ -132,10 +134,15 @@ def decode_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                 c = bytes(c) if c is not None else b""
                 try:
                     feat = _real_feature(c)
-                except ValueError as exc:
+                # malformed real-format bytes surface as ValueError from the
+                # codecs' own checks OR as low-level decode errors
+                # (IndexError / struct.error / zlib.error / wave.Error on
+                # truncated streams) — all become error rows, not batch
+                # failures
+                except Exception as exc:  # noqa: BLE001 — errors become data
                     if strict:
                         raise
-                    feat = f"error: {exc}"
+                    feat = f"error: {exc.__class__.__name__}: {exc}"
                 if feat is None:
                     if strict:
                         raise NotImplementedError(
@@ -273,8 +280,8 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
                                     img, qscale=0.25, subsample=False
                                 )
                             )
-                    except ValueError:
-                        pass  # malformed content: stub behavior (meta only)
+                    except Exception:  # noqa: BLE001 — malformed content:
+                        pass  # stub behavior (meta only)
                     meta = {**meta, "width": width, "height": height}
                 contents.append(c)
                 metas.append(meta)
@@ -322,7 +329,7 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                 if codecs.is_gif(content):
                     try:
                         frames = codecs.decode_gif_frames(content)
-                    except ValueError:
+                    except Exception:  # noqa: BLE001 — malformed GIF
                         frames = []
                     dur = frames[-1][0] if frames else 0
                     fi = 0
