@@ -233,6 +233,14 @@ def sample_to_budget(
         u.alias("u"),
     ).withColumn("bucket", F.floor(F.col("u") * n_buckets).cast("int"))
     base = base.join(F.broadcast(budgets.select("source", "budget")), "source")
+    # persist: three consumers below (the per-bucket aggregate and the
+    # inside/boundary branches) are dedup-aliased self-join branches —
+    # without the cache each re-scans the corpus and re-computes the hash
+    # unit (measured 16 FileScans in the un-cached plan; at 100 TB that is
+    # 3+ full corpus reads). Narrow rows (key, source, w, u, bucket,
+    # budget), MEMORY_AND_DISK by default so big corpora spill instead of
+    # OOMing. Cache ownership follows the session-cache policy in SCALE.md.
+    base = base.persist()
 
     per_bucket = base.groupBy("source", "bucket").agg(F.sum("w").alias("bw"))
     wb = (
