@@ -441,29 +441,35 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Hamming-near pairs via the 4-block pigeonhole trick: split the 64-bit
-    signature into 4 16-bit blocks — any pair within Hamming distance 3
-    agrees on >=1 block — equi-join per block, then verify exact distance.
-    Avoids the quadratic compare: candidate generation is 4 hash joins."""
-    sigs = simhash(df, text_col, id_col)
+def hamming_near_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    max_hamming: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """Hamming-near pairs over ANY 64-bit signature column via the 4-block
+    pigeonhole trick: split the signature into 4 16-bit blocks — any pair
+    within Hamming distance 3 agrees on >=1 block — equi-join per block,
+    then verify exact distance. Avoids the quadratic compare: candidate
+    generation is 4 hash joins. Shared by text SimHash (``simhash_pairs``)
+    and image dHash (``operators/multimodal.image_near_dup_pairs``)."""
     blocks = sigs.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col(sig_col), i * 16).bitwiseAND(F.lit(0xFFFF))
                     for i in range(4)
                 ]
             )
         ).alias("block_id", "block_val"),
     )
     # persist: a and b below are dedup-aliased branches of the same
-    # subtree; without the cache the whole signature fold runs twice.
+    # subtree; without the cache the whole signature computation runs twice.
     blocks = blocks.persist()
     a, b = blocks.alias("a"), blocks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
 
     # First-matching-block gate: a pair sharing several blocks would be
     # emitted once per shared block; instead of a dropDuplicates SHUFFLE of
@@ -471,7 +477,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # for block i require every block j<i to DISAGREE (a static 3-term
     # predicate over the two signature columns, evaluated inside the join).
     def blk(side: str, j: int) -> Column:
-        return F.shiftright(F.col(f"{side}.simhash"), j * 16).bitwiseAND(F.lit(0xFFFF))
+        return F.shiftright(F.col(f"{side}.sig"), j * 16).bitwiseAND(F.lit(0xFFFF))
 
     earlier_match = F.lit(False)
     for j in range(3):
@@ -490,6 +496,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Hamming-near text pairs: 64-bit SimHash signatures +
+    ``hamming_near_pairs``' pigeonhole block join."""
+    return hamming_near_pairs(simhash(df, text_col, id_col), "simhash", max_hamming)
 
 
 def ngram_jaccard_pairs(

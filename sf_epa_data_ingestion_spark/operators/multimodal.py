@@ -362,3 +362,72 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "frame_ts_ms", "frame_digest"])
 
     return assets.mapInPandas(gen, schema=out_schema)
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """64-bit difference hash per decodable image: decode (PNG / baseline
+    JPEG / first GIF frame), average channels to gray, nearest-resize to
+    9x8, set bit (row*8+col) iff pixel[row, col+1] > pixel[row, col].
+    dHash is brightness- and scale-invariant enough to catch re-encoded /
+    resized copies — the image analog of SimHash for text.
+
+    Returns (id, dhash) for assets whose content decoded; undecodable or
+    non-image rows are dropped (they can't carry a perceptual hash).
+    Scan-shaped: one mapInPandas, no shuffle.
+    """
+    out_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("dhash", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sf_epa_data_ingestion_spark.functions import codecs
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, m, c in zip(pdf["asset_id"], pdf["modality"], pdf["content"]):
+                if m != "image" and m != "video":
+                    continue
+                raw = bytes(c) if c is not None else b""
+                try:
+                    if codecs.is_png(raw):
+                        img = codecs.decode_png(raw)
+                    elif codecs.is_jpeg(raw):
+                        img = codecs.decode_jpeg(raw)
+                    elif codecs.is_gif(raw):
+                        frames = codecs.decode_gif_frames(raw)
+                        if not frames:
+                            continue
+                        img = frames[0][1]
+                    else:
+                        continue
+                except Exception:  # noqa: BLE001 — undecodable: no hash
+                    continue
+                gray = img.astype(np.float64).mean(axis=2)
+                small = codecs.resize_nearest(gray, 9, 8)  # (8 rows, 9 cols)
+                bits = (small[:, 1:] > small[:, :-1]).reshape(-1)  # 64 bits
+                h = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        h |= 1 << i
+                ids.append(int(aid))
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return assets.mapInPandas(gen, schema=out_schema)
+
+
+def image_near_dup_pairs(assets: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate image pairs: real-decoded dHash signatures joined by
+    the same 4-block pigeonhole Hamming join the text SimHash path uses
+    (``operators/dedup.hamming_near_pairs``) — candidate generation is 4
+    hash joins on 16-bit blocks, never an all-pairs compare, so the
+    multimodal dedup path scales exactly like the text one.
+    Returns (id_a, id_b, hamming)."""
+    from sf_epa_data_ingestion_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(image_dhash(assets), "dhash", max_hamming)

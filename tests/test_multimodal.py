@@ -376,3 +376,51 @@ def test_jpeg_feature_and_resize_through_spark(spark):
     # the resize); fine-quant re-encode must stay close to the reference
     expect = codecs.resize_nearest(decoded, 10, 8)
     assert np.abs(resized.astype(int) - expect.astype(int)).mean() < 10
+
+
+def test_image_dhash_invariances_and_near_dup_pairs(spark):
+    """dHash must be invariant to global brightness shift and to moderate
+    rescaling of the same scene, and distinct scenes must land far apart;
+    image_near_dup_pairs finds exactly the near pairs via the pigeonhole
+    Hamming join."""
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+    from sf_epa_data_ingestion_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    # smooth base scene (random 6x8 upsampled) so rescaling is stable
+    base = rng.integers(30, 200, size=(6, 8, 3)).astype(np.float64)
+    scene = np.clip(np.round(np.kron(base, np.ones((16, 16, 1)))), 0, 255).astype(np.uint8)
+    brighter = np.clip(scene.astype(int) + 40, 0, 255).astype(np.uint8)
+    rescaled = codecs.resize_nearest(scene, 64, 48)
+    other = np.clip(
+        np.round(np.kron(rng.integers(30, 200, size=(6, 8, 3)).astype(np.float64),
+                         np.ones((16, 16, 1)))), 0, 255
+    ).astype(np.uint8)
+    rows = [
+        (1, "image", codecs.encode_png(scene), (None, None, None, None, "image/png")),
+        (2, "image", codecs.encode_png(brighter), (None, None, None, None, "image/png")),
+        (3, "image", codecs.encode_jpeg_color(rescaled, qscale=0.25, subsample=False),
+         (None, None, None, None, "image/jpeg")),
+        (4, "image", codecs.encode_png(other), (None, None, None, None, "image/png")),
+        (5, "image", b"not an image at all", (None, None, None, None, "image/bmp")),
+        (6, "audio", b"RIFF....WAVE", (None, None, 8000, 10, "audio/wav")),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    hashes = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert set(hashes) == {1, 2, 3, 4}  # undecodable + audio dropped
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hashes[1], hashes[2]) <= 2   # brightness shift: near-identical
+    assert ham(hashes[1], hashes[3]) <= 10  # rescale+jpeg: still near
+    assert ham(hashes[1], hashes[4]) > 16   # different scene: far
+
+    pairs = {(r["id_a"], r["id_b"]) for r in image_near_dup_pairs(df, max_hamming=10).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
