@@ -424,3 +424,41 @@ def test_image_dhash_invariances_and_near_dup_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in image_near_dup_pairs(df, max_hamming=10).collect()}
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_audio_embedding_discriminates_tones(spark):
+    """Real DSP: a 440 Hz tone's log-mel embedding must match its own
+    duplicate exactly, sit close to a phase-shifted copy, and separate
+    clearly from a high tone and from white noise."""
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+    from sf_epa_data_ingestion_spark.operators.multimodal import audio_embedding
+
+    rate = 16000
+    t = np.arange(rate) / rate  # 1 s
+    tone_low = np.sin(2 * np.pi * 440 * t)
+    tone_low_phase = np.sin(2 * np.pi * 440 * t + 1.0)
+    tone_high = np.sin(2 * np.pi * 4400 * t)
+    rng = np.random.default_rng(17)
+    noise = rng.uniform(-0.8, 0.8, size=rate)
+    rows = [
+        (1, "audio", codecs.encode_wav(tone_low, rate), (None, None, rate, 1000, "audio/wav")),
+        (2, "audio", codecs.encode_wav(tone_low, rate), (None, None, rate, 1000, "audio/wav")),
+        (3, "audio", codecs.encode_wav(tone_low_phase, rate), (None, None, rate, 1000, "audio/wav")),
+        (4, "audio", codecs.encode_wav(tone_high, rate), (None, None, rate, 1000, "audio/wav")),
+        (5, "audio", codecs.encode_wav(noise, rate), (None, None, rate, 1000, "audio/wav")),
+        (6, "audio", b"RIFFbroken", (None, None, rate, 1, "audio/wav")),
+        (7, "image", b"\x89PNGnope", (None, None, None, None, "image/png")),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    out = {r["id"]: np.array(r["embedding"]) for r in audio_embedding(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # broken WAV + image dropped
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert (out[1] == out[2]).all()          # identical bytes: identical
+    assert cos(out[1], out[3]) > 0.999       # phase shift: near-identical
+    assert cos(out[1], out[4]) < 0.97        # different pitch: separated
+    assert cos(out[1], out[5]) < 0.97        # noise: separated
