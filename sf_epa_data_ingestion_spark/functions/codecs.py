@@ -792,3 +792,77 @@ def encode_jpeg_color(rgb, qscale=1.0, subsample=True, restart=0):
     bw.flush()
     out += bw.buf + b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI: RIFF framing (stdlib struct) around JPEG frames (decoded
+# by decode_jpeg above) — a REAL video container end-to-end, closing the
+# video modality for the one format this environment can honestly handle.
+# ---------------------------------------------------------------------------
+
+
+def is_avi(data: bytes) -> bool:
+    return bool(data) and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def decode_avi_frames(data: bytes) -> tuple[list[np.ndarray], float]:
+    """MJPEG AVI bytes -> (frames as (H, W, C) uint8 arrays, fps).
+
+    Walks the RIFF tree: ``avih`` gives the microseconds-per-frame,
+    ``movi`` holds ``..db``/``..dc`` chunks whose payloads are complete
+    JPEGs. Non-JPEG streams raise ValueError (only MJPEG is decodable
+    without external codecs)."""
+    if not is_avi(data):
+        raise ValueError("not an AVI (bad RIFF signature)")
+    frames: list[np.ndarray] = []
+    us_per_frame = 40000  # 25 fps default if avih is absent
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal us_per_frame
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if cid in (b"RIFF", b"LIST"):
+                walk(body_start + 4, body_start + size)  # skip the list type
+            elif cid == b"avih":
+                (us,) = struct.unpack("<I", data[body_start : body_start + 4])
+                if us:
+                    us_per_frame = us
+            elif cid[2:4] in (b"db", b"dc") and size > 0:
+                payload = data[body_start : body_start + size]
+                if not is_jpeg(payload):
+                    raise ValueError("non-MJPEG stream chunk (only MJPEG supported)")
+                frames.append(decode_jpeg(payload))
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(8 + 4, len(data))
+    return frames, 1e6 / us_per_frame
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """Minimal MJPEG AVI for tests: one video stream, each (H, W, 3) or
+    (H, W) uint8 frame stored as a ``00dc`` JPEG chunk."""
+    jpegs = [
+        encode_jpeg_gray(f) if f.ndim == 2 else encode_jpeg_color(f, subsample=False)
+        for f in frames
+    ]
+    h, w = frames[0].shape[:2]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(body) + 4) + ltype + body
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        int(1e6 / fps), 0, 0, 0x10, len(jpegs), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIIhhhh",
+        0, 0, 0, 0, 1, int(fps), 0, len(jpegs), 0, 0xFFFFFFFF, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -17,9 +17,10 @@ codecs in ``functions/codecs.py`` (zlib + scanline unfiltering; huffman
 + 8x8 DCT; variable-width LZW with disposal compositing; RIFF/PCM via
 the stdlib ``wave`` module) — pixels and samples, not digests.
 ``resize_images`` re-encodes genuinely resized PNGs and JPEGs, and
-``sample_frames`` walks real GIF frame delays. Only formats whose
-codecs truly need external libraries (mp4-style video containers,
-exotic image formats) remain behind a deterministic fake: strict mode
+``sample_frames`` walks real GIF frame delays and real MJPEG-AVI
+streams (RIFF parse + per-frame JPEG decode). Only formats whose codecs
+truly need external libraries (mp4/h264, exotic image formats) remain
+behind a deterministic fake: strict mode
 raises ``NotImplementedError`` at those decode sites, test mode derives
 a stable pseudo-feature from the bytes, both clearly marked below.
 
@@ -113,6 +114,12 @@ def _real_feature(content: bytes) -> str | None:
         samples, rate = codecs.decode_wav(content)
         rms = float((samples**2).mean() ** 0.5) if samples.size else 0.0
         return f"wav:{rate}hz:{samples.shape[0]}x{samples.shape[1]}:rms={rms:.4f}"
+    if codecs.is_avi(content):
+        frames, fps = codecs.decode_avi_frames(content)
+        if not frames:
+            raise ValueError("AVI with no frames")
+        h, w = frames[0].shape[:2]
+        return f"avi:{w}x{h}:{len(frames)}f:{fps:.1f}fps"
     return None
 
 
@@ -326,6 +333,24 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                 if r["modality"] != "video":
                     continue
                 content = bytes(r["content"]) if r["content"] is not None else b""
+                if codecs.is_avi(content):
+                    # real container: frame timestamps from the stream fps
+                    try:
+                        avi_frames, fps = codecs.decode_avi_frames(content)
+                    except Exception:  # noqa: BLE001 — malformed AVI
+                        avi_frames, fps = [], 1.0
+                    dur = int(len(avi_frames) / fps * 1000)
+                    for ts in range(0, dur, every_ms):
+                        fi = min(int(ts * fps / 1000), len(avi_frames) - 1)
+                        rows.append(
+                            {
+                                "asset_id": r["asset_id"],
+                                "frame_ts_ms": ts,
+                                "frame_digest": "avi:"
+                                + hashlib.md5(avi_frames[fi].tobytes()).hexdigest(),
+                            }
+                        )
+                    continue
                 if codecs.is_gif(content):
                     try:
                         frames = codecs.decode_gif_frames(content)
@@ -403,6 +428,11 @@ def image_dhash(assets: DataFrame) -> DataFrame:
                         if not frames:
                             continue
                         img = frames[0][1]
+                    elif codecs.is_avi(raw):
+                        avi_frames, _fps = codecs.decode_avi_frames(raw)
+                        if not avi_frames:
+                            continue
+                        img = avi_frames[0]
                     else:
                         continue
                 except Exception:  # noqa: BLE001 — undecodable: no hash

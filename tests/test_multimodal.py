@@ -462,3 +462,38 @@ def test_audio_embedding_discriminates_tones(spark):
     assert cos(out[1], out[3]) > 0.999       # phase shift: near-identical
     assert cos(out[1], out[4]) < 0.97        # different pitch: separated
     assert cos(out[1], out[5]) < 0.97        # noise: separated
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    """A real MJPEG AVI: RIFF parse -> JPEG frame decode; the sampling
+    schedule comes from the container's fps, digests from real pixels."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    rng = np.random.default_rng(19)
+    base = [rng.integers(30, 220, size=(3, 4, 3)).astype(np.float64) for _ in range(4)]
+    frames = [
+        np.clip(np.round(np.kron(b, np.ones((8, 8, 1)))), 0, 255).astype(np.uint8)
+        for b in base
+    ]
+    avi = codecs.encode_avi_mjpeg(frames, fps=2.0)  # 4 frames -> 2000 ms
+    rows = [(9, "video", avi, (32, 24, None, 123, "video/x-msvideo"))]
+    df = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    out = sorted(
+        ((r["frame_ts_ms"], r["frame_digest"]) for r in
+         multimodal.sample_frames(df, every_ms=500).collect())
+    )
+    # duration 2000ms, sampled at 0,500,1000,1500 -> frames 0,1,2,3
+    decoded, fps = codecs.decode_avi_frames(avi)
+    assert fps == 2.0
+    expect = [
+        (ts, "avi:" + _hashlib.md5(decoded[min(int(ts * fps / 1000), 3)].tobytes()).hexdigest())
+        for ts in (0, 500, 1000, 1500)
+    ]
+    assert out == expect
+    # feature path reports the real container geometry
+    feat = multimodal.decode_features(df).collect()[0]["feature"]
+    assert feat == "avi:32x24:4f:2.0fps"
