@@ -2554,7 +2554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixture oracles (refhash.py) and must earn their FIRST driver hash
     # row — simhash and minhash_lsh already sit inside the window;
     # fingerprint swaps in for anti_join (r4-green, and its anti-join
-    # plan shape stays covered in-window by pdf_to_download).
+    # plan shape stays covered in-window by pdf_to_download). The new
+    # sample_to_budget slots in at position 5 (needs its first row),
+    # which pushes dup_spans (green in CORRECTNESS_r04) just past 50.
     return {
         # -- no green driver hash row before r5 (5) ------------------------
         "strip_dup_spans": q_strip_dup_spans,
