@@ -497,3 +497,40 @@ def test_sample_frames_real_mjpeg_avi(spark):
     # feature path reports the real container geometry
     feat = multimodal.decode_features(df).collect()[0]["feature"]
     assert feat == "avi:32x24:4f:2.0fps"
+
+
+def test_audio_embeddings_compose_with_similarity_ops(spark):
+    """The multimodal -> similarity composition: log-mel embeddings feed
+    operators/similarity.embedding_near_dup_pairs directly — duplicate
+    audio clips surface as an exact-cosine near-dup pair."""
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+    from sf_epa_data_ingestion_spark.operators import similarity
+    from sf_epa_data_ingestion_spark.operators.multimodal import audio_embedding
+
+    rate = 16000
+    t = np.arange(rate // 2) / rate
+    clips = {
+        1: np.sin(2 * np.pi * 330 * t),
+        2: np.sin(2 * np.pi * 330 * t),          # exact duplicate of 1
+        3: np.sin(2 * np.pi * 330 * t + 0.7),    # phase-shifted near-dup
+        4: np.sin(2 * np.pi * 2900 * t),         # different content
+    }
+    rows = [
+        (i, "audio", codecs.encode_wav(x, rate), (None, None, rate, 500, "audio/wav"))
+        for i, x in clips.items()
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    emb = audio_embedding(df).select(
+        F.col("id").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.999, exact=True
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
