@@ -866,3 +866,94 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
     movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF: the sample data (h264/h265) genuinely needs external
+# codecs, but the CONTAINER is plain big-endian box framing — parse it for
+# real metadata (duration, tracks, codec fourccs) so mp4 assets report
+# truth instead of a fake digest; only pixel decode stays stubbed.
+# ---------------------------------------------------------------------------
+
+
+def is_mp4(data: bytes) -> bool:
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def parse_mp4_meta(data: bytes) -> dict:
+    """ISO-BMFF bytes -> {duration_ms, n_tracks, codecs: [fourcc, ...]}.
+
+    Walks the box tree: ``mvhd`` gives timescale+duration, each ``trak``'s
+    ``stsd`` lists its sample-description fourcc (avc1, mp4a, ...).
+    Raises ValueError when the required boxes are missing/truncated."""
+    if not is_mp4(data):
+        raise ValueError("not an MP4 (no ftyp)")
+    meta = {"duration_ms": None, "n_tracks": 0, "codecs": []}
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            btype = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:  # to end of file
+                size = end - pos
+            if size < 8 or pos + size > end + 8:
+                raise ValueError("truncated box")
+            if btype in containers:
+                if btype == b"trak":
+                    meta["n_tracks"] += 1
+                walk(body, pos + size)
+            elif btype == b"mvhd":
+                version = data[body]
+                if version == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", data[body + 20 : body + 32]
+                    )
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", data[body + 12 : body + 20]
+                    )
+                if timescale:
+                    meta["duration_ms"] = int(duration * 1000 / timescale)
+            elif btype == b"stsd":
+                (n_entries,) = struct.unpack(">I", data[body + 4 : body + 8])
+                p = body + 8
+                for _ in range(n_entries):
+                    if p + 8 > pos + size:
+                        break
+                    fourcc = data[p + 4 : p + 8].decode("latin-1")
+                    meta["codecs"].append(fourcc)
+                    (esz,) = struct.unpack(">I", data[p : p + 4])
+                    p += max(esz, 8)
+            pos += size
+
+    walk(0, len(data))
+    if meta["duration_ms"] is None and meta["n_tracks"] == 0:
+        raise ValueError("no moov metadata found")
+    return meta
+
+
+def encode_mp4_stub(duration_ms: int, codecs_list: list[str]) -> bytes:
+    """Minimal structurally-valid ISO-BMFF for tests: ftyp + moov with
+    mvhd (1000 Hz timescale) and one trak/stsd per codec fourcc. Carries
+    NO sample data — exists to exercise the container parser."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00" + b"\x00" * 3 + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, duration_ms) + b"\x00" * 80,
+    )
+    traks = b""
+    for cc in codecs_list:
+        entry = struct.pack(">I", 16) + cc.encode("latin-1") + b"\x00" * 8
+        stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        traks += box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stsd))))
+    moov = box(b"moov", mvhd + traks)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov

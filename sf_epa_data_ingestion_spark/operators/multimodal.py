@@ -155,11 +155,27 @@ def decode_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                         raise NotImplementedError(
                             f"real {m} decoding for this format requires codec "
                             "libraries not present in this environment; only "
-                            "PNG/baseline-JPEG/GIF images and PCM WAV audio "
-                            "decode natively — run with strict=False for the "
-                            "deterministic fake path"
+                            "PNG/baseline-JPEG/GIF images, MJPEG-AVI video "
+                            "and PCM WAV audio decode natively — run with "
+                            "strict=False for the metadata/fake path"
                         )
-                    feat = _fake_decode(c, m)
+                    from sf_epa_data_ingestion_spark.functions import codecs
+
+                    if codecs.is_mp4(c):
+                        # the ISO-BMFF CONTAINER parses without codecs —
+                        # report real duration/tracks/fourccs; only the
+                        # h264/h265 sample data stays undecodable
+                        try:
+                            mm = codecs.parse_mp4_meta(c)
+                            feat = (
+                                f"mp4:{mm['n_tracks']}trk:"
+                                f"{'+'.join(mm['codecs']) or 'none'}:"
+                                f"{mm['duration_ms']}ms:samples-undecoded"
+                            )
+                        except Exception:  # noqa: BLE001 — malformed box tree
+                            feat = _fake_decode(c, m)
+                    else:
+                        feat = _fake_decode(c, m)
                 features.append(feat)
             out = pd.DataFrame(
                 {

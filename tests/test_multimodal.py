@@ -534,3 +534,19 @@ def test_audio_embeddings_compose_with_similarity_ops(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_mp4_container_metadata_is_real(spark):
+    """mp4 sample data is honestly undecodable here, but the ISO-BMFF
+    container parses for real: decode_features reports true duration,
+    track count and codec fourccs; strict still raises (no pixel path)."""
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    mp4 = codecs.encode_mp4_stub(5500, ["avc1", "mp4a"])
+    rows = [(11, "video", mp4, (None, None, None, 999, "video/mp4"))]
+    df = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    feat = multimodal.decode_features(df).collect()[0]["feature"]
+    assert feat == "mp4:2trk:avc1+mp4a:5500ms:samples-undecoded"
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_features(df, strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
