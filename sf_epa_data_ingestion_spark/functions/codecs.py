@@ -7,9 +7,10 @@ around raw PCM (stdlib ``wave``), GIF is variable-width LZW, and
 baseline JPEG is huffman coding + an 8x8 DCT — pure arithmetic.
 Implementing those for real — instead of stubbing every decode — means
 the multimodal pipeline (operators/multimodal.py) does genuine
-pixel/sample work end-to-end; only formats whose codecs truly need
-external libraries (video containers like mp4, exotic image formats)
-stay behind the documented fake.
+pixel/sample work end-to-end — including MJPEG-AVI video (RIFF framing
+around JPEG frames) and real mp4 CONTAINER metadata (ISO-BMFF box
+walk); only compressed video sample data (h264/h265) and exotic image
+formats stay behind the documented fake.
 
 PNG support: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
 4 (gray+alpha), 6 (RGBA); all five scanline filters; single IDAT stream
@@ -605,7 +606,7 @@ STD_CHR_Q = np.array([
  99,99,99,99,99,99,99,99, 99,99,99,99,99,99,99,99], dtype=np.int32)
 
 DC_LUM_COUNTS = [0,1,5,1,1,1,1,1,1,0,0,0,0,0,0,0]
-DC_LUM_SYms = list(range(12))
+DC_LUM_SYMS = list(range(12))
 AC_LUM_COUNTS = [0,2,1,3,3,2,4,3,5,5,4,4,0,0,1,0x7d]
 AC_LUM_SYMS = [
  0x01,0x02,0x03,0x00,0x04,0x11,0x05,0x12,0x21,0x31,0x41,0x06,0x13,0x51,0x61,0x07,
@@ -652,7 +653,7 @@ def _mag(v):
 def encode_jpeg_gray(img, qscale=1.0):
     h, w = img.shape
     q = np.maximum(1, (STD_LUM_Q * qscale).astype(np.int32))
-    dc_t = _codes(DC_LUM_COUNTS, DC_LUM_SYms)
+    dc_t = _codes(DC_LUM_COUNTS, DC_LUM_SYMS)
     ac_t = _codes(AC_LUM_COUNTS, AC_LUM_SYMS)
     out = bytearray(b"\xff\xd8")
     zz = q[ZIGZAG]  # wait: table in DQT is in zigzag order: q_zigzag[i] = q_natural[ZIGZAG[i]]
@@ -661,7 +662,7 @@ def encode_jpeg_gray(img, qscale=1.0):
     def dht(tc, th, counts, syms):
         return (b"\xff\xc4" + struct.pack(">H", 19 + len(syms)) + bytes([(tc<<4)|th]) +
                 bytes(counts) + bytes(syms))
-    out += dht(0, 0, DC_LUM_COUNTS, DC_LUM_SYms)
+    out += dht(0, 0, DC_LUM_COUNTS, DC_LUM_SYMS)
     out += dht(1, 0, AC_LUM_COUNTS, AC_LUM_SYMS)
     out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
     bw = _BitWriter()
@@ -713,7 +714,7 @@ def encode_jpeg_color(rgb, qscale=1.0, subsample=True, restart=0):
     cr = 0.5*r - 0.418688*g - 0.081312*b + 128.0
     ql = np.maximum(1, (STD_LUM_Q * qscale).astype(np.int32))
     qc = np.maximum(1, (STD_CHR_Q * qscale).astype(np.int32))
-    dc_t = _codes(DC_LUM_COUNTS, DC_LUM_SYms)
+    dc_t = _codes(DC_LUM_COUNTS, DC_LUM_SYMS)
     ac_t = _codes(AC_LUM_COUNTS, AC_LUM_SYMS)
     hs, vs = (2, 2) if subsample else (1, 1)
     mcux = (w + 8*hs - 1)//(8*hs); mcuy = (h + 8*vs - 1)//(8*vs)
@@ -739,7 +740,7 @@ def encode_jpeg_color(rgb, qscale=1.0, subsample=True, restart=0):
     def dht(tc, th, counts, syms):
         return (b"\xff\xc4" + struct.pack(">H", 19 + len(syms)) + bytes([(tc<<4)|th]) +
                 bytes(counts) + bytes(syms))
-    out += dht(0, 0, DC_LUM_COUNTS, DC_LUM_SYms)
+    out += dht(0, 0, DC_LUM_COUNTS, DC_LUM_SYMS)
     out += dht(1, 0, AC_LUM_COUNTS, AC_LUM_SYMS)
     if restart:
         out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart)

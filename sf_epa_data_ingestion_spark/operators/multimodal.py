@@ -126,13 +126,14 @@ def _real_feature(content: bytes) -> str | None:
 def decode_features(assets: DataFrame, strict: bool = False) -> DataFrame:
     """Decode/feature-extract each asset via ``mapInPandas``.
 
-    PNG and WAV content decodes for real (``functions/codecs.py``); a
-    malformed real-format asset becomes an ``error:`` feature row
-    (errors-as-data, same posture as PDF parsing) rather than failing
-    the batch. For formats without a stdlib codec, ``strict=True``
-    raises NotImplementedError at the decode site — the documented
-    behavior when real codecs are required but unavailable — and
-    ``strict=False`` emits the deterministic fake."""
+    PNG, baseline JPEG, GIF, MJPEG-AVI and PCM WAV content decodes for
+    real (``functions/codecs.py``), and mp4 reports true container
+    metadata; a malformed real-format asset becomes an ``error:``
+    feature row (errors-as-data, same posture as PDF parsing) rather
+    than failing the batch. For content without a stdlib codec,
+    ``strict=True`` raises NotImplementedError at the decode site — the
+    documented behavior when real codecs are required but unavailable —
+    and ``strict=False`` emits the deterministic fake."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
