@@ -136,3 +136,63 @@ def test_ivf_topk_isotropic_recall_vs_bruteforce(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.4, f"ivf isotropic recall {recall:.3f} < 0.4"
+
+
+def test_image_neardup_pigeonhole_complete_below_block_bound(spark):
+    """image_near_dup_pairs' 4-block pigeonhole is COMPLETE for Hamming
+    distance <= 3 (pigeonhole guarantee) and a recall-bounded candidate
+    generator above it. Pin both properties against a brute-force
+    all-pairs compare on real decoded dHashes of a synthetic image set
+    with planted near-duplicates."""
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+    from sf_epa_data_ingestion_spark.operators import multimodal
+    from sf_epa_data_ingestion_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    aid = 0
+    for scene in range(12):
+        base = rng.integers(20, 230, size=(6, 8, 3)).astype(np.float64)
+        img = np.clip(np.round(np.kron(base, np.ones((8, 8, 1)))), 0, 255).astype(np.uint8)
+        variants = [
+            img,
+            np.clip(img.astype(int) + rng.integers(10, 40), 0, 255).astype(np.uint8),
+            codecs.resize_nearest(img, 40, 30),
+        ]
+        for v in variants:
+            rows.append(
+                (aid, "image", codecs.encode_png(v), (None, None, None, None, "image/png"))
+            )
+            aid += 1
+    df = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    hashes = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert len(hashes) == aid
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    truth = {
+        (i, j): ham(hashes[i], hashes[j])
+        for i in hashes
+        for j in hashes
+        if i < j and ham(hashes[i], hashes[j]) <= 10
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=10).collect()
+    }
+    # soundness: every emitted pair is a true near pair with exact distance
+    for p, h in got.items():
+        assert truth.get(p) == h, p
+    # completeness at <= 3 (pigeonhole guarantee)
+    close = {p for p, h in truth.items() if h <= 3}
+    assert close <= set(got), close - set(got)
+    # recall floor on the full <= 10 set
+    assert truth, "fixture must plant near pairs"
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert recall >= 0.8, f"image near-dup recall {recall:.3f} < 0.8"
