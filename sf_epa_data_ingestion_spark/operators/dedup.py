@@ -8,11 +8,14 @@ bucket/band equi-join that Spark executes as a shuffle hash join):
 - ``minhash_lsh_pairs``  MinHash signatures + banded LSH candidate pairs
 - ``simhash``            64-bit SimHash signatures (Hamming near-dup)
 - ``ngram_jaccard_pairs``exact character-shingle Jaccard via shingle join
+- ``hamming_near_pairs`` pigeonhole block join over any 64-bit signature
+  (shared with image dHash in operators/multimodal.py)
 - near-dup by embedding cosine lives in operators/similarity.py
 
-Everything below is built from JVM-side array expressions (transform /
-aggregate / array_min) — no Python UDFs — so the whole pipeline stays in
-whole-stage codegen and scales with executor count.
+Everything here is either JVM-side array expressions (transform /
+aggregate / array_min — whole-stage codegen) or an Arrow-batched numpy
+pass where that measured faster (the SimHash bit counting; see PLANS.md
+for the per-site measurement rule) — never row-at-a-time Python.
 
 Scale notes (100 TB): exact dedup is one shuffle on a 128-bit digest.
 MinHash/LSH is the industry-standard near-dup at scale: cost is

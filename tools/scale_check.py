@@ -21,7 +21,13 @@ sys.path.insert(0, REPO)
 import __spark_entry__ as entry  # noqa: E402
 from sf_epa_data_ingestion_spark.session import get_spark  # noqa: E402
 
-HEAVY = ["dedup_clusters", "ngram_jaccard", "dup_spans", "minhash_lsh", "ann_ivf"]
+# every query that reads only documents/embeddings (the two tables
+# make_sf1.py scales) — the heavy five plus the r5 additions
+HEAVY = [
+    "dedup_clusters", "ngram_jaccard", "dup_spans", "minhash_lsh", "ann_ivf",
+    "simhash", "strip_dup_spans", "contamination", "lm_perplexity",
+    "sample_to_budget", "search_bm25", "embedding_near_dup", "fingerprint",
+]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scaledata", "sf1")
 
