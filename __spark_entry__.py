@@ -952,12 +952,55 @@ QUALIFY rank <= 10
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only: approximate recall by construction)."""
+    """LSH-bucketed ANN. Approximate vs brute force, but DETERMINISTIC:
+    the "random" hyperplanes are seeded splitmix64 constants, so the
+    bucket structure is a pure function of the vectors. r5 third pass
+    gave it a golden-fixture oracle (functions/refhash.ref_lsh_sigs is
+    the pure-Python mirror of the signature spec; the DuckDB oracle
+    re-derives the bucket join + top-k window in SQL on the fixture)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.lsh_topk(emb, queries, k=10, dim=64)
+
+
+# Content-addressed like the simhash/minhash fixtures: embeddings join
+# the fixture on md5 of a %.9e canonical rendering (10 significant
+# digits — lossless for float32, and DuckDB printf and Python '%.9e'
+# format identically; pinned by tests/test_refhash.py). The pair logic
+# (any-table bucket collision, self-exclusion, round-6 cosine, rank by
+# (sim desc, id)) is re-derived in SQL, independent of the engine.
+ORACLE_ANN_LSH = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         md5(array_to_string(
+           list_transform(embedding, x -> printf('%.9e', CAST(x AS DOUBLE))), ',')) AS h
+  FROM embeddings
+), s AS (
+  SELECT e.vec_id, f.table_id, f.sig, e.v
+  FROM e JOIN '/root/repo/tests/fixtures/golden_lsh_sigs.parquet' f ON e.h = f.emb_md5
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM s q JOIN s c ON q.table_id = c.table_id AND q.sig = c.sig
+                   AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+), scored AS (
+  SELECT p.query_id, p.vec_id,
+         round(list_dot_product(qe.v, ce.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))),
+               6) AS cosine_sim
+  FROM cand p
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ce ON ce.vec_id = p.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,11 +1016,47 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """100 TB profiling tier (rows-only: HLL++ sketch counts are
-    engine-specific; tolerance vs the exact profile is pinned in
-    tests/test_sampling_profiling.py)."""
+    """100 TB profiling tier. rsd 0.02 puts every profiled column in
+    HLL++'s linear-counting regime at the correctness scales, where the
+    sketch estimate is a pure function of the distinct-value SET (only
+    register-touched counts matter, never the rho bookkeeping) — so the
+    'approximate' count is deterministically mirrorable outside the JVM
+    (functions/refhash.ref_hll_distinct) and the query graduated from
+    rows-only to a golden-fixture hash-exact oracle in r5. Tolerance vs
+    the exact profile stays pinned in tests/test_sampling_profiling.py."""
     o = _t(spark, sf_dir, "orders")
-    return profiling.approx_column_profile(o, ["o_orderstatus", "o_orderpriority", "o_custkey"])
+    return profiling.approx_column_profile(
+        o, ["o_orderstatus", "o_orderpriority", "o_custkey"], rsd=0.02
+    )
+
+
+# n_rows / n_null come live from the table; n_distinct joins the golden
+# HLL++ fixture on md5 of the sorted varchar rendering of the column's
+# distinct-value set — the exact quantity the linear-counting estimate
+# is a function of. A content miss drops the row (inner join) and fails
+# the row-count compare loudly instead of passing a stale estimate.
+ORACLE_APPROX_PROFILE = """
+WITH k AS (
+  SELECT 'o_orderstatus' AS "column", COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         md5(string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)) AS h
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*),
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         md5(string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority))
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*),
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         md5(string_agg(DISTINCT CAST(o_custkey AS VARCHAR), ','
+                        ORDER BY CAST(o_custkey AS VARCHAR)))
+  FROM orders
+)
+SELECT k."column", k.n_rows, k.n_null, f.n_distinct
+FROM k JOIN '/root/repo/tests/fixtures/golden_hll_profile.parquet' f
+  ON k."column" = f."column" AND k.h = f.set_md5
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2691,6 +2770,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": ORACLE_SIMHASH,
         "fingerprint": ORACLE_FINGERPRINT,
         "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
+        "ann_lsh": ORACLE_ANN_LSH,
+        "approx_profile": ORACLE_APPROX_PROFILE,
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "lang_id": ORACLE_LANG_ID,
         "quality_score": ORACLE_QUALITY_SCORE,

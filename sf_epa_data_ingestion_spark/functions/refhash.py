@@ -288,3 +288,129 @@ def ref_minhash_bands(sig: list[int], bands: int = 16) -> list[int]:
     contiguous signature slice."""
     rpb = len(sig) // bands
     return [hash_long_array(sig[b * rpb : (b + 1) * rpb]) for b in range(bands)]
+
+
+def ref_hyperplane(table: int, bit: int, dim: int) -> list[float]:
+    """Mirror ``operators.similarity._hyperplane``: the deterministic
+    splitmix64-style coordinate mix, re-derived here so the LSH golden
+    fixture does not import the operator it checks."""
+    vals = []
+    for d in range(dim):
+        x = (table * 1_000_003 + bit * 10_007 + d * 101 + 0x9E3779B9) & _M64
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & _M64
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & _M64
+        x ^= x >> 31
+        vals.append((x / 2**64) * 2.0 - 1.0)
+    return vals
+
+
+def ref_lsh_sigs(
+    vec: list[float] | None, n_tables: int = 4, bits: int = 8, dim: int = 64
+) -> list[int]:
+    """Mirror ``operators.similarity._signatures`` (the expression-level
+    spec the Arrow path is pinned against): bit ``b`` of table ``t`` is
+    set iff dot(vec, plane_{t,b}) > 0.  NULL vectors and vectors whose
+    length differs from ``dim`` yield the all-zero signature in every
+    table (the expression's zip_with NULL-pads, nulling the dot).
+
+    The dot is a sequential Python sum where the production path is a
+    numpy matmul; both are float64, so they can disagree only in the
+    last ulps — a sign flip therefore needs |dot| within rounding noise
+    of zero, which ``tools/make_golden_sigs.py`` guards against with a
+    margin assertion before baking a fixture."""
+    if vec is None or len(vec) != dim:
+        return [0] * n_tables
+    v = [float(x) for x in vec]
+    out = []
+    for t in range(n_tables):
+        sig = 0
+        for b in range(bits):
+            plane = ref_hyperplane(t, b, dim)
+            d = 0.0
+            for x, y in zip(v, plane):
+                d += x * y
+            if d > 0:
+                sig |= 1 << b
+        out.append(sig)
+    return out
+
+
+def ref_lsh_dot_margin(
+    vec: list[float], n_tables: int = 4, bits: int = 8, dim: int = 64
+) -> float:
+    """min |dot(vec, plane)| across all hyperplanes — the sign-stability
+    margin the fixture generator asserts on (see ``ref_lsh_sigs``)."""
+    m = float("inf")
+    for t in range(n_tables):
+        for b in range(bits):
+            plane = ref_hyperplane(t, b, dim)
+            d = 0.0
+            for x, y in zip(vec, plane):
+                d += x * y
+            m = min(m, abs(d))
+    return m
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog++ (approx_count_distinct) mirror — linear-counting regime
+# --------------------------------------------------------------------------
+
+# Empirical linear-counting thresholds from the HLL++ paper's appendix
+# (Heule/Nunkesser/Hall, EDBT 2013), indexed by precision p. Spark ships
+# the same table in HyperLogLogPlusPlusHelper.
+_HLL_THRESHOLD = {
+    4: 10, 5: 20, 6: 40, 7: 80, 8: 220, 9: 400, 10: 900, 11: 1800,
+    12: 3100, 13: 6500, 14: 11500, 15: 20000, 16: 50000, 17: 120000,
+    18: 350000,
+}
+
+
+def hll_precision(rsd: float) -> int:
+    """Mirror HyperLogLogPlusPlus: p = ceil(2 * log2(1.106 / rsd))."""
+    import math
+
+    return int(math.ceil(2.0 * math.log(1.106 / rsd) / math.log(2.0)))
+
+
+def ref_hll_distinct(hashes: set[int], rsd: float = 0.02) -> int:
+    """Mirror ``approx_count_distinct``'s estimate in the LINEAR-COUNTING
+    branch, which is where every profiled column at the correctness
+    scales lands (asserted, not assumed).
+
+    HLL++ registers only enter the final answer through V (the count of
+    never-touched registers) when linear counting applies: the estimator
+    returns round(m * ln(m / V)) whenever V > 0 and that value is at or
+    below the empirical threshold for p. V depends ONLY on the set of
+    register indices — the top p bits of xxhash64(value, seed=42) — so
+    the rho/leading-zero bookkeeping never affects the result here.
+    ``hashes`` is the set of 64-bit hashes of the column's distinct
+    non-null values (dedup upstream is free: equal values hash equal).
+
+    Raises ValueError outside the linear-counting regime (dense HLL++
+    needs the paper's bias-interpolation tables; a fixture generator must
+    refuse to bake an estimate this mirror cannot certify)."""
+    import math
+
+    p = hll_precision(rsd)
+    m = 1 << p
+    idxs = {(h & _M64) >> (64 - p) for h in hashes}
+    v = m - len(idxs)
+    if v <= 0:
+        raise ValueError("no zero registers: dense HLL++ regime, not mirrorable")
+    h_lin = m * math.log(m / v)
+    if h_lin > _HLL_THRESHOLD[p]:
+        raise ValueError(
+            f"linear estimate {h_lin:.1f} above threshold({p})="
+            f"{_HLL_THRESHOLD[p]}: bias-corrected regime, not mirrorable"
+        )
+    return int(math.floor(h_lin + 0.5))  # Java Math.round
+
+
+def xxh64_long(value: int, seed: int = 42) -> int:
+    """xxhash64 of a Spark BIGINT: the 8-byte little-endian encoding
+    (Spark's XXH64.hashLong takes the same single-lane path)."""
+    import struct
+
+    return xxh64_bytes(struct.pack("<q", value), seed)

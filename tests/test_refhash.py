@@ -134,3 +134,88 @@ def test_ref_normalize_matches_spark_on_random_unicode(spark):
     }
     for i, s in enumerate(cases):
         assert got[i] == ref_normalize(s), (i, repr(s), repr(got[i]))
+
+
+def test_ref_lsh_sigs_matches_spark(spark):
+    """ref_lsh_sigs must reproduce the LSH signature spec bit-for-bit on
+    the real embedding corpus — the property golden_lsh_sigs.parquet
+    (and the q_ann_lsh oracle) is built on. Includes the degenerate
+    cases the spec defines: NULL vector and ragged lengths both yield
+    the all-zero signature in every table."""
+    from sf_epa_data_ingestion_spark.functions.refhash import ref_lsh_sigs
+    from sf_epa_data_ingestion_spark.operators.similarity import _signatures_pd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sig_udf = _signatures_pd(4, 8, 64)
+    rows = emb.select(
+        "vec_id", "embedding",
+        sig_udf(F.col("embedding").cast("array<double>")).alias("sigs"),
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert ref_lsh_sigs(list(r["embedding"])) == list(r["sigs"]), r["vec_id"]
+
+    assert ref_lsh_sigs(None) == [0, 0, 0, 0]
+    assert ref_lsh_sigs([1.0] * 63) == [0, 0, 0, 0]  # ragged -> all-zero
+
+
+def test_lsh_content_address_matches_duckdb():
+    """The %.9e canonical rendering both sides of the q_ann_lsh oracle
+    join on must format identically in DuckDB printf and Python — 10
+    significant digits (lossless float32), two-digit exponent, negative
+    zero and subnormals included."""
+    import hashlib
+
+    import duckdb
+
+    vecs = [
+        [0.0, -0.0, 1.5, -2.25e-5, 3.4e38, 1.1754944e-38, -1.0],
+        [float(f"{x}.{x}e{x % 30}") for x in range(64)],
+    ]
+    con = duckdb.connect()
+    for v in vecs:
+        duck = con.sql(
+            "SELECT md5(array_to_string(list_transform("
+            "CAST(? AS FLOAT[]), x -> printf('%.9e', CAST(x AS DOUBLE))), ','))",
+            params=[v],
+        ).fetchone()[0]
+        import struct
+
+        as_f32 = [struct.unpack("<f", struct.pack("<f", x))[0] for x in v]
+        py = hashlib.md5(
+            ",".join(f"{x:.9e}" for x in as_f32).encode()
+        ).hexdigest()
+        assert duck == py, v
+
+
+def test_ref_hll_distinct_matches_spark(spark):
+    """ref_hll_distinct must reproduce approx_count_distinct exactly in
+    the linear-counting regime (rsd 0.02 over the profiled orders
+    columns — the q_approx_profile oracle's contract), and REFUSE
+    outside it rather than return an uncertifiable estimate."""
+    from sf_epa_data_ingestion_spark.functions.refhash import (
+        ref_hll_distinct,
+        xxh64_long,
+        xxh64_string,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    for col in ("o_orderstatus", "o_orderpriority", "o_custkey"):
+        got = o.agg(F.approx_count_distinct(col, rsd=0.02)).collect()[0][0]
+        vals = [r[0] for r in o.select(col).distinct().collect() if r[0] is not None]
+        hashes = {
+            xxh64_long(v) if isinstance(v, int) else xxh64_string(v) for v in vals
+        }
+        assert ref_hll_distinct(hashes, rsd=0.02) == got, col
+
+    # adversarial small string set, both precisions
+    strs = [f"s{i}" for i in range(37)]
+    df = spark.createDataFrame([(s,) for s in strs], ["s"])
+    hs = {xxh64_string(s) for s in strs}
+    for rsd in (0.05, 0.02):
+        got = df.agg(F.approx_count_distinct("s", rsd=rsd)).collect()[0][0]
+        assert ref_hll_distinct(hs, rsd=rsd) == got, rsd
+
+    # dense regime: must refuse, never guess
+    with pytest.raises(ValueError):
+        ref_hll_distinct({xxh64_long(i) for i in range(200_000)}, rsd=0.05)
