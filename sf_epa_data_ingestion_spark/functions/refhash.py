@@ -414,3 +414,91 @@ def xxh64_long(value: int, seed: int = 42) -> int:
     import struct
 
     return xxh64_bytes(struct.pack("<q", value), seed)
+
+
+def ref_ivf_probes(
+    rows: list[tuple[int, list[float]]],
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> dict[int, list[int]]:
+    """Mirror ``operators.similarity.ivf_topk``'s TRAINING + PROBE
+    selection bit-for-bit: returns {id: [cid ranks 1..n_probe]} for every
+    input row.  Possible only because the operator's Lloyd sums are
+    fixed-point longs (order-independent — see the operator docstring);
+    every float step here repeats the operator's arithmetic exactly:
+
+    - unit vectors via the same sequential square-sum fold,
+    - seeds = n_centroids smallest (signed xxhash64(str(id)), id),
+    - assignment via the same numpy float64 matmul + stable argsort
+      (``_centroid_topn_pd``'s spec),
+    - per-cell means as (int_sum / 2^30) / n in float64,
+    - empty cells keep their previous centroid.
+
+    ``tools/make_golden_ann.py`` asserts an argsort stability margin
+    (adjacent dot gaps exact-zero or > 1e-9) before baking a fixture, so
+    a BLAS blocking difference between executor batches and this
+    full-matrix replay cannot silently flip a rank."""
+    import math as _math
+
+    import numpy as np
+
+    scale = 1 << 30
+
+    def unit(vec: list[float]) -> list[float] | None:
+        n = 0.0
+        for x in vec:
+            fx = float(x)
+            n += fx * fx
+        n = _math.sqrt(n)
+        if n == 0:
+            return None
+        return [float(x) / n for x in vec]
+
+    units = {i: unit(v) for i, v in rows}
+
+    def topn(cents: list[list[float]], n: int, margin_out: list[float] | None = None):
+        C = np.asarray(cents, dtype=np.float64)
+        ids = [i for i in units]
+        M = np.zeros((len(ids), dim))
+        for r, i in enumerate(ids):
+            u = units[i]
+            if u is not None and len(u) == dim:
+                M[r] = np.asarray(u, dtype=np.float64)
+        dots = M @ C.T
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n]
+        if margin_out is not None:
+            srt = -np.sort(-dots, axis=1)
+            gaps = np.abs(np.diff(srt[:, : n + 1], axis=1))
+            nz = gaps[gaps > 0]
+            margin_out.append(float(nz.min()) if nz.size else float("inf"))
+        return {i: [int(c) for c in order[r]] for r, i in enumerate(ids)}
+
+    def normalize(v: list[float]) -> list[float]:
+        n = _math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    seeds = sorted(rows, key=lambda r: (xxh64_string(str(r[0])), r[0]))[:n_centroids]
+    cents = [normalize([float(x) for x in v]) for _, v in seeds]
+
+    for _ in range(iters):
+        assign = topn(cents, 1)
+        sums: dict[tuple[int, int], int] = {}
+        counts: dict[int, int] = {}
+        for i, u in units.items():
+            if u is None:
+                continue
+            cid = assign[i][0]
+            counts[cid] = counts.get(cid, 0) + 1
+            for pos, x in enumerate(u):
+                sums[(cid, pos)] = sums.get((cid, pos), 0) + _math.floor(x * scale)
+        means: dict[int, list[float]] = {}
+        for (cid, pos), s in sums.items():
+            means.setdefault(cid, [0.0] * dim)[pos] = s / scale / counts[cid]
+        cents = [normalize(means.get(j, cents[j])) for j in range(n_centroids)]
+
+    margins: list[float] = []
+    probes = topn(cents, n_probe, margin_out=margins)
+    ref_ivf_probes.last_margin = min(margins) if margins else float("inf")
+    return probes

@@ -33,6 +33,10 @@ from ..functions.binding import let
 from ..functions.vectors import to_double_array
 from ..partitioning import spread
 
+# Fixed-point resolution for IVF's Lloyd sums: unit coordinates floored
+# at 2^-30 before the per-cell integer aggregate (see ivf_topk docstring).
+IVF_SCALE = 1 << 30
+
 
 def _with_vec_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str) -> DataFrame:
     """Project the double-cast vector and its L2 norm as columns, computed
@@ -314,10 +318,22 @@ def ivf_topk(
     partitions the corpus into ``n_centroids`` cells; each query scores only
     the ``n_probe`` cells nearest its own vector.
 
-    Everything is deterministic: seeds are the ``n_centroids`` corpus rows
-    with the smallest ``xxhash64(id)`` (engine-stable), Lloyd updates are
-    exact per-dimension mean aggregates, and assignment ties break to the
-    lowest centroid index.
+    Everything is deterministic — INCLUDING across partitionings: seeds
+    are the ``n_centroids`` corpus rows with the smallest ``xxhash64(id)``
+    (engine-stable), assignment ties break to the lowest centroid index,
+    and the Lloyd per-cell sums accumulate FIXED-POINT longs (unit
+    coordinates floored at 2^-30 resolution), not doubles. Integer
+    addition is associative-commutative, so the trained centroids are
+    bit-identical whether the corpus is summed by 32 local threads or
+    1000 executors in any reduce order — float partial-sum ordering is
+    the one nondeterminism a distributed mean otherwise has. That makes
+    the whole IVF result a pure function of the input table, which is
+    what lets q_ann_ivf carry a golden-fixture oracle
+    (functions/refhash.ref_ivf_probes mirrors training bit-for-bit).
+    Overflow headroom: |coordinate| <= 1, so a cell of n rows sums to
+    |s| <= n * 2^30 — ANSI mode faults (loudly) past ~2^32 rows per
+    cell, far beyond any single cell this engine would train on before
+    sharding the k-means.
 
     Scale shape (the reason IVF exists next to LSH): training touches the
     corpus ``iters`` times map-side with a (n_centroids × dim)-row aggregate
@@ -371,13 +387,21 @@ def ivf_topk(
         sums = (
             c.select(F.element_at(nearest(F.col("__u")), 1).alias("cid"), "__u")
             .select("cid", F.posexplode("__u").alias("pos", "x"))
+            # fixed-point: floor(x * 2^30) as long — order-independent
+            # integer sums make the trained centroids reproducible under
+            # ANY partitioning/reduce order (see docstring)
             .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(float(IVF_SCALE))).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         means: dict[int, list[float]] = {}
         for row in sums:
-            means.setdefault(row["cid"], [0.0] * dim)[row["pos"]] = row["s"] / row["n"]
+            means.setdefault(row["cid"], [0.0] * dim)[row["pos"]] = (
+                row["s"] / IVF_SCALE / row["n"]
+            )
         # empty cells keep their previous centroid
         cents = [normalize(means.get(j, cents[j])) for j in range(n_centroids)]
 

@@ -219,3 +219,55 @@ def test_ref_hll_distinct_matches_spark(spark):
     # dense regime: must refuse, never guess
     with pytest.raises(ValueError):
         ref_hll_distinct({xxh64_long(i) for i in range(200_000)}, rsd=0.05)
+
+
+def test_ref_ivf_probes_matches_spark(spark):
+    """ref_ivf_probes must replay ivf_topk's k-means training bit-for-bit
+    (the property golden_ivf_probes.parquet and the q_ann_ivf oracle rest
+    on). Rather than reach into the operator's internals, compare the
+    full end-to-end result: rebuild the query from the mirror's cell and
+    probe lists + exact unit-dot scoring and it must equal the Spark
+    output row-for-row."""
+    import math
+
+    from sf_epa_data_ingestion_spark.functions.refhash import ref_ivf_probes
+    from sf_epa_data_ingestion_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): (r["cosine_sim"], r["rank"])
+        for r in similarity.ivf_topk(
+            emb, queries, k=10, dim=64, n_centroids=16, n_probe=4
+        ).collect()
+    }
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    probes = ref_ivf_probes(rows)
+    assert ref_ivf_probes.last_margin > 1e-9
+
+    def unit(v):
+        n = 0.0
+        for x in v:
+            n += float(x) * float(x)
+        n = math.sqrt(n)
+        return [float(x) / n for x in v]
+
+    units = {i: unit(v) for i, v in rows}
+    cells = {i: p[0] for i, p in probes.items()}
+    expected = {}
+    for qid in sorted(i for i, _ in rows if i < 10):
+        scored = []
+        for cid in probes[qid][:4]:
+            for i, c in cells.items():
+                if c == cid and i != qid:
+                    d = 0.0
+                    for x, y in zip(units[qid], units[i]):
+                        d += x * y
+                    scored.append((round(d, 6), i))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, i) in enumerate(scored[:10], start=1):
+            expected[(qid, i)] = (sim, rank)
+    assert got == expected

@@ -13,6 +13,17 @@ rows-only families whose randomness is deterministic-by-construction:
   md5 of the %.9e-canonical embedding rendering, which DuckDB
   reproduces exactly (printf + array_to_string — pinned by test).
 
+- tests/fixtures/golden_ivf_probes.parquet
+    (corpus_md5, emb_md5, rank, cid)
+  IVF cell assignment (rank 1) and probe order (ranks 1..4) for every
+  embedding, from ``refhash.ref_ivf_probes`` — a bit-exact replay of
+  ivf_topk's k-means, possible because the operator's Lloyd sums are
+  fixed-point (order-independent) longs.  Training depends on the WHOLE
+  corpus (seed choice keys off vec_id), so rows are keyed by a corpus
+  content hash (md5 over 'vec_id:emb_md5' sorted by vec_id) on top of
+  the per-vector address; an oracle run against any other corpus misses
+  the join and fails loudly.
+
 - tests/fixtures/golden_hll_profile.parquet (column, set_md5, n_distinct)
   ``approx_count_distinct`` (HLL++, rsd 0.02) estimates for the
   profiled orders columns, computed by ``refhash.ref_hll_distinct``
@@ -41,6 +52,7 @@ sys.path.insert(0, REPO)
 
 from sf_epa_data_ingestion_spark.functions.refhash import (  # noqa: E402
     ref_hll_distinct,
+    ref_ivf_probes,
     ref_lsh_dot_margin,
     ref_lsh_sigs,
     xxh64_long,
@@ -82,6 +94,34 @@ def main() -> None:
     con.executemany("INSERT INTO lsh VALUES (?, ?, ?)", rows)
     con.sql(f"COPY lsh TO '{FIX}/golden_lsh_sigs.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)")
 
+    # --- IVF cell/probe assignments, keyed by corpus content
+    ivf_rows = []
+    for sf in SFS:
+        recs = con.sql(
+            f"SELECT vec_id, embedding FROM '/root/testdata/{sf}/embeddings.parquet' "
+            "WHERE embedding IS NOT NULL ORDER BY vec_id"
+        ).fetchall()
+        rows_py = [(i, list(v)) for i, v in recs]
+        corpus_md5 = hashlib.md5(
+            ",".join(f"{i}:{_emb_md5(v)}" for i, v in rows_py).encode("utf-8")
+        ).hexdigest()
+        probes = ref_ivf_probes(rows_py)
+        assert ref_ivf_probes.last_margin > 1e-9, (
+            f"IVF argsort margin {ref_ivf_probes.last_margin:.3e} too small — "
+            "a BLAS blocking difference could flip a rank; refuse to bake"
+        )
+        by_h = {}
+        for i, v in rows_py:
+            by_h[_emb_md5(v)] = probes[i]
+        for h, cids in by_h.items():
+            for rank, cid in enumerate(cids, start=1):
+                ivf_rows.append((corpus_md5, h, rank, cid))
+    con.sql(
+        "CREATE TABLE ivf (corpus_md5 VARCHAR, emb_md5 VARCHAR, rank INTEGER, cid INTEGER)"
+    )
+    con.executemany("INSERT INTO ivf VALUES (?, ?, ?, ?)", ivf_rows)
+    con.sql(f"COPY ivf TO '{FIX}/golden_ivf_probes.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)")
+
     # --- HLL++ profile estimates, keyed by distinct-value-set content
     prof = {}
     for sf in SFS:
@@ -104,7 +144,10 @@ def main() -> None:
     con.executemany("INSERT INTO hll VALUES (?, ?, ?)", list((c, m, n) for (c, m), n in prof.items()))
     con.sql(f"COPY hll TO '{FIX}/golden_hll_profile.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)")
 
-    print(f"lsh {len(rows)} rows over {len(embs)} distinct embeddings; hll {len(prof)} rows")
+    print(
+        f"lsh {len(rows)} rows over {len(embs)} distinct embeddings; "
+        f"ivf {len(ivf_rows)} rows; hll {len(prof)} rows"
+    )
 
 
 if __name__ == "__main__":
