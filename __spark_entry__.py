@@ -8,13 +8,20 @@ content-addressed golden-fixture oracles instead: the chunker UDTF against
 pure-Python ``split_text`` output, and (r5) MinHash-LSH / SimHash /
 winnowing fingerprints against signatures recomputed by the pure-Python
 Spark-hash mirrors in ``functions/refhash.py`` — the DuckDB side then
-re-derives the band-bucket / pigeonhole pair logic in plain SQL. Only
-genuinely approximate ops (ANN recall, HLL sketches) stay rows-only,
-backed by recall-floor tests.
+re-derives the band-bucket / pigeonhole pair logic in plain SQL. The r5
+third pass finished the job: the "approximate" ops are deterministic too
+(seeded hyperplanes for LSH, fixed-point-sum k-means for IVF, and HLL++'s
+linear-counting branch is a pure function of the distinct-value set), so
+ann_lsh / ann_ivf / approx_profile carry golden-fixture oracles as well —
+ALL 88 queries are value-checked; recall-floor tests additionally bound
+the approximate ops against their exact counterparts.
 
 Determinism discipline (so order-insensitive value-hashes match):
-- every aggregate over doubles goes through DECIMAL(38,6) (exact, order-
-  independent summation) and is cast back to double;
+- aggregates over doubles that reach the hash unrounded go through
+  DECIMAL(38,6) (exact, order-independent summation) and are cast back
+  to double; the per-doc score aggregates (lm_perplexity, dsir_weights)
+  and cross-engine cosines instead round to 6 dp on BOTH sides, well
+  below which float summation-order drift lives;
 - every window/top-k has a full tiebreak order;
 - every collected array is sorted;
 - identical expression *trees* on both sides, so double algebra is
