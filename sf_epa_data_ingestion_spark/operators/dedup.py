@@ -179,6 +179,222 @@ def _shingle_hashes_pd(k: int):
     return hashes
 
 
+def _murmur3_window_matrix(mat: np.ndarray) -> np.ndarray:
+    """Vectorized Spark-``F.hash`` (Murmur3 x86_32, seed 42) over an
+    (n, k) uint8 window matrix — 4-byte little-endian blocks, then each
+    tail byte mixed as a FULL round with the byte read as a SIGNED Java
+    byte, then fmix (the same quirks ``functions.refhash.murmur3_bytes``
+    documents; parity pinned by tests/test_dedup_similarity.py).
+    Returns int32 hashes."""
+    n, k = mat.shape
+    u32 = np.uint32
+    c1, c2 = u32(0xCC9E2D51), u32(0x1B873593)
+
+    def rotl(x: np.ndarray, r: int) -> np.ndarray:
+        return (x << u32(r)) | (x >> u32(32 - r))
+
+    h = np.full(n, 42, dtype=np.uint32)
+    pos = 0
+    while pos + 4 <= k:
+        w = np.zeros(n, dtype=np.uint32)
+        for i in range(4):
+            w |= mat[:, pos + i].astype(np.uint32) << u32(8 * i)
+        kk = rotl(w * c1, 15) * c2
+        h = rotl(h ^ kk, 13) * u32(5) + u32(0xE6546B64)
+        pos += 4
+    while pos < k:
+        # signed Java byte, widened (sign-extended) then wrapped to u32,
+        # mixed as a full round — Spark hashes tails byte-wise
+        w = (mat[:, pos].astype(np.int8).astype(np.int64) & 0xFFFFFFFF).astype(np.uint32)
+        kk = rotl(w * c1, 15) * c2
+        h = rotl(h ^ kk, 13) * u32(5) + u32(0xE6546B64)
+        pos += 1
+    h ^= u32(k)
+    h ^= h >> u32(16)
+    h *= u32(0x85EBCA6B)
+    h ^= h >> u32(13)
+    h *= u32(0xC2B2AE35)
+    h ^= h >> u32(16)
+    return h.view(np.int32)
+
+
+def minhash_signature_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """(id, sig) MinHash signatures via ``mapInPandas`` — the production
+    signature stage shared by batch LSH and the streaming monitor.
+
+    Same values as ``minhash_signature(char_shingles(...))`` (the pinned
+    expression spec; parity test in tests/test_dedup_similarity.py), with
+    two structural advantages over evaluating the spec directly:
+
+    - The expression form is a 3-deep interpreted HOF nest (64
+      permutations x shingles x substring) — HOFs never reach codegen,
+      and in long sessions the JVM's inline caches at the shared eval
+      call sites go megamorphic after enough distinct lambda shapes, so
+      the SAME query measures ~2.4s in a fresh session and a stable
+      ~10s after ~50 other queries have run (bench r5, reproduced
+      deterministically; System.gc() and a 512m code cache change
+      nothing). The Arrow path computes signatures in a handful of
+      numpy passes per batch and is immune to interpreter state.
+    - ``mapInPandas`` (a plan NODE, not an expression) rather than a
+      pandas_udf projection: a scalar-UDF signature column intermittently
+      lost its ArrowEvalPython extraction when the persisted subtree
+      re-materialized in warm Spark 4.1 sessions (INTERNAL_ERROR "Cannot
+      evaluate expression" — the reason r4 kept the expression form).
+      A map node cannot be collapsed into a downstream projection, so
+      the hazard is structurally absent.
+
+    Vectorization mirrors ``_shingle_hashes_pd``: ASCII texts become one
+    (total_windows, k) uint8 matrix, Murmur3-hashed by
+    ``_murmur3_window_matrix``; per-doc distinct via np.unique; the 64
+    permutations are one broadcasted ``fmod((2i+1)*|h| + i*i + 7, P)``
+    over a (windows, 64) grid with ``np.minimum.reduceat`` folding the
+    per-doc minima. Non-ASCII / shorter-than-k texts take a per-shingle
+    ``refhash`` fallback (bit-identical, just not vectorized). NULL text
+    rows must be filtered out by the caller (both callers do)."""
+    from sf_epa_data_ingestion_spark.functions.refhash import (
+        java_abs_int,
+        java_rem,
+        murmur3_string,
+        ref_normalize,
+    )
+
+    out_schema = "id long, sig array<long>"
+    A = np.arange(num_hashes, dtype=np.int64) * 2 + 1          # (64,)
+    C = np.arange(num_hashes, dtype=np.int64) ** 2 + 7         # (64,)
+
+    def compute(batches):
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            texts = pdf[text_col].tolist()
+            sigs: list[object] = [None] * len(ids)
+            views: list[np.ndarray] = []
+            lens: list[int] = []
+            fast_rows: list[int] = []
+            for row, t in enumerate(texts):
+                t = ref_normalize(t)
+                b = t.encode("utf-8")
+                if len(t) < shingle_k or len(b) != len(t):
+                    # slow path: whole-string shingle for short text,
+                    # per-char windows for non-ASCII — the pure mirror
+                    n_pos = max(len(t) - shingle_k + 1, 1)
+                    base = {
+                        java_abs_int(murmur3_string(t[i : i + shingle_k]))
+                        for i in range(n_pos)
+                    }
+                    sigs[row] = [
+                        min(java_rem((2 * i + 1) * h + i * i + 7, _P) for h in base)
+                        for i in range(num_hashes)
+                    ]
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                views.append(np.lib.stride_tricks.sliding_window_view(arr, shingle_k))
+                lens.append(len(t) - shingle_k + 1)
+                fast_rows.append(row)
+            if fast_rows:
+                h32 = _murmur3_window_matrix(np.concatenate(views))
+                # Java abs quirk: np.abs(int32 MIN) stays MIN — same as
+                # Math.abs; widen AFTER so the quirk is preserved
+                base = np.abs(h32).astype(np.int64)
+                offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+                # dedupe per doc (np.unique per slice) then one
+                # broadcasted permutation grid + reduceat per doc
+                uniq_parts = []
+                uoffsets = [0]
+                for j in range(len(fast_rows)):
+                    s = offsets[j]
+                    e = s + lens[j]
+                    u = np.unique(base[s:e])
+                    uniq_parts.append(u)
+                    uoffsets.append(uoffsets[-1] + len(u))
+                ub = np.concatenate(uniq_parts)
+                vals = np.fmod(ub[:, None] * A[None, :] + C[None, :], _P)
+                mins = np.minimum.reduceat(vals, np.array(uoffsets[:-1]), axis=0)
+                for j, row in enumerate(fast_rows):
+                    sigs[row] = mins[j].tolist()
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(compute, out_schema)
+
+
+def shingle_hash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exploded (id, sh) distinct-shingle-hash rows via ``mapInPandas`` —
+    the production front of the PPJoin pipeline.
+
+    Same VALUES as ``explode(transform(char_shingles(text, k),
+    xxhash64))`` (set-equal per doc; the expression's first-occurrence
+    order vs sorted-unique here is irrelevant — every consumer treats
+    the rows as a set). Vectorization is ``_shingle_hashes_pd``'s:
+    one (total_windows, k) uint8 matrix per Arrow batch through
+    ``_xxh64_window_matrix``, per-doc unique, then the exploded frame is
+    emitted directly as np.repeat(ids) + concatenated hashes — no
+    per-row array building and no JVM explode.
+
+    Why a map node and not the expression (r5, third pass): the
+    interpreted HOF front measures 4.5s warm in a FRESH session but
+    6.7-8.1s inside the 88-query bench session — the JVM's inline
+    caches at the shared HOF eval sites go megamorphic after enough
+    distinct lambda shapes (same mechanism, measured harder, on the
+    minhash signature stage: 2.4s fresh -> stable ~10s polluted; see
+    ``minhash_signature_rows``). The Arrow path is immune to
+    interpreter state, and emitting pre-exploded rows also beats the
+    earlier pandas_udf-returning-arrays variant that lost to the
+    expression warm (PLANS.md r5). NULL text rows must be filtered by
+    the caller."""
+    from sf_epa_data_ingestion_spark.functions.refhash import (
+        ref_normalize,
+        xxh64_string,
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            texts = pdf[text_col].tolist()
+            id_parts: list[np.ndarray] = []
+            sh_parts: list[np.ndarray] = []
+            views: list[np.ndarray] = []
+            lens: list[int] = []
+            fast_ids: list[int] = []
+            for i, t in zip(ids, texts):
+                t = ref_normalize(t)
+                b = t.encode("utf-8")
+                if len(t) < k or len(b) != len(t):
+                    n_pos = max(len(t) - k + 1, 1)
+                    hs = sorted({xxh64_string(t[j : j + k]) for j in range(n_pos)})
+                    id_parts.append(np.full(len(hs), i, dtype=np.int64))
+                    sh_parts.append(np.asarray(hs, dtype=np.int64))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                views.append(np.lib.stride_tricks.sliding_window_view(arr, k))
+                lens.append(len(t) - k + 1)
+                fast_ids.append(i)
+            if fast_ids:
+                flat = _xxh64_window_matrix(np.concatenate(views))
+                offsets = np.concatenate([[0], np.cumsum(lens)])
+                for j, i in enumerate(fast_ids):
+                    u = np.unique(flat[offsets[j] : offsets[j + 1]])
+                    id_parts.append(np.full(len(u), i, dtype=np.int64))
+                    sh_parts.append(u)
+            if id_parts:
+                yield pd.DataFrame(
+                    {"id": np.concatenate(id_parts), "sh": np.concatenate(sh_parts)}
+                )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        compute, "id long, sh long"
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash: for permutation i, min over shingles of (a_i*h + b_i) mod P,
     h = 32-bit murmur of the shingle. Fixed (a_i, b_i) derived from i keep
@@ -241,26 +457,15 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    # Two exchanges around the signature projection, both deliberate:
-    # the first spreads the expensive expression across cores (small-file
-    # scans are 1 task), the second is a MATERIALIZATION BARRIER — sig is
-    # a higher-order-function tree (not codegen'd, no subexpression
-    # elimination), and without the barrier CollapseProject inlines it
-    # into every downstream reference (16 band hashes + the size filter),
-    # recomputing it ~17x per row. Both use explicit counts (spread) so
-    # AQE's byte-based coalescing can't collapse the CPU-bound stage.
-    # Null-text rows are dropped BEFORE the signature projection: a filter
-    # placed after it (e.g. on size(sig)) would be pushed down through the
-    # exchanges into the signature stage, duplicating the signature
-    # expression inside the predicate and de-duplicating the three sig
-    # consumers' otherwise-identical exchange subtrees (ReuseExchange
-    # keys on canonical plans, so one poisoned branch forces 3x compute).
-    sig = (
-        spread(df.filter(F.col(text_col).isNotNull()), F.col(id_col))
-        .select(
-            F.col(id_col).alias("id"),
-            minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
-        )
+    # Signature stage: the Arrow map node (see minhash_signature_rows for
+    # why it replaced the expression spec in r5). spread() BEFORE it so
+    # the CPU-bound Python stage parallelizes beyond the scan's partition
+    # count; the map node itself is a materialization barrier, so the old
+    # CollapseProject 17x-recompute hazard is structurally gone. Null-text
+    # rows are dropped before the stage (the mapper requires it).
+    sig = minhash_signature_rows(
+        spread(df.filter(F.col(text_col).isNotNull()), F.col(id_col)),
+        text_col, id_col, num_hashes, shingle_k,
     )
     # persist: three consumers below (banding + the two per-pair signature
     # joins) would otherwise each recompute the signature subtree —
@@ -563,25 +768,25 @@ def ngram_jaccard_pairs(
     # to parallelize. persist: two consumers (dfreq + the df-attach join)
     # would otherwise each re-run the shingling. Rows are narrow
     # (id, int64).
-    # r5 note: an Arrow/numpy variant of this front (_shingle_hashes_pd,
-    # set-parity pinned by test) was measured min 4.87s vs 4.52s for the
-    # expression form over 5 alternating warm full-query runs at sf0.1 —
-    # Arrow transfer + the lost Generate fusion outweigh the interpreted
-    # HOF cost once codegen is warm, so the expression stays. The UDF
-    # remains as the measured alternative (and as executable evidence
-    # linking functions/refhash.py to this pipeline).
+    # r5 third pass: the front is the Arrow map node (shingle_hash_rows).
+    # The expression form measured 4.52s warm in a FRESH session (beating
+    # the first pandas_udf attempt, PLANS.md r5) but 6.7-8.1s inside the
+    # full bench session — interpreted-HOF eval is exposed to JVM
+    # inline-cache pollution that a long-lived session accumulates, and a
+    # production session IS long-lived. The map node emits pre-exploded
+    # (id, sh) rows, dodging both the interpreter and the JVM explode;
+    # set-parity with the expression is pinned by test.
     sh = (
-        spread(
-            df.filter(F.col(text_col).isNotNull()).select(
-                F.col(id_col).alias("id"), F.col(text_col)
+        shingle_hash_rows(
+            spread(
+                df.filter(F.col(text_col).isNotNull()).select(
+                    F.col(id_col).alias("id"), F.col(text_col)
+                ),
+                "id",
             ),
+            text_col,
             "id",
-        )
-        .select(
-            "id",
-            F.explode(
-                F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
-            ).alias("sh"),
+            k,
         )
         .persist()
     )

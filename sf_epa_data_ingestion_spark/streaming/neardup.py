@@ -38,9 +38,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from sf_epa_data_ingestion_spark.operators.dedup import (
-    char_shingles,
     minhash_band_rows,
-    minhash_signature,
+    minhash_signature_rows,
 )
 from sf_epa_data_ingestion_spark.partitioning import spread
 from sf_epa_data_ingestion_spark.storage.txlog import TxTable
@@ -48,14 +47,11 @@ from sf_epa_data_ingestion_spark.streaming.txsink import append_once
 
 
 def _signatures(batch_df, id_col, text_col, num_hashes, shingle_k):
-    return (
-        spread(batch_df.filter(F.col(text_col).isNotNull()), F.col(id_col))
-        .select(
-            F.col(id_col).alias("id"),
-            minhash_signature(
-                char_shingles(F.col(text_col), shingle_k), num_hashes
-            ).alias("sig"),
-        )
+    # same Arrow signature stage as batch minhash_lsh_pairs, so the
+    # monitor probes byte-identical buckets
+    return minhash_signature_rows(
+        spread(batch_df.filter(F.col(text_col).isNotNull()), F.col(id_col)),
+        text_col, id_col, num_hashes, shingle_k,
     )
 
 

@@ -181,6 +181,15 @@ def test_ivf_topk_identical_vector_and_recall(spark):
     again = similarity.ivf_topk(big, qs, k=5, n_centroids=8, n_probe=4, iters=2).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
 
+    # deterministic across PARTITIONINGS: the fixed-point Lloyd sums are
+    # order-independent integers, so a different partition layout (the
+    # thing a 1000-executor cluster changes) must yield bit-identical
+    # results — the property the q_ann_ivf golden oracle relies on
+    shuffled = similarity.ivf_topk(
+        big.repartition(7), qs.coalesce(1), k=5, n_centroids=8, n_probe=4, iters=2
+    ).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, shuffled))
+
 
 def test_embedding_near_dup_exact_threshold(spark):
     df = spark.createDataFrame(
@@ -365,3 +374,79 @@ def test_ngram_jaccard_matches_bruteforce_reference(spark, docs):
     for p, (n, jac) in want.items():
         assert got[p][0] == n
         assert abs(got[p][1] - jac) < 1e-9
+
+
+def test_minhash_signature_rows_matches_expression_reference(spark):
+    """The Arrow mapInPandas signature stage (production path for batch
+    LSH and the streaming monitor) must reproduce the expression spec
+    ``minhash_signature(char_shingles(...))`` bit-for-bit — real corpus
+    plus the slow-path edges (unicode multi-byte, shorter-than-k, empty,
+    whitespace-collapse)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    exp = {
+        r["id"]: list(r["sig"])
+        for r in d.select(
+            F.col("doc_id").alias("id"),
+            dedup.minhash_signature(dedup.char_shingles(F.col("text"), 8), 64).alias("sig"),
+        ).collect()
+    }
+    got = {r["id"]: list(r["sig"]) for r in dedup.minhash_signature_rows(d).collect()}
+    assert got == exp
+
+    rows = [
+        (1, "café ☃ 你好 and some ascii text here to shingle"),
+        (2, "ab"),
+        (3, ""),
+        (4, "x" * 7),
+        (5, "x" * 8),
+        (6, "tabs\tand\nnewlines collapse  here"),
+        (7, "naïve space"),  # NBSP survives Java-\s normalization
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exp2 = {
+        r["id"]: list(r["sig"])
+        for r in df.select(
+            F.col("doc_id").alias("id"),
+            dedup.minhash_signature(dedup.char_shingles(F.col("text"), 8), 64).alias("sig"),
+        ).collect()
+    }
+    got2 = {r["id"]: list(r["sig"]) for r in dedup.minhash_signature_rows(df).collect()}
+    assert got2 == exp2
+
+
+def test_shingle_hash_rows_matches_expression_reference(spark):
+    """The Arrow mapInPandas shingle front (production path of the PPJoin
+    pipeline since r5) must produce the same per-doc hash SET as the
+    expression form — real corpus plus the slow-path edges."""
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    extra = spark.createDataFrame(
+        [
+            (300001, ""),
+            (300002, "tiny"),
+            (300003, "café ☃ unicode shingles exercise the per-char path"),
+            (300004, "Tabs\tand\nNEWLINES   collapse  "),
+        ],
+        ["doc_id", "text"],
+    )
+    df = d.unionByName(extra)
+    for k in (8, 12):
+        exp = {
+            r["doc_id"]: sorted(set(r["h"]))
+            for r in df.select(
+                "doc_id",
+                F.transform(
+                    dedup.char_shingles(F.col("text"), k), lambda s: F.xxhash64(s)
+                ).alias("h"),
+            ).collect()
+        }
+        got: dict = {}
+        for r in dedup.shingle_hash_rows(df, k=k).collect():
+            got.setdefault(r["id"], []).append(r["sh"])
+        got = {i: sorted(v) for i, v in got.items()}
+        assert got == exp
