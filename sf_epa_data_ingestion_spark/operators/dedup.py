@@ -12,10 +12,14 @@ bucket/band equi-join that Spark executes as a shuffle hash join):
   (shared with image dHash in operators/multimodal.py)
 - near-dup by embedding cosine lives in operators/similarity.py
 
-Everything here is either JVM-side array expressions (transform /
-aggregate / array_min — whole-stage codegen) or an Arrow-batched numpy
-pass where that measured faster (the SimHash bit counting; see PLANS.md
-for the per-site measurement rule) — never row-at-a-time Python.
+Execution split (r5): the hot per-document fronts — MinHash signatures,
+shingle hashing, SimHash bit counting — run as Arrow-batched numpy
+passes (mapInPandas / vectorized UDF; HOF expression trees are
+interpreted, never codegen'd, and degrade further as a long-lived JVM's
+inline caches go megamorphic — PLANS.md "the session is part of the
+plan"); the joins, windows and aggregates around them stay JVM-side
+codegen'd expressions. The expression forms are retained as pinned
+specs with bit-parity tests. Never row-at-a-time Python.
 
 Scale notes (100 TB): exact dedup is one shuffle on a 128-bit digest.
 MinHash/LSH is the industry-standard near-dup at scale: cost is
