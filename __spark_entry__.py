@@ -2693,6 +2693,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # plan shape stays covered in-window by pdf_to_download). The new
     # sample_to_budget slots in at position 5 (needs its first row),
     # which pushes dup_spans (green in CORRECTNESS_r04) just past 50.
+    # r5 third pass: ann_lsh / ann_ivf / approx_profile graduated from
+    # rows-only to golden-fixture oracles too and likewise need their
+    # first hash row — all three already sit inside the window (pos
+    # 30-32), so no further reorder; every query past position 50 has a
+    # green driver hash row from r1-r4 (verified against the committed
+    # CORRECTNESS_r0*.json files).
     return {
         # -- no green driver hash row before r5 (5) ------------------------
         "strip_dup_spans": q_strip_dup_spans,
