@@ -902,7 +902,7 @@ def parse_mp4_meta(data: bytes) -> dict:
                 body = pos + 16
             elif size == 0:  # to end of file
                 size = end - pos
-            if size < 8 or pos + size > end + 8:
+            if size < 8 or pos + size > end:
                 raise ValueError("truncated box")
             if btype in containers:
                 if btype == b"trak":

@@ -82,8 +82,18 @@ def _xxh64_window_matrix(mat: np.ndarray) -> np.ndarray:
     4-byte word, byte tail, avalanche — as ~3k numpy ops over all n
     windows at once. Parity with ``functions.refhash.xxh64_bytes`` (and
     therefore with the JVM) is pinned by tests/test_dedup_similarity.py.
+
+    ONLY the short-input branch is implemented; inputs of 32+ bytes use
+    XXH64's 4-lane stripe accumulation, which this function does not —
+    so k >= 32 raises rather than silently diverging from the JVM.
+    Callers route k >= 32 to the per-shingle ``refhash`` slow path.
     """
     n, k = mat.shape
+    if k >= 32:
+        raise ValueError(
+            f"_xxh64_window_matrix implements only XXH64's <32-byte branch; "
+            f"got window width k={k}. Route k >= 32 to refhash.xxh64_string."
+        )
     u64 = np.uint64
     p1, p2, p3, p5 = u64(0x9E3779B185EBCA87), u64(0xC2B2AE3D27D4EB4F), u64(
         0x165667B19E3779F9
@@ -160,7 +170,9 @@ def _shingle_hashes_pd(k: int):
                 continue
             t = ref_normalize(t)
             b = t.encode("utf-8")
-            if len(t) < k or len(b) != len(t):
+            # slow path also when k >= 32: _xxh64_window_matrix only
+            # implements XXH64's short-input branch
+            if len(t) < k or len(b) != len(t) or k >= 32:
                 slow.append((row, t))
                 continue
             arr = np.frombuffer(b, dtype=np.uint8)
@@ -372,7 +384,8 @@ def shingle_hash_rows(
             for i, t in zip(ids, texts):
                 t = ref_normalize(t)
                 b = t.encode("utf-8")
-                if len(t) < k or len(b) != len(t):
+                # k >= 32 exceeds _xxh64_window_matrix's short-input branch
+                if len(t) < k or len(b) != len(t) or k >= 32:
                     n_pos = max(len(t) - k + 1, 1)
                     hs = sorted({xxh64_string(t[j : j + k]) for j in range(n_pos)})
                     id_parts.append(np.full(len(hs), i, dtype=np.int64))

@@ -128,9 +128,12 @@ def decode_features(assets: DataFrame, strict: bool = False) -> DataFrame:
 
     PNG, baseline JPEG, GIF, MJPEG-AVI and PCM WAV content decodes for
     real (``functions/codecs.py``), and mp4 reports true container
-    metadata; a malformed real-format asset becomes an ``error:``
-    feature row (errors-as-data, same posture as PDF parsing) rather
-    than failing the batch. For content without a stdlib codec,
+    metadata; when ``strict=False`` a malformed real-format asset
+    becomes an ``error:`` feature row (errors-as-data, same posture as
+    PDF parsing) rather than failing the batch — ``strict=True``
+    re-raises decode errors and fails the batch, the fail-loud mode for
+    pipelines that must not silently drop assets. For content without a
+    stdlib codec,
     ``strict=True`` raises NotImplementedError at the decode site — the
     documented behavior when real codecs are required but unavailable —
     and ``strict=False`` emits the deterministic fake."""
@@ -374,6 +377,20 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                     except Exception:  # noqa: BLE001 — malformed GIF
                         frames = []
                     dur = frames[-1][0] if frames else 0
+                    if frames and dur <= 0:
+                        # all-zero frame delays (players clamp to ~100ms):
+                        # cumulative duration is 0, so the sampling loop
+                        # below would emit nothing — keep the asset visible
+                        # with one row at ts=0, the first composited frame
+                        rows.append(
+                            {
+                                "asset_id": r["asset_id"],
+                                "frame_ts_ms": 0,
+                                "frame_digest": "gif:"
+                                + hashlib.md5(frames[0][1].tobytes()).hexdigest(),
+                            }
+                        )
+                        continue
                     fi = 0
                     for ts in range(0, int(dur), every_ms):
                         # frame displayed at ts = first frame whose

@@ -450,3 +450,55 @@ def test_shingle_hash_rows_matches_expression_reference(spark):
             got.setdefault(r["id"], []).append(r["sh"])
         got = {i: sorted(v) for i, v in got.items()}
         assert got == exp
+
+
+def test_xxh64_window_matrix_rejects_wide_windows():
+    """_xxh64_window_matrix implements only XXH64's <32-byte branch;
+    k >= 32 must fail loudly instead of silently diverging from the JVM
+    (advisor finding, round 5)."""
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="<32-byte"):
+        dedup._xxh64_window_matrix(np.zeros((3, 32), dtype=np.uint8))
+    # 31 stays on the fast path and agrees with the pure mirror
+    from sf_epa_data_ingestion_spark.functions.refhash import xxh64_bytes
+
+    mat = np.frombuffer(b"a" * 31 + b"b" * 31, dtype=np.uint8).reshape(2, 31)
+    got = dedup._xxh64_window_matrix(mat)
+    assert got.tolist() == [xxh64_bytes(b"a" * 31), xxh64_bytes(b"b" * 31)]
+
+
+def test_shingle_fronts_route_k32_to_slow_path(spark):
+    """Shingle k >= 32 exceeds the vectorized hasher's short-input branch;
+    both Arrow fronts must route those rows to the per-shingle refhash
+    fallback and still match the expression form bit-for-bit."""
+    k = 33
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog again and again."),
+            (2, "x" * 40),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    exp = {
+        r["doc_id"]: sorted(set(r["h"]))
+        for r in df.select(
+            "doc_id",
+            F.transform(
+                dedup.char_shingles(F.col("text"), k), lambda s: F.xxhash64(s)
+            ).alias("h"),
+        ).collect()
+    }
+    udf = {
+        r["doc_id"]: sorted(r["h"])
+        for r in df.select(
+            "doc_id", dedup._shingle_hashes_pd(k)(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert udf == exp
+    got: dict = {}
+    for r in dedup.shingle_hash_rows(df, k=k).collect():
+        got.setdefault(r["id"], []).append(r["sh"])
+    assert {i: sorted(v) for i, v in got.items()} == exp

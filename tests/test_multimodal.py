@@ -550,3 +550,47 @@ def test_mp4_container_metadata_is_real(spark):
     with pytest.raises(Exception) as exc_info:
         multimodal.decode_features(df, strict=True).collect()
     assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
+
+
+def test_sample_frames_zero_delay_gif(spark):
+    """An animated GIF whose frame delays are all 0 (players clamp these
+    to ~100ms) has cumulative duration 0; it must still surface one row
+    at ts=0 with the first composited frame instead of vanishing
+    (advisor finding, round 5)."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    rng = np.random.default_rng(12)
+    frames = [rng.integers(0, 256, size=(4, 4), dtype=np.uint8) for _ in range(3)]
+    gif = codecs.encode_gif(frames, [0, 0, 0])
+    rows = [(21, "video", gif, (4, 4, None, None, "image/gif"))]
+    df = spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+    out = multimodal.sample_frames(df, every_ms=1000).collect()
+    assert len(out) == 1
+    decoded = codecs.decode_gif_frames(gif)
+    assert out[0]["frame_ts_ms"] == 0
+    assert out[0]["frame_digest"] == (
+        "gif:" + _hashlib.md5(decoded[0][1].tobytes()).hexdigest()
+    )
+
+
+def test_parse_mp4_meta_rejects_overlong_trailing_box():
+    """A trailing box whose declared size overruns the file must raise
+    'truncated box' — the old bounds check tolerated up to 8 bytes of
+    overrun (advisor finding, round 5)."""
+    import struct
+
+    import pytest
+
+    from sf_epa_data_ingestion_spark.functions import codecs
+
+    good = codecs.encode_mp4_stub(1000, ["avc1"])
+    assert codecs.parse_mp4_meta(good)["duration_ms"] == 1000
+    # append a box claiming 4 bytes more than remain (<= 8-byte overrun,
+    # which the loose check used to let through)
+    bad = good + struct.pack(">I", 12) + b"free"  # 12-byte box, 8 present
+    with pytest.raises(ValueError, match="truncated box"):
+        codecs.parse_mp4_meta(bad)
