@@ -2676,86 +2676,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (r5): the driver's correctness harness checks only the
-    # FIRST 50 entries.  This round's window leads with the five queries
-    # that still lack a green driver hash row (3 were r4 hash-fails on
-    # DuckDB HUGEINT output types, fixed this round by CAST(... AS BIGINT)
-    # in the oracles; 2 were added after r4's window was frozen), then the
-    # 35 queries that sat past r4's window (each 3x green in r01-r03, so
-    # an r4 gap is their only missing recent row), then 10 representative
-    # core queries incl. the ops touched by this round's perf work
-    # (simhash rewrite, IVF ragged-vector fix are in the 35).  The 37
-    # pushed past 50 all have a green r4 row (CORRECTNESS_r04).
-    # r5 second pass: simhash / minhash_lsh / fingerprint gained golden-
-    # fixture oracles (refhash.py) and must earn their FIRST driver hash
-    # row — simhash and minhash_lsh already sit inside the window;
-    # fingerprint swaps in for anti_join (r4-green, and its anti-join
-    # plan shape stays covered in-window by pdf_to_download). The new
-    # sample_to_budget slots in at position 5 (needs its first row),
-    # which pushes dup_spans (green in CORRECTNESS_r04) just past 50.
-    # r5 third pass: ann_lsh / ann_ivf / approx_profile graduated from
-    # rows-only to golden-fixture oracles too and likewise need their
-    # first hash row — all three already sit inside the window (pos
-    # 30-32), so no further reorder; every query past position 50 has a
-    # green driver hash row from r1-r4 (verified against the committed
-    # CORRECTNESS_r0*.json files).
+    # Ordering note (r6): the driver's correctness harness checks only the
+    # FIRST 50 entries. Round-5 went 50/50 exact, so every query now has a
+    # green driver hash row; this round simply rotates for freshness:
+    #   1-38: the queries whose latest green row is r4 (they sat past r5's
+    #         window) — r6 renews them;
+    #  39-50: the 12 queries that earned their FIRST driver hash row in r5
+    #         (the 6 HUGEINT/new-oracle fixes + the 6 golden-fixture
+    #         graduates simhash/minhash_lsh/fingerprint/ann_lsh/ann_ivf/
+    #         approx_profile) — a second confirmation guards against
+    #         single-round flukes;
+    #   51+ : multi-round green (3+ exact rows each across r1-r5).
     return {
-        # -- no green driver hash row before r5 (5) ------------------------
-        "strip_dup_spans": q_strip_dup_spans,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "embed_quantize": q_embed_quantize,
-        "ngram_novelty": q_ngram_novelty,
-        "tokens_by_source": q_tokens_by_source,
-        # -- new in r5: needs its first driver row -------------------------
-        "sample_to_budget": q_sample_to_budget,
-        # -- past r4's window, 3x green r01-r03 (35) -----------------------
-        "group_collect": q_group_collect,
-        "merge_upsert": q_merge_upsert,
-        "update_from_join": q_update_from_join,
-        "delete_using": q_delete_using,
-        "sample_hash": q_sample_hash,
-        "percentiles": q_percentiles,
-        "heavy_hitters": q_heavy_hitters,
-        "semi_join": q_semi_join,
-        "join_computed_key": q_join_computed_key,
-        "filter_project": q_filter_project,
-        "like_suffix": q_like_suffix,
-        "regexp_substr": q_regexp_substr,
-        "clean_filename": q_clean_filename,
-        "scalar_suite": q_scalar_suite,
-        "top_k": q_top_k,
-        "set_except": q_set_except,
-        "set_intersect": q_set_intersect,
-        "lateral_tokenize": q_lateral_tokenize,
-        "json_extract": q_json_extract,
-        "window_tumbling": q_window_tumbling,
-        "window_sliding": q_window_sliding,
-        "session_windows": q_session_windows,
-        "simhash": q_simhash,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "approx_profile": q_approx_profile,
-        "quality_score": q_quality_score,
-        "search_lexical": q_search_lexical,
-        "stratified_sample": q_stratified_sample,
-        "priority_sample": q_priority_sample,
-        "temperature_resample": q_temperature_resample,
-        "line_dedup": q_line_dedup,
-        "train_val_test": q_train_val_test,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        # -- representative core, keeps the window honest (10) -------------
-        "pdf_to_download": q_pdf_to_download,
-        "pricing_summary": q_pricing_summary,
-        "join_dims_rollup": q_join_dims_rollup,
-        "fingerprint": q_fingerprint,
-        "window_dedup_latest": q_window_dedup_latest,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "chunk_documents": q_chunk_documents,
+    # -- latest green row is r4: renew (38) -------------------------
         "dup_spans": q_dup_spans,
-        # -- past the 50-entry window: green in CORRECTNESS_r04 (37) -------
         "grouping_sets": q_grouping_sets,
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
@@ -2793,6 +2727,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "merge_upsert_tx": q_merge_upsert_tx,
         "search_bm25": q_search_bm25,
+    # -- first green hash row was r5: confirm (12) -------------------
+        "strip_dup_spans": q_strip_dup_spans,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "embed_quantize": q_embed_quantize,
+        "ngram_novelty": q_ngram_novelty,
+        "tokens_by_source": q_tokens_by_source,
+        "sample_to_budget": q_sample_to_budget,
+        "simhash": q_simhash,
+        "minhash_lsh": q_minhash_lsh,
+        "fingerprint": q_fingerprint,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "approx_profile": q_approx_profile,
+    # -- past the 50-entry window: 3+ green rows across r1-r5 --------
+        "group_collect": q_group_collect,
+        "merge_upsert": q_merge_upsert,
+        "update_from_join": q_update_from_join,
+        "delete_using": q_delete_using,
+        "sample_hash": q_sample_hash,
+        "percentiles": q_percentiles,
+        "heavy_hitters": q_heavy_hitters,
+        "semi_join": q_semi_join,
+        "join_computed_key": q_join_computed_key,
+        "filter_project": q_filter_project,
+        "like_suffix": q_like_suffix,
+        "regexp_substr": q_regexp_substr,
+        "clean_filename": q_clean_filename,
+        "scalar_suite": q_scalar_suite,
+        "top_k": q_top_k,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "lateral_tokenize": q_lateral_tokenize,
+        "json_extract": q_json_extract,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "session_windows": q_session_windows,
+        "quality_score": q_quality_score,
+        "search_lexical": q_search_lexical,
+        "stratified_sample": q_stratified_sample,
+        "priority_sample": q_priority_sample,
+        "temperature_resample": q_temperature_resample,
+        "line_dedup": q_line_dedup,
+        "train_val_test": q_train_val_test,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "pdf_to_download": q_pdf_to_download,
+        "pricing_summary": q_pricing_summary,
+        "join_dims_rollup": q_join_dims_rollup,
+        "window_dedup_latest": q_window_dedup_latest,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "chunk_documents": q_chunk_documents,
     }
 
 
