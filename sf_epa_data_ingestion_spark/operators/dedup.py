@@ -736,9 +736,10 @@ def ngram_jaccard_pairs(
     k: int = 8,
     threshold: float = 0.30,
 ) -> DataFrame:
-    """Exact character-k-gram Jaccard similarity via **prefix filtering**
-    (AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08).
-    Returns (id_a, id_b, n_common, jaccard) above ``threshold``.
+    """Exact character-k-gram Jaccard similarity via **count-accumulating
+    prefix filtering** (AllPairs/PPJoin family — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08). Returns (id_a, id_b, n_common, jaccard) above
+    ``threshold``.
 
     A naive shingle equi-join explodes as sum over shingles of df^2 —
     dominated by boilerplate shingles shared by hundreds of docs (measured
@@ -748,71 +749,80 @@ def ngram_jaccard_pairs(
     1. order every doc's shingle set by ascending global document
        frequency (rarest first; ties broken by shingle hash — any global
        total order works),
-    2. join only on each doc's PREFIX = first ``n - ceil(t*n) + 1``
-       shingles. Completeness: if J(a,b) >= t then the overlap o satisfies
-       o >= t*|a| and o >= t*|b| (from o(1+t) >= t(|a|+|b|) and |b| >= o),
-       and the globally-smallest common shingle sits within the first
-       ``n - o + 1`` positions of both ordered sets — i.e. inside both
-       prefixes. Rarest-first ordering pushes the high-df boilerplate
-       shingles out of the prefixes, which is exactly where the df^2
-       blow-up lived.
-    3. verify every candidate pair exactly with ``array_intersect`` on the
-       full shingle-hash arrays.
+    2. PROBE only on each doc's PREFIX = first ``n - ceil(t*n) + 1``
+       shingles, against a FULL position index of the smaller side.
+       Completeness: if J(a,b) >= t then the overlap o satisfies
+       o >= t*|a| (from o(1+t) >= t(|a|+|b|) and |b| >= o), so the
+       globally-smallest common shingle sits within the first
+       ``n_a - o + 1 <= n_a - ceil(t*n_a) + 1`` positions of a's ordered
+       set — inside a's probe prefix. Rarest-first ordering pushes the
+       high-df boilerplate shingles out of the PROBE prefixes, which is
+       exactly where the df^2 blow-up lived — join volume is
+       sum(df_prefix(s) * df_full(s)), and boilerplate shingles have
+       df_prefix ~ 0.
+    3. AGGREGATE the join rows per pair instead of deduplicating them:
+       ``c`` = the exact number of common shingles inside a's probe
+       prefix, plus the last matched positions (pa_last, pb_last). This
+       is PPJoin's original accumulate-counts formulation, and it yields
+       a pair-level bound STRICTLY tighter than the per-row positional
+       filter it replaces (r6; the r4-r5 form pushed a single-row
+       positional test into the join condition and verified ~771k
+       surviving pairs with array_intersect — 4.5 of the query's 5.5s):
+
+           o <= c + min(ceil(t*n_a) - 1, n_a - 1 - pa_last, n_b - 1 - pb_last)
+
+       Soundness: every common shingle NOT counted by ``c`` lies past
+       a's probe prefix (there are at most ``n_a - prefix_len_a =
+       ceil(t*n_a) - 1`` such positions), and — because the shingle
+       order is one GLOBAL total order — sorts after EVERY counted
+       match in both arrays, i.e. after (pa_last, pb_last). Tightness
+       vs the old row bound ``1 + min(n_a-1-pa1, n_b-1-pb1)``: the
+       counted matches occupy ``c-1`` of the positions between pa1 and
+       pa_last, so c + (n_a-1-pa_last) <= 1 + (n_a-1-pa1) always.
+    4. verify the few survivors exactly with ``array_intersect`` on the
+       full shingle-hash arrays (measured at sf0.1/k=12: 771k candidates
+       under the old row filter -> ~300 under the count bound, which
+       moves verification off the critical path entirely; whole query
+       5.5s -> 3.3s warm, and the k=8 stress shape 22s -> 8s).
 
     Shingles are joined/compared as 64-bit xxhash values, not strings:
     narrower shuffle rows, and collision odds across the distinct-shingle
     universe are ~|S|^2/2^65 — immaterial.
 
     Scale notes (100 TB): the df table and the ordered arrays are one
-    groupBy each over the shingle rows (linear). Candidate volume is
-    sum over PREFIX shingles of df_probe*df_index — data-dependent but
-    well below the full join (measured at sf0.1 on the template-heavy
-    synthetic corpus: naive shingle join 114M rows vs 72M asymmetric
-    prefix-join rows -> 6.7M unique candidate pairs after the in-join
-    positional filter -> 256 result pairs; real web corpora have far
-    lower prefix-df and prune much harder). Hot prefixes are still
-    bounded by AQE skew splitting plus the spread() oversubscription
-    below.
+    groupBy each over the shingle rows (linear). The full-side index is
+    1/0.54x the old index-prefix explode (more rows shuffled), but every
+    join row now feeds ONE hash aggregation (map-side partial combine on
+    the pair key) instead of a dedup exchange + per-candidate array
+    verification, and the aggregation output is pair-count-sized. Hot
+    prefix shingles are still bounded by AQE skew splitting plus the
+    spread() oversubscription below.
     """
     eps = 1e-9  # float-safe slack on the filter inequalities
-    # Distinct (id, shingle-hash) rows. char_shingles is array_distinct so
-    # the explode yields unique rows per doc; no dedup shuffle needed. The
-    # spread() sits UPSTREAM of the shingling expression: the corpus is a
-    # handful of parquet files (one scan task at sf0.1), and an exchange
-    # placed after the explode would run the interpreted HOF shingling on
-    # the scan's few partitions and then shuffle the already-computed
-    # rows — the expensive expression must be DOWNSTREAM of the fan-out
-    # to parallelize. persist: two consumers (dfreq + the df-attach join)
-    # would otherwise each re-run the shingling. Rows are narrow
-    # (id, int64).
-    # r5 third pass: the front is the Arrow map node (shingle_hash_rows).
-    # The expression form measured 4.52s warm in a FRESH session (beating
-    # the first pandas_udf attempt, PLANS.md r5) but 6.7-8.1s inside the
-    # full bench session — interpreted-HOF eval is exposed to JVM
-    # inline-cache pollution that a long-lived session accumulates, and a
-    # production session IS long-lived. The map node emits pre-exploded
-    # (id, sh) rows, dodging both the interpreter and the JVM explode;
-    # set-parity with the expression is pinned by test.
-    sh = (
-        shingle_hash_rows(
-            spread(
-                df.filter(F.col(text_col).isNotNull()).select(
-                    F.col(id_col).alias("id"), F.col(text_col)
-                ),
-                "id",
+    # Distinct (id, shingle-hash) rows from the Arrow map front. The
+    # spread() sits UPSTREAM of the shingling: the corpus is a handful of
+    # parquet files (one scan task at sf0.1), and the expensive per-doc
+    # work must be DOWNSTREAM of the fan-out to parallelize. No persist:
+    # unlike the r4-r5 pipeline this front now has exactly one consumer
+    # (the ordered-array build).
+    sh = shingle_hash_rows(
+        spread(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("id"), F.col(text_col)
             ),
-            text_col,
             "id",
-            k,
-        )
-        .persist()
+        ),
+        text_col,
+        "id",
+        k,
     )
     # Rebuild each doc's shingle set as an array sorted by (df asc, sh).
     # df rides in via a COUNT window over the shingle partition — one
     # shuffle (by sh) instead of the aggregate+join form's two (measured
     # 2x faster at sf0.1); the regroup by doc is the second shuffle.
-    # persist: three consumers (prefix explode + both verify joins). This
-    # is one row per DOC (not per shingle) — small relative to the corpus.
+    # persist: three consumers (position explode + both verify joins).
+    # This is one row per DOC (not per shingle) — small relative to the
+    # corpus.
     ordered = (
         sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .groupBy("id")
@@ -825,79 +835,82 @@ def ngram_jaccard_pairs(
     )
     ordered = spread(ordered, "id").persist()
 
+    # ONE full posexplode serves both join sides: the probe side is a
+    # FILTER to prefix positions (cheap, and the persisted explode is
+    # shared), the index side is the whole thing. factor=4
+    # oversubscription keeps join build sides cache-resident and bounds
+    # skew on hot prefix shingles.
+    full = ordered.select("id", "n_sh", F.posexplode("shs").alias("pos", "sh"))
+    full = spread(full, "sh", factor=4).persist()
     # PROBE prefix (valid for the larger record x of any qualifying pair:
     # overlap o >= t*|x|, so the smallest common shingle sits within the
     # first n - ceil(t*n) + 1 positions).
-    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)).cast("int") + F.lit(1)
-    # posexplode: the 0-based prefix position feeds the PPJoin positional
-    # filter below. factor=4 oversubscription keeps join build sides
-    # cache-resident and bounds skew on hot prefix shingles.
-    pref = ordered.select(
-        "id", "n_sh", F.posexplode(F.slice("shs", F.lit(1), prefix_len)).alias("pos", "sh")
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)).cast("int") + F.lit(1)
     )
-    pref = spread(pref, "sh", factor=4).persist()
-    # INDEX prefix (Xiao et al. WWW'08 §3, self-join indexing prefix): for
-    # the SMALLER record y of a pair (|x| >= |y|), the required overlap is
-    # o >= t/(1+t)*(|x|+|y|) >= 2t/(1+t)*|y|, so y only needs its first
-    # n - ceil(2t/(1+t)*n) + 1 shingles indexed — at t=0.3 that is ~0.54n
-    # vs the probe's ~0.70n. The index side is a FILTER over the probe
-    # rows (its prefix is always a prefix of the probe prefix), so the one
-    # persisted explode serves both sides and the truncation is free.
-    index_frac = 2.0 * threshold / (1.0 + threshold)
-    idx_keep = F.col("pos") < (
-        F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(index_frac)).cast("int") + F.lit(1)
-    )
+    probe = full.filter(F.col("pos") < prefix_len)
     # SHUFFLE_HASH: sort-merge on a key with heavy duplicates re-walks the
     # buffered right group per left row — hash probing wins here.
-    a, b = pref.alias("a"), pref.filter(idx_keep).hint("SHUFFLE_HASH").alias("b")
-    # Candidate pairs: probe side a is the LARGER record (ties broken by
-    # id so each unordered pair is generated exactly once). The PPJoin
-    # POSITIONAL filter rides INSIDE the join condition, row-at-a-time:
-    # a pair qualifying with overlap o has its globally smallest common
-    # shingle inside a's probe prefix AND b's index prefix (prefix lemma
-    # with o >= max(ceil(t*n_a), ceil(2t/(1+t)*n_b))), and — because the
-    # shingle order is one GLOBAL total order — that shingle minimizes the
-    # match position in BOTH arrays at once. All other common shingles
-    # sort after it in both, so overlap <= 1 + min(n_a-1-pa, n_b-1-pb)
-    # evaluated AT THAT ROW, and that row maximizes the bound over the
-    # pair's match rows. Hence: pair passes the pair-level positional
-    # filter  <=>  some join row passes the row-level test, which makes
-    # the row-level predicate an EXACT push-down — false candidates die
-    # during the hash-join probe, before the dedup exchange, and the
-    # 4-key groupBy+min aggregate collapses to dropDuplicates on the ids.
-    # Random pairs share only boilerplate (high-df) shingles, which sort
-    # LAST — this is where the bulk of the false candidates die.
-    req_overlap = F.lit(threshold / (1.0 + threshold)) * (
-        F.col("a.n_sh") + F.col("b.n_sh")
-    ) - F.lit(eps)
-    positional_ok = (
-        F.lit(1.0)
-        + F.least(
-            F.col("a.n_sh") - 1 - F.col("a.pos"), F.col("b.n_sh") - 1 - F.col("b.pos")
-        )
-        >= req_overlap
-    )
-    cand = (
+    a, b = probe.alias("a"), full.hint("SHUFFLE_HASH").alias("b")
+    # Probe side a is the LARGER record (ties broken by id so each
+    # unordered pair aggregates exactly once); the length filter kills
+    # pairs no overlap could qualify. NO per-row positional test here —
+    # every common-in-prefix row must reach the aggregation for ``c`` to
+    # be exact (a row filter would undercount and could prune true
+    # pairs).
+    grouped = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (
                 (F.col("a.n_sh") > F.col("b.n_sh"))
-                | ((F.col("a.n_sh") == F.col("b.n_sh")) & (F.col("a.id") < F.col("b.id")))
+                | (
+                    (F.col("a.n_sh") == F.col("b.n_sh"))
+                    & (F.col("a.id") < F.col("b.id"))
+                )
             )
             # length filter: with |a| >= |b|, J >= t forces |b| >= t*|a|
             # (the other direction is implied by the size ordering)
-            & (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(threshold) - F.lit(eps))
-            & positional_ok,
+            & (F.col("b.n_sh") >= F.col("a.n_sh") * F.lit(threshold) - F.lit(eps)),
         )
-        # normalize the (probe, index) roles back to id_a < id_b so output
-        # pair identity is independent of the size ordering
         .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("ia", "ib", "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("pa").alias("pa_last"),
+            F.max("pb").alias("pb_last"),
+        )
     )
+    # The pair-level overlap bound (step 3 above) against the required
+    # overlap t/(1+t) * (n_a + n_b).
+    req_overlap = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("n_a") + F.col("n_b")
+    ) - F.lit(eps)
+    overlap_bound = F.col("c") + F.least(
+        F.ceil(F.col("n_a") * F.lit(threshold)).cast("long") - F.lit(1),
+        F.col("n_a") - 1 - F.col("pa_last"),
+        F.col("n_b") - 1 - F.col("pb_last"),
+    )
+    # normalize the (probe, index) roles back to id_a < id_b so output
+    # pair identity is independent of the size ordering
+    cand = (
+        grouped.filter(overlap_bound >= req_overlap)
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+        )
+    )
+    # Survivors are near-pair-count-sized; fan them out BEFORE the array
+    # attachments so the intersect work spreads even when AQE coalesces
+    # the tiny aggregate output to one partition.
+    cand = spread(cand, "id_a", "id_b")
     # Exact verification. The two shingle-array attachments resolve to
     # broadcast/hash joins of the per-doc table onto the candidate pairs.
     # CRITICAL plan shape: the intersect is projected ONCE into a narrow
@@ -909,11 +922,19 @@ def ngram_jaccard_pairs(
     # (measured 199s to cache what streams through the join in 0.5s).
     verified = (
         cand.join(
-            ordered.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")),
+            ordered.select(
+                F.col("id").alias("id_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
             "id_a",
         )
         .join(
-            ordered.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b")),
+            ordered.select(
+                F.col("id").alias("id_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
             "id_b",
         )
         .select(
