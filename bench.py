@@ -68,6 +68,16 @@ def main() -> None:
         # persist() shared subtrees) so every timing is against a cold
         # cache and the heap doesn't accumulate a suite's worth of blocks.
         spark.catalog.clearCache()
+        # clearCache() only covers SQL-cached plans; localCheckpoint()
+        # blocks (the iterative ops: connected_components, ivf k-means)
+        # are plain persisted RDDs that survive it and pile up across a
+        # suite — unpersist whatever is still materialized.
+        try:
+            jsc = spark.sparkContext._jsc
+            for rdd_id in list(jsc.getPersistentRDDs().keySet().toArray()):
+                jsc.sc().unpersistRDD(int(str(rdd_id)), False)
+        except Exception:
+            pass  # diagnostics-only hygiene; never fail the bench over it
         return elapsed
 
     for name, fn in qs.items():
