@@ -340,17 +340,23 @@ def test_centroid_topn_pd_matches_expression_spec(spark):
 from hypothesis import given, settings, strategies as st
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=8, deadline=None)
 @given(docs=st.lists(
-    st.lists(st.sampled_from("lorem ipsum dolor sit amet alpha beta gamma".split()),
-             min_size=3, max_size=12).map(" ".join),
-    min_size=2, max_size=8))
+    st.lists(st.sampled_from(
+        # a tiny vocabulary makes shared shingles (and near-threshold
+        # pairs, where the r6 count bound has the least slack) common
+        "lorem ipsum dolor sit amet alpha beta gamma lorem ipsum".split()),
+             min_size=3, max_size=24).map(" ".join),
+    min_size=2, max_size=10))
 def test_ngram_jaccard_matches_bruteforce_reference(spark, docs):
     # EXACTNESS pin for the whole PPJoin machinery (rarest-first global
-    # order, asymmetric probe/index prefixes, in-join positional filter,
+    # order, probe prefix x full index, the r6 pair-level count bound
+    # o <= c + min(ceil(t*n_a)-1, n_a-1-pa_last, n_b-1-pb_last),
     # array_intersect verify): on arbitrary template-heavy corpora the
     # result must equal the brute-force all-pairs Jaccard over k-shingle
-    # sets computed in plain Python.
+    # sets computed in plain Python. A bound even one off on any branch
+    # drops a true near-threshold pair, which this test generates by
+    # construction.
     k, t = 5, 0.30
     df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
     got = {
