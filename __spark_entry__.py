@@ -13,7 +13,7 @@ third pass finished the job: the "approximate" ops are deterministic too
 (seeded hyperplanes for LSH, fixed-point-sum k-means for IVF, and HLL++'s
 linear-counting branch is a pure function of the distinct-value set), so
 ann_lsh / ann_ivf / approx_profile carry golden-fixture oracles as well —
-ALL 88 queries are value-checked; recall-floor tests additionally bound
+ALL 89 queries are value-checked; recall-floor tests additionally bound
 the approximate ops against their exact counterparts.
 
 Determinism discipline (so order-insensitive value-hashes match):
@@ -45,6 +45,7 @@ from sf_epa_data_ingestion_spark.operators import (
     multimodal,
     mutate,
     profiling,
+    quality_model,
     rangejoin,
     relational,
     sampling,
@@ -2393,6 +2394,33 @@ FROM m
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: logistic-regression-style classifier on
+    hashed token presence features, trained in-engine with bit-reproducible
+    fixed-point GD against deterministic weak stopword labels
+    (operators/quality_model.py score_quality_lr). The learned stage of the
+    filtering stack, next to the rule-based (c4_filter), perplexity
+    (lm_perplexity) and importance-weighting (dsir_weights) stages.
+    All-integer output -> hash-exact against the golden-fixture oracle
+    (tools/make_golden_qlr.py; ref_qlr_scores shares qlr_update and the
+    hard-sigmoid spec with the Spark driver loop, so parity is by
+    construction, and the fixture join is keyed on a corpus content hash)."""
+    return quality_model.score_quality_lr(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_QUALITY_CLASSIFIER = r"""
+WITH corp AS (
+  SELECT md5(string_agg(doc_id || ':' || md5(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         ), ',' ORDER BY doc_id)) AS ch
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT g.doc_id AS id, CAST(g.label AS INT) AS label, g.score_fp
+FROM '/root/repo/tests/fixtures/golden_qlr.parquet' g
+JOIN corp ON g.corpus_md5 = corp.ch
+"""
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding corpus with an exact
     integer code checksum and reconstruction MSE
@@ -2688,13 +2716,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         single-round flukes;
     #   51+ : multi-round green (3+ exact rows each across r1-r5).
     return {
-    # -- latest green row is r4: renew (38) -------------------------
+    # -- new in r6: needs its first driver row -----------------------
+        "quality_classifier": q_quality_classifier,
+    # -- latest green row is r4: renew (37; window_analytics, 4x green
+    #    r1-r4, cedes its slot to the new query) ---------------------
         "dup_spans": q_dup_spans,
         "grouping_sets": q_grouping_sets,
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "pivot_status": q_pivot_status,
-        "window_analytics": q_window_analytics,
         "above_customer_avg": q_above_customer_avg,
         "scd2_history": q_scd2_history,
         "asof_clicks": q_asof_clicks,
@@ -2741,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "approx_profile": q_approx_profile,
     # -- past the 50-entry window: 3+ green rows across r1-r5 --------
+        "window_analytics": q_window_analytics,
         "group_collect": q_group_collect,
         "merge_upsert": q_merge_upsert,
         "update_from_join": q_update_from_join,
@@ -2849,6 +2880,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": ORACLE_BPE_PAIR_COUNTS,
         "dup_spans": ORACLE_DUP_SPANS,
         "c4_filter": ORACLE_C4_FILTER,
+        "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "embed_quantize": ORACLE_EMBED_QUANTIZE,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,

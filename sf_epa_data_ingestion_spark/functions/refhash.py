@@ -502,3 +502,100 @@ def ref_ivf_probes(
     probes = topn(cents, n_probe, margin_out=margins)
     ref_ivf_probes.last_margin = min(margins) if margins else float("inf")
     return probes
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier (fixed-point logistic-regression-style filter)
+# ---------------------------------------------------------------------------
+# Shared spec between operators/quality_model.py (the Spark implementation)
+# and ref_qlr_scores below (the pure-Python oracle mirror). Everything is
+# int64 fixed-point with NO transcendentals: the link function is the hard
+# sigmoid clamp(x/4 + 1/2, 0, 1), computed as non-negative integer division
+# so JVM `div` (truncation) and Python `//` (floor) agree bit-for-bit, and
+# every gradient is a sum of int64 terms — order-independent, so Spark's
+# shuffle nondeterminism cannot move a single ulp.
+
+QLR_ONE = 1 << 20           # fixed-point scale
+QLR_DIM = 512               # hashed feature buckets
+QLR_ITERS = 4               # full-batch GD iterations (accuracy saturates
+                            # by 2 on the synthetic corpus; 4 adds margin)
+QLR_LR_NUM, QLR_LR_DEN = 4, 1
+QLR_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "this",
+)
+QLR_STOP_MIN = 4            # distinct stopwords needed for a weak 1-label
+
+
+def qlr_bucket(token: str, dim: int = QLR_DIM) -> int:
+    """pmod(xxhash64(token), dim) — Java pmod == Python %, both in [0, dim)."""
+    return xxh64_string(token) % dim
+
+
+def qlr_hard_sigmoid_fp(x_fp: int) -> int:
+    """Hard sigmoid in fixed point: clamp to [-2, 2], shift to [0, 4],
+    integer-divide by 4 -> [0, ONE]. The shift makes the dividend
+    non-negative, where truncating (JVM) and flooring (Python) division
+    coincide."""
+    y = min(max(x_fp, -2 * QLR_ONE), 2 * QLR_ONE) + 2 * QLR_ONE
+    return y // 4
+
+
+def qlr_update(
+    weights: dict[int, int], bias: int, grads: dict[int, int], grad_b: int, n_docs: int
+) -> tuple[dict[int, int], int]:
+    """One GD weight update from integer gradient sums. Used verbatim by the
+    Spark driver loop AND the mirror, so weight arithmetic cannot drift.
+    Division truncates toward zero on both sides (explicit, since Python //
+    floors negatives)."""
+
+    def tdiv(a: int, d: int) -> int:
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    den = QLR_LR_DEN * n_docs
+    new_w = dict(weights)
+    for j, g in grads.items():
+        if g:
+            new_w[j] = new_w.get(j, 0) - tdiv(g * QLR_LR_NUM, den)
+    return new_w, bias - tdiv(grad_b * QLR_LR_NUM, den)
+
+
+def ref_qlr_scores(
+    docs: list[tuple[int, str]],
+    dim: int = QLR_DIM,
+    iters: int = QLR_ITERS,
+) -> list[tuple[int, int, int]]:
+    """Pure-Python mirror of ``operators.quality_model.score_quality_lr``:
+    weak stopword labels -> presence features on hashed buckets -> ``iters``
+    full-batch fixed-point GD steps -> per-doc hard-sigmoid scores.
+    Returns [(doc_id, label, score_fp)] for docs with non-NULL text."""
+    stop = set(QLR_STOPWORDS)
+    feats: dict[int, frozenset[int]] = {}
+    labels: dict[int, int] = {}
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        toks = [t for t in ref_normalize(text).split(" ") if t]
+        feats[doc_id] = frozenset(qlr_bucket(t, dim) for t in toks)
+        labels[doc_id] = 1 if len({t for t in toks if t in stop}) >= QLR_STOP_MIN else 0
+
+    n = len(feats)
+    w: dict[int, int] = {}
+    b = 0
+    for _ in range(iters):
+        grads: dict[int, int] = {}
+        grad_b = 0
+        for doc_id, bs in feats.items():
+            x = b + sum(w.get(j, 0) for j in bs)
+            err = qlr_hard_sigmoid_fp(x) - labels[doc_id] * QLR_ONE
+            grad_b += err
+            for j in bs:
+                grads[j] = grads.get(j, 0) + err
+        w, b = qlr_update(w, b, grads, grad_b, n)
+
+    out = []
+    for doc_id, bs in feats.items():
+        x = b + sum(w.get(j, 0) for j in bs)
+        out.append((doc_id, labels[doc_id], qlr_hard_sigmoid_fp(x)))
+    return sorted(out)

@@ -1,0 +1,178 @@
+"""Trained quality classifier: a logistic-regression-style filter over
+hashed token features, trained in-engine with bit-reproducible fixed-point
+gradient descent.
+
+The model-based quality filter is the stage heuristic filters can't cover
+in an LLM data pipeline (GPT-3's LR-vs-WebText filter and its descendants):
+`cleaning.c4_quality_filter` encodes fixed rules, `vocab.bigram_lm_scores`
+scores fluency, `vocab.dsir_log_weights` reweights toward a target — this
+operator LEARNS a per-document keep score from (weak) labels. The weak
+labels here are a deterministic stopword-presence rule so the whole
+artifact is oracle-checkable; swapping in human/LLM labels changes one
+DataFrame, not the machinery.
+
+Determinism is the design constraint (same posture as the IVF k-means in
+``similarity.ivf_topk``): every gradient is a SUM OF INT64 fixed-point
+terms — order-independent, so shuffle/aggregation order cannot move a
+bit — and the link function is the hard sigmoid computed with
+non-negative integer division (JVM ``div`` truncates, Python ``//``
+floors; shifting the dividend to non-negative makes them agree). Weight
+updates run on the DRIVER via ``refhash.qlr_update`` — the SAME function
+the oracle mirror calls — over gradient aggregates that are at most
+``dim`` rows (metadata-scale, like the BPE merge table and the IVF
+centroid stats).
+
+Scale shape (100 TB): per GD iteration = one broadcast join of the
+``dim``-row weight table onto the (id, bucket) presence rows + one
+groupBy(id) int-sum + one groupBy(bucket) int-sum collected to the driver
+(``dim`` rows). The presence-feature table is built once, persisted, and
+is the only corpus-sized state; iteration count is a small constant. No
+corpus-sized driver materialization anywhere.
+
+Reference basis: a from-scratch Spark design; the reference pipeline
+(epa_ingestion.py) has no learned filtering — this extends the engine's
+training-data toolkit alongside dedup/sampling/DSIR.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from sf_epa_data_ingestion_spark.functions.refhash import (
+    QLR_DIM,
+    QLR_ITERS,
+    QLR_ONE,
+    QLR_STOP_MIN,
+    QLR_STOPWORDS,
+    qlr_update,
+)
+from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
+from sf_epa_data_ingestion_spark.partitioning import spread
+
+__all__ = ["hashed_presence_features", "weak_stopword_labels", "score_quality_lr"]
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok) rows: whitespace tokens of the normalized text. Row form
+    (explode), not a HOF nest — interpreted HOFs degrade in long-lived
+    sessions (PLANS.md 'the session is part of the plan')."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def hashed_presence_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = QLR_DIM
+) -> DataFrame:
+    """(id, bucket) PRESENCE rows: bucket = pmod(xxhash64(token), dim),
+    distinct per doc. Presence (not counts) keeps every downstream sum a
+    plain int and mirrors ``refhash.qlr_bucket`` exactly."""
+    return (
+        _tokens(df, text_col, id_col)
+        .select("id", F.pmod(F.xxhash64("tok"), F.lit(dim)).alias("bucket"))
+        .dropDuplicates(["id", "bucket"])
+    )
+
+
+def weak_stopword_labels(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, label) weak supervision: 1 iff the doc contains at least
+    ``QLR_STOP_MIN`` DISTINCT stopwords from the fixed 16-word list.
+    Deterministic and trivially mirrored — the point is checkable
+    machinery, not label quality."""
+    toks = _tokens(df, text_col, id_col)
+    hits = (
+        toks.filter(F.col("tok").isin(*QLR_STOPWORDS))
+        .dropDuplicates(["id", "tok"])
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_stop"))
+    )
+    spine = df.filter(F.col(text_col).isNotNull()).select(F.col(id_col).alias("id"))
+    return spine.join(hits, "id", "left").select(
+        "id",
+        F.when(F.coalesce("n_stop", F.lit(0)) >= QLR_STOP_MIN, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+
+
+def _hard_sigmoid_fp(logit_col: str) -> F.Column:
+    """Mirror of ``refhash.qlr_hard_sigmoid_fp`` as a Spark expression.
+    The +2*ONE shift makes the dividend non-negative, where SQL ``div``
+    (truncation) equals Python ``//`` (floor)."""
+    two = 2 * QLR_ONE
+    return F.expr(
+        f"(least(greatest({logit_col}, {-two}L), {two}L) + {two}L) div 4"
+    )
+
+
+def score_quality_lr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = QLR_DIM,
+    iters: int = QLR_ITERS,
+) -> DataFrame:
+    """Train the fixed-point LR on the corpus' weak labels and score every
+    non-NULL-text document. Returns (id, label, score_fp) — all integers,
+    bit-identical to ``refhash.ref_qlr_scores`` (pinned by test and by the
+    golden-fixture oracle)."""
+    spark = df.sparkSession
+    labels = weak_stopword_labels(df, text_col, id_col)
+    # Presence rows PLUS one sentinel bucket=-1 row per doc. The sentinel
+    # never matches a weight row (coalesce 0 in the logit sum) but folds
+    # the bias gradient into the SAME per-bucket aggregation — one job,
+    # one collect per GD iteration instead of three.
+    feats = hashed_presence_features(df, text_col, id_col, dim).unionByName(
+        labels.select("id", F.lit(-1).cast("long").alias("bucket"))
+    )
+    feats = spread(feats, "id").persist()
+    labels = labels.persist()
+    n_docs = labels.count()  # also materializes the persists' lineage root
+
+    def err_frame(weights: dict[int, int], bias: int) -> DataFrame:
+        """(id, err) from the current model: broadcast-join the weight
+        table onto the presence rows, int-sum per doc, hard sigmoid."""
+        wdf = spark.createDataFrame(
+            list(weights.items()) or [(0, 0)], "bucket long, w long"
+        )
+        doc_sum = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("id")
+            .agg(F.sum(F.coalesce("w", F.lit(0))).alias("s"))
+        )
+        return (
+            labels.join(doc_sum, "id", "left")
+            .withColumn("logit", F.coalesce("s", F.lit(0)) + F.lit(bias))
+            .withColumn(
+                "err", _hard_sigmoid_fp("logit") - F.col("label") * F.lit(QLR_ONE)
+            )
+            .select("id", "label", "logit", "err")
+        )
+
+    weights: dict[int, int] = {}
+    bias = 0
+    for _ in range(iters):
+        # gradient aggregates: at most `dim`+1 rows cross to the driver,
+        # every one a sum of int64 terms (order-independent)
+        rows = (
+            feats.join(err_frame(weights, bias).select("id", "err"), "id")
+            .groupBy("bucket")
+            .agg(F.sum("err").alias("g"))
+            .collect()
+        )
+        grads = {r["bucket"]: r["g"] for r in rows if r["bucket"] >= 0}
+        grad_b = next((r["g"] for r in rows if r["bucket"] == -1), 0)
+        weights, bias = qlr_update(weights, bias, grads, grad_b, n_docs)
+
+    # final scoring pass with the trained weights
+    return err_frame(weights, bias).select(
+        "id", "label", _hard_sigmoid_fp("logit").alias("score_fp")
+    )

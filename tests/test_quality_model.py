@@ -1,0 +1,102 @@
+"""Quality classifier (operators/quality_model.py): mirror parity,
+determinism, learning sanity, and edge cases."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.functions.refhash import (
+    QLR_ONE,
+    qlr_hard_sigmoid_fp,
+    ref_qlr_scores,
+)
+from sf_epa_data_ingestion_spark.operators import quality_model
+
+
+def _collect(df):
+    return sorted((r["id"], r["label"], r["score_fp"]) for r in df.collect())
+
+
+def test_matches_python_mirror_on_corpus(spark):
+    """Bit-exact parity with refhash.ref_qlr_scores on the real corpus —
+    the same guarantee the golden-fixture oracle encodes, pinned here
+    against the live testdata."""
+    import pyarrow.parquet as pq
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = _collect(quality_model.score_quality_lr(df))
+    rows = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    want = ref_qlr_scores([(r["doc_id"], r["text"]) for r in rows])
+    assert got == want and len(got) == 500
+
+
+def test_matches_mirror_on_edges(spark):
+    """NULL text dropped; empty/whitespace-only text scores from the bias
+    alone; unicode + stopword-dense rows agree with the mirror."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   \t\n  "),
+        (4, "the a an and or of to in is it that for on with as this words"),
+        (5, "café ☃ 你好 naïve unicode tokens only"),
+        (6, "one two three"),
+        (7, "the the the the the"),  # 1 distinct stopword -> label 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = _collect(quality_model.score_quality_lr(df))
+    want = ref_qlr_scores(rows)
+    assert got == want
+    labels = {i: l for i, l, _ in got}
+    assert 1 not in labels  # NULL text excluded entirely
+    assert labels[4] == 1 and labels[7] == 0
+
+
+def test_deterministic_across_runs(spark):
+    """Fixed-point arithmetic means two trainings are bit-identical —
+    shuffle order cannot move a gradient bit."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    a = _collect(quality_model.score_quality_lr(df))
+    b = _collect(quality_model.score_quality_lr(df))
+    assert a == b
+
+
+def test_classifier_learns_the_weak_rule(spark):
+    """Learning sanity: thresholding the trained score at ONE/2 must
+    reproduce the weak labels almost perfectly on the synthetic corpus
+    (the stopword buckets are linearly separable by construction)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = quality_model.score_quality_lr(df)
+    acc = (
+        out.select(
+            (
+                (F.col("score_fp") >= QLR_ONE // 2).cast("int") == F.col("label")
+            ).cast("int").alias("hit")
+        )
+        .agg(F.avg("hit"))
+        .collect()[0][0]
+    )
+    assert acc >= 0.95, acc
+
+
+def test_hard_sigmoid_spec():
+    """The shared link function: clamp to [0, ONE], midpoint at 0, and the
+    non-negative-dividend trick keeps trunc == floor."""
+    assert qlr_hard_sigmoid_fp(0) == QLR_ONE // 2
+    assert qlr_hard_sigmoid_fp(10 * QLR_ONE) == QLR_ONE
+    assert qlr_hard_sigmoid_fp(-10 * QLR_ONE) == 0
+    assert qlr_hard_sigmoid_fp(2 * QLR_ONE) == QLR_ONE
+    assert qlr_hard_sigmoid_fp(-2 * QLR_ONE) == 0
+    assert qlr_hard_sigmoid_fp(1) == QLR_ONE // 2  # rounds down, not to nearest
+
+
+def test_presence_features_distinct_and_bounded(spark):
+    """Feature rows are distinct per (doc, bucket) and buckets sit in
+    [0, dim) — pmod, not rem."""
+    df = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    rows = quality_model.hashed_presence_features(df, dim=32).collect()
+    assert len(rows) == len({(r["id"], r["bucket"]) for r in rows})
+    assert all(0 <= r["bucket"] < 32 for r in rows)
