@@ -64,7 +64,7 @@ def main() -> None:
     # their JIT/codegen warmup here instead of inside the first heavy
     # query's measurement (the rotated r6 order put dedup_clusters near
     # the front, where it paid ~2s of session warmup).
-    entrymod.q_token_count(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    entrymod.q_multimodal_meta(spark, sf_dir).write.format("noop").mode("overwrite").save()
     entrymod.q_window_dedup_latest(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
