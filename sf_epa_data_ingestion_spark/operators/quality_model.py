@@ -125,16 +125,41 @@ def score_quality_lr(
     bit-identical to ``refhash.ref_qlr_scores`` (pinned by test and by the
     golden-fixture oracle)."""
     spark = df.sparkSession
-    labels = weak_stopword_labels(df, text_col, id_col)
+    # ONE scan + ONE shuffle builds both the presence features and the
+    # weak labels (the standalone hashed_presence_features /
+    # weak_stopword_labels helpers each re-tokenize; at corpus scale the
+    # fused groupBy halves the front cost). Semantics are identical:
+    # collect_set == dropDuplicates per doc, count(DISTINCT stopword)
+    # ignores the NULLs the when() leaves on non-stopwords.
+    per_doc = (
+        _tokens(df, text_col, id_col)
+        .groupBy("id")
+        .agg(
+            F.collect_set(F.pmod(F.xxhash64("tok"), F.lit(dim))).alias("buckets"),
+            F.countDistinct(
+                F.when(F.col("tok").isin(*QLR_STOPWORDS), F.col("tok"))
+            ).alias("n_stop"),
+        )
+    )
+    spine = df.filter(F.col(text_col).isNotNull()).select(F.col(id_col).alias("id"))
+    labels = (
+        spine.join(per_doc.select("id", "n_stop"), "id", "left")
+        .select(
+            "id",
+            F.when(F.coalesce("n_stop", F.lit(0)) >= QLR_STOP_MIN, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("label"),
+        )
+        .persist()
+    )
     # Presence rows PLUS one sentinel bucket=-1 row per doc. The sentinel
     # never matches a weight row (coalesce 0 in the logit sum) but folds
     # the bias gradient into the SAME per-bucket aggregation — one job,
     # one collect per GD iteration instead of three.
-    feats = hashed_presence_features(df, text_col, id_col, dim).unionByName(
+    feats = per_doc.select("id", F.explode("buckets").alias("bucket")).unionByName(
         labels.select("id", F.lit(-1).cast("long").alias("bucket"))
     )
     feats = spread(feats, "id").persist()
-    labels = labels.persist()
     n_docs = labels.count()  # also materializes the persists' lineage root
 
     def err_frame(weights: dict[int, int], bias: int) -> DataFrame:
