@@ -13,7 +13,7 @@ third pass finished the job: the "approximate" ops are deterministic too
 (seeded hyperplanes for LSH, fixed-point-sum k-means for IVF, and HLL++'s
 linear-counting branch is a pure function of the distinct-value set), so
 ann_lsh / ann_ivf / approx_profile carry golden-fixture oracles as well —
-ALL 89 queries are value-checked; recall-floor tests additionally bound
+ALL 90 queries are value-checked; recall-floor tests additionally bound
 the approximate ops against their exact counterparts.
 
 Determinism discipline (so order-insensitive value-hashes match):
@@ -1070,6 +1070,48 @@ WITH e AS (
 )
 SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with refinement (ADC+R): the corpus
+    compressed to 16x4-bit centroid codes (8 bytes/vector vs 256),
+    queries scoring codes through per-query lookup tables, then an exact
+    rerank of the 10k-deep ADC shortlist — the complementary scale axis
+    to ann_ivf (IVF prunes WHICH vectors a query touches, PQ shrinks
+    WHAT a scan reads; compose as IVF-PQ at 100 TB). Fully
+    integer-exact: coords quantize to 2^-15 before any decision and
+    assignment ranks, ADC scores AND the refined rerank dots are int64
+    arithmetic, so the whole train->encode->score->refine chain is a
+    pure function of the input table and functions/refhash.ref_pq_topk
+    replays it bit-for-bit — hash-exact golden-fixture oracle from day
+    one (tools/make_golden_pq.py). Recall@5 vs ann_bruteforce >= 0.9 at
+    sf0.01 (pinned in tests/test_recall_gates.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(emb, queries, k=5, dim=64)
+
+
+# Final (query_id, vec_id, score_fp, rank) rows join from the golden
+# fixture keyed on the same whole-corpus content hash ann_ivf uses; a
+# different corpus misses the join and fails the row-count compare.
+# No SQL re-scoring tail here: every PQ decision is already exact int64
+# (no float knife-edges for DuckDB to re-derive).
+ORACLE_ANN_PQ = """
+WITH e AS (
+  SELECT vec_id,
+         md5(array_to_string(
+           list_transform(embedding, x -> printf('%.9e', CAST(x AS DOUBLE))), ',')) AS h
+  FROM embeddings
+), corp AS (
+  SELECT md5(string_agg(CAST(vec_id AS VARCHAR) || ':' || h, ',' ORDER BY vec_id)) AS ch
+  FROM e
+)
+SELECT g.query_id, g.vec_id, g.score_fp, g.rank
+FROM '/root/repo/tests/fixtures/golden_pq.parquet' g
+JOIN corp ON g.corpus_md5 = corp.ch
 """
 
 
@@ -2718,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # -- new in r6: needs its first driver row -----------------------
         "quality_classifier": q_quality_classifier,
+        "ann_pq": q_ann_pq,
     # -- latest green row is r4: renew (37; window_analytics, 4x green
     #    r1-r4, cedes its slot to the new query) ---------------------
         "dup_spans": q_dup_spans,
@@ -2756,7 +2799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
         "merge_upsert_tx": q_merge_upsert_tx,
-        "search_bm25": q_search_bm25,
     # -- first green hash row was r5: confirm (12) -------------------
         "strip_dup_spans": q_strip_dup_spans,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -2771,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "approx_profile": q_approx_profile,
     # -- past the 50-entry window: 3+ green rows across r1-r5 --------
+        "search_bm25": q_search_bm25,
         "window_analytics": q_window_analytics,
         "group_collect": q_group_collect,
         "merge_upsert": q_merge_upsert,
@@ -2852,6 +2895,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": ORACLE_ANN_BRUTEFORCE,
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_ivf": ORACLE_ANN_IVF,
+        "ann_pq": ORACLE_ANN_PQ,
         "approx_profile": ORACLE_APPROX_PROFILE,
         "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
         "lang_id": ORACLE_LANG_ID,

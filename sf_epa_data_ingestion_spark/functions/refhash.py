@@ -599,3 +599,160 @@ def ref_qlr_scores(
         x = b + sum(w.get(j, 0) for j in bs)
         out.append((doc_id, labels[doc_id], qlr_hard_sigmoid_fp(x)))
     return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ/ADC) — integer-exact spec shared with
+# operators/similarity.pq_topk
+# ---------------------------------------------------------------------------
+# Unlike IVF (whose mirror needs an argsort-margin guard because ranking
+# happens on float dots), every PQ ranking decision is made on INTEGERS:
+# unit-vector coordinates and centroids are quantized to 2^-15 resolution
+# and both the k-means assignment rank (||c||^2 - 2 x.c) and the ADC score
+# (sum of per-subspace LUT dots) are exact int64 arithmetic. Identical
+# doubles in -> identical ints -> identical ranks, with no epsilon anywhere.
+
+PQ_M = 16                   # subspaces (16 x 4-bit codes = 8 B/vector)
+PQ_KSUB = 16                # centroids per subspace
+PQ_ITERS = 2                # Lloyd iterations (same budget as ivf_topk)
+PQ_COORD_SCALE = 1 << 15    # unit-coordinate quantization for rank/score ints
+PQ_SUM_SCALE = 1 << 30      # Lloyd mean accumulation (same as IVF_SCALE)
+PQ_RERANK = 10              # ADC shortlist = PQ_RERANK * k, then refine
+
+
+def _pq_unit(vec) -> list[float] | None:
+    """ivf-spec unit vector: sequential square-sum fold, None on zero norm."""
+    import math as _math
+
+    n = 0.0
+    for x in vec:
+        fx = float(x)
+        n += fx * fx
+    n = _math.sqrt(n)
+    if n == 0:
+        return None
+    return [float(x) / n for x in vec]
+
+
+def _pq_q(x: float) -> int:
+    import math as _math
+
+    return _math.floor(x * float(PQ_COORD_SCALE))
+
+
+def ref_pq_topk(
+    rows: list[tuple[int, list[float]]],
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    rerank: int = PQ_RERANK,
+) -> list[tuple[int, int, int, int]]:
+    """Mirror of ``operators.similarity.pq_topk`` with the benched query's
+    shape (queries = vec_id < n_queries, self-match excluded). Returns
+    [(query_id, vec_id, score_fp, rank)].
+
+    Spec (each step repeated bit-for-bit by the Spark operator):
+    - valid rows only: non-NULL vectors of length ``dim`` with nonzero norm,
+    - unit vectors via the sequential fold (identical IEEE doubles),
+    - seeds = the ``ksub`` valid rows with the smallest
+      (signed xxhash64(str(id)), id), their unit subvectors,
+    - assignment: argmin over exact int64
+      ``sum(cq^2) - 2*sum(xq*cq)`` of 2^-15-quantized coords, ties to the
+      smallest centroid index,
+    - Lloyd means from fixed-point 2^-30 sums (order-independent);
+      empty cells keep their previous centroid,
+    - ADC: per-query LUT[s][j] = exact int dot of quantized subvectors;
+      ADC score = sum over subspaces of LUT[s][code_v[s]],
+    - shortlist = top rerank*k by (ADC desc, vec_id asc), then REFINE:
+      score_fp = exact int dot of the two 2^-15-quantized FULL unit
+      vectors (the ADC+R pattern, with integers instead of floats),
+    - top-k by (score_fp desc, vec_id asc), rank 1..k."""
+    dsub = dim // m
+    units = {}
+    for i, v in rows:
+        if v is None or len(v) != dim:
+            continue
+        u = _pq_unit(v)
+        if u is not None:
+            units[i] = u
+
+    def subq(u: list[float], s: int) -> list[int]:
+        return [_pq_q(x) for x in u[s * dsub : (s + 1) * dsub]]
+
+    seed_ids = sorted(units, key=lambda i: (xxh64_string(str(i)), i))[:ksub]
+    # cents[s][j] = float centroid of subspace s
+    cents = [[list(units[i][s * dsub : (s + 1) * dsub]) for i in seed_ids]
+             for s in range(m)]
+
+    def assign(u: list[float]) -> list[int]:
+        codes = []
+        for s in range(m):
+            xq = subq(u, s)
+            best = None
+            for j in range(ksub):
+                cq = [_pq_q(c) for c in cents[s][j]]
+                r = sum(c * c for c in cq) - 2 * sum(a * b for a, b in zip(xq, cq))
+                if best is None or (r, j) < best:
+                    best = (r, j)
+            codes.append(best[1])
+        return codes
+
+    for _ in range(iters):
+        sums: dict[tuple[int, int, int], int] = {}
+        counts: dict[tuple[int, int], int] = {}
+        import math as _math
+
+        for i, u in units.items():
+            codes = assign(u)
+            for s in range(m):
+                j = codes[s]
+                counts[(s, j)] = counts.get((s, j), 0) + 1
+                for pos in range(dsub):
+                    key = (s, j, pos)
+                    sums[key] = sums.get(key, 0) + _math.floor(
+                        u[s * dsub + pos] * float(PQ_SUM_SCALE)
+                    )
+        for s in range(m):
+            for j in range(ksub):
+                n = counts.get((s, j), 0)
+                if n:
+                    cents[s][j] = [
+                        sums[(s, j, pos)] / float(PQ_SUM_SCALE) / n
+                        for pos in range(dsub)
+                    ]
+
+    codes = {i: assign(u) for i, u in units.items()}
+    xq_full = {i: [_pq_q(x) for x in u] for i, u in units.items()}
+    shortlist_n = rerank * k
+    out: list[tuple[int, int, int, int]] = []
+    for qid in sorted(units):
+        if qid >= n_queries:
+            continue
+        qu = units[qid]
+        lut = [
+            [
+                sum(a * b for a, b in zip(subq(qu, s), [_pq_q(c) for c in cents[s][j]]))
+                for j in range(ksub)
+            ]
+            for s in range(m)
+        ]
+        scored = [
+            (sum(lut[s][cv[s]] for s in range(m)), i)
+            for i, cv in codes.items()
+            if i != qid
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        # refinement: exact int dot of the 2^-15-quantized FULL vectors
+        # over the ADC shortlist — the ADC+R pattern with no float step
+        qx = xq_full[qid]
+        refined = [
+            (sum(a * b for a, b in zip(qx, xq_full[i])), i)
+            for _, i in scored[:shortlist_n]
+        ]
+        refined.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (score, i) in enumerate(refined[:k], start=1):
+            out.append((qid, i, score, rank))
+    return sorted(out)

@@ -30,6 +30,14 @@ from pyspark.sql.functions import broadcast, pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from ..functions.binding import let
+from ..functions.refhash import (
+    PQ_COORD_SCALE,
+    PQ_ITERS,
+    PQ_KSUB,
+    PQ_M,
+    PQ_RERANK,
+    PQ_SUM_SCALE,
+)
 from ..functions.vectors import to_double_array
 from ..partitioning import spread
 
@@ -596,4 +604,230 @@ def quantize_embeddings(
         "scale",
         F.col("__s.q_sum").alias("q_sum"),
         F.col("__s.mse").alias("mse"),
+    )
+
+
+def _pq_codes_pd(cents_q: list[list[list[int]]], dim: int):
+    """Arrow-batched PQ assignment: per subspace, argmin over the EXACT
+    int64 rank ``sum(cq^2) - 2*xq.cq`` of 2^-15-quantized coordinates
+    (np.argmin takes the first minimum — ties to the smallest centroid
+    index, the refhash.ref_pq_topk spec). Integer matmuls stay integer in
+    numpy, so there is no float rounding anywhere in the decision —
+    unlike the IVF probe UDF, no argsort-margin guard is needed."""
+    m = len(cents_q)
+    dsub = dim // m
+    C = [np.asarray(cs, dtype=np.int64) for cs in cents_q]        # (ksub, dsub)
+    C2 = [(c * c).sum(axis=1) for c in C]                          # (ksub,)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        M = np.zeros((len(vecs), dim))
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == dim:
+                M[i] = np.asarray(v, dtype=np.float64)
+        Xq = np.floor(M * float(PQ_COORD_SCALE)).astype(np.int64)  # (N, dim)
+        cols = []
+        for s in range(m):
+            S = Xq[:, s * dsub : (s + 1) * dsub]                   # (N, dsub)
+            R = C2[s][None, :] - 2 * (S @ C[s].T)                  # (N, ksub) int64
+            cols.append(np.argmin(R, axis=1).astype("int32"))
+        out = np.stack(cols, axis=1)                               # (N, m)
+        return pd.Series([row.tolist() for row in out])
+
+    return codes
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int | None = None,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., PAMI'11) with asymmetric
+    distance computation plus refinement (ADC+R): the corpus is
+    compressed to ``m`` small centroid codes per vector (m*log2(ksub)
+    bits — 8 bytes at the 16x16 default, vs 256 bytes of float32); each
+    query scores ALL codes through a per-query lookup table, keeps a
+    ``rerank * k`` shortlist, and refines it against the quantized full
+    vectors. Returns (query_id, vec_id, score_fp, rank): ``score_fp`` is
+    the refined dot of the two 2^-15-quantized unit vectors (an exact
+    int64 in 2^-30 units ~ cosine).
+
+    Everything INCLUDING the ranking is integer-exact: unit-vector
+    coordinates and centroids quantize to 2^-15 before any decision, the
+    k-means assignment rank and the ADC scores are int64 arithmetic, and
+    the Lloyd sums are the same 2^-30 fixed-point longs ivf_topk uses.
+    Identical input doubles therefore give bit-identical codes and ranks
+    under ANY partitioning — which is what lets q_ann_pq carry a
+    golden-fixture oracle (functions/refhash.ref_pq_topk replays the
+    whole train->encode->score chain in pure Python).
+
+    Scale shape (the reason PQ exists next to IVF): IVF prunes WHICH
+    vectors a query touches; PQ shrinks WHAT a scan reads — the encoded
+    corpus is ~64x smaller than the raw vectors, so a full-corpus ADC
+    sweep is a scan over bytes-per-vector, not floats-per-dimension, and
+    the per-(query, vector) work is ``m`` table lookups. Training is
+    ``iters`` map-side passes with a (m x ksub x dsub)-row fixed-point
+    aggregate to the driver (metadata-scale, like the IVF Lloyd stats);
+    encoding is one Arrow pass; scoring broadcasts the per-query LUTs
+    (m*ksub ints each) and never shuffles the corpus. At 100 TB compose
+    the two: store codes bucketed by the IVF cell id and sweep only
+    probed cells (IVF-PQ); this operator keeps the stages orthogonal so
+    either index is reusable alone.
+
+    Reference basis: from-scratch Spark design (the reference pipeline
+    has no vector search); complements brute_force_topk (exact),
+    lsh_topk (hash buckets) and ivf_topk (cell pruning).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    dsub = dim // m
+
+    def prep(df: DataFrame, id_col: str) -> DataFrame:
+        dn = _with_vec_norm(df.select(id_col, vec_col), vec_col, "__v", "__n")
+        u = dn.select(
+            id_col,
+            _unit_vec(F.col("__v"), F.col("__n")).alias("__u"),
+            F.size("__v").alias("__d"),
+        )
+        # PQ spec: NULL / ragged / zero-norm vectors are excluded from
+        # training, encoding and results (ref_pq_topk skips them too).
+        # Zero norm surfaces as an array of NULL ELEMENTS (x / nullif(0))
+        # rather than a NULL array, so probe element 0 too.
+        return spread(
+            u.filter(
+                F.col("__u").isNotNull()
+                & (F.col("__d") == dim)
+                & F.col("__u")[0].isNotNull()
+            ).drop("__d"),
+            F.col(id_col),
+        )
+
+    c = prep(corpus, corpus_id).persist()
+
+    seeds = (
+        c.orderBy(F.xxhash64(F.col(corpus_id).cast("string")), F.col(corpus_id))
+        .limit(ksub)
+        .collect()
+    )
+    # cents[s][j]: float centroid of subspace s (seed rows' unit subvectors)
+    cents = [
+        [[float(x) for x in row["__u"][s * dsub : (s + 1) * dsub]] for row in seeds]
+        for s in range(m)
+    ]
+
+    def quantized() -> list[list[list[int]]]:
+        return [
+            [[math.floor(x * float(PQ_COORD_SCALE)) for x in cj] for cj in cs]
+            for cs in cents
+        ]
+
+    for _ in range(iters):
+        codes_udf = _pq_codes_pd(quantized(), dim)
+        sums = (
+            c.select(F.posexplode(codes_udf(F.col("__u"))).alias("s", "cid"), "__u")
+            .select(
+                "s",
+                "cid",
+                F.posexplode(
+                    F.slice(F.col("__u"), F.col("s") * F.lit(dsub) + F.lit(1), F.lit(dsub))
+                ).alias("pos", "x"),
+            )
+            # fixed-point longs: order-independent integer sums, same
+            # reproducibility argument as ivf_topk's Lloyd stats
+            .groupBy("s", "cid", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(float(PQ_SUM_SCALE))).cast("long")).alias("t"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        acc: dict[tuple[int, int], list[float]] = {}
+        cnt: dict[tuple[int, int], int] = {}
+        for row in sums:
+            acc.setdefault((row["s"], row["cid"]), [0.0] * dsub)[row["pos"]] = (
+                row["t"] / float(PQ_SUM_SCALE)
+            )
+            cnt[(row["s"], row["cid"])] = row["n"]
+        for s in range(m):
+            for j in range(ksub):
+                n = cnt.get((s, j), 0)
+                if n:  # empty cells keep their previous centroid
+                    cents[s][j] = [v / n for v in acc[(s, j)]]
+
+    cq = quantized()
+    codes_udf = _pq_codes_pd(cq, dim)
+    # explode -> plain attribute (same constraint-inference hazard as
+    # ivf_topk: a PythonUDF inside an inferred filter cannot be
+    # interpreted when queries share lineage with the corpus)
+    encoded = c.select(corpus_id, F.explode(F.array(codes_udf(F.col("__u")))).alias("__cs"))
+
+    # Per-query LUTs on the driver: queries are the interactive-small
+    # side (same posture as brute_force_topk's broadcast); each LUT is
+    # m*ksub int64s, plus the full quantized query vector for the
+    # refinement step. Quantize with the SAME floor as the mirror.
+    q_rows = prep(queries, query_id).collect()
+    lut_rows = []
+    for row in q_rows:
+        qu = row["__u"]
+        qx = [math.floor(float(x) * float(PQ_COORD_SCALE)) for x in qu]
+        luts = [
+            [sum(a * b for a, b in zip(qx[s * dsub : (s + 1) * dsub], cj)) for cj in cq[s]]
+            for s in range(m)
+        ]
+        lut_rows.append((row[query_id], luts, qx))
+    spark = corpus.sparkSession
+    q_lut = spark.createDataFrame(
+        lut_rows, f"{query_id} long, __lut array<array<long>>, __qx array<long>"
+    )
+
+    adc = sum(
+        F.element_at(
+            F.element_at("__lut", s + 1), F.element_at("__cs", s + 1) + F.lit(1)
+        )
+        for s in range(m)
+    )
+    scored = (
+        encoded.crossJoin(broadcast(q_lut))
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, "__qx", adc.alias("__adc"))
+    )
+    # ADC shortlist, then refine: exact int64 dot of the 2^-15-quantized
+    # FULL unit vectors (the ADC+R rerank pattern — with integers, so the
+    # refined ranking is as reproducible as the codes). Only
+    # rerank * k * |Q| rows ever touch a raw vector again.
+    ws = Window.partitionBy(query_id).orderBy(F.desc("__adc"), F.asc(corpus_id))
+    shortlist = (
+        scored.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= rerank * k)
+        .select(query_id, corpus_id, "__qx")
+    )
+    refined = shortlist.join(c, corpus_id).select(
+        query_id,
+        corpus_id,
+        F.aggregate(
+            F.zip_with(
+                F.col("__qx"),
+                F.transform(
+                    "__u",
+                    lambda x: F.floor(x * F.lit(float(PQ_COORD_SCALE))).cast("long"),
+                ),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_fp"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score_fp"), F.asc(corpus_id))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score_fp", F.col("rank").cast("long").alias("rank"))
     )

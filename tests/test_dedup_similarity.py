@@ -508,3 +508,54 @@ def test_shingle_fronts_route_k32_to_slow_path(spark):
     for r in dedup.shingle_hash_rows(df, k=k).collect():
         got.setdefault(r["id"], []).append(r["sh"])
     assert {i: sorted(v) for i, v in got.items()} == exp
+
+
+def test_pq_topk_matches_python_mirror(spark):
+    """pq_topk is bit-identical to refhash.ref_pq_topk (the golden-fixture
+    oracle's source): integer-exact train->encode->ADC->refine chain."""
+    import pyarrow.parquet as pq_
+
+    from sf_epa_data_ingestion_spark.functions.refhash import ref_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["score_fp"], r["rank"])
+        for r in similarity.pq_topk(emb, q, k=5, dim=64).collect()
+    )
+    rows = pq_.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pylist()
+    want = ref_pq_topk([(r["vec_id"], r["embedding"]) for r in rows], n_queries=10, k=5)
+    assert got == want and len(got) == 50
+    # determinism: a second full run is bit-identical
+    got2 = sorted(
+        (r["query_id"], r["vec_id"], r["score_fp"], r["rank"])
+        for r in similarity.pq_topk(emb, q, k=5, dim=64).collect()
+    )
+    assert got2 == got
+
+
+def test_pq_topk_excludes_invalid_vectors(spark):
+    """NULL / ragged / zero-norm vectors are excluded from training,
+    encoding and results on both sides of the mirror (the PQ spec)."""
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions.refhash import ref_pq_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(64).astype("float32").tolist()) for i in range(40)]
+    rows += [(100, None), (101, [1.0] * 63), (102, [0.0] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["score_fp"], r["rank"])
+        for r in similarity.pq_topk(df, q, k=3, dim=64).collect()
+    )
+    want = ref_pq_topk(rows, n_queries=10, k=3)
+    assert got == want
+    assert not any(v in (100, 101, 102) for _, v, _, _ in got)

@@ -196,3 +196,25 @@ def test_image_neardup_pigeonhole_complete_below_block_bound(spark):
     assert truth, "fixture must plant near pairs"
     recall = len(set(got) & set(truth)) / len(truth)
     assert recall >= 0.8, f"image near-dup recall {recall:.3f} < 0.8"
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """ADC+R recall floor on the REAL corpus: unlike raw LSH/IVF probing,
+    the 10k-deep refined shortlist concentrates even on isotropic
+    vectors (measured recall@5 = 0.90 at sf0.01). Deterministic — every
+    PQ decision is exact int64 over fixed data — so the floor is a pin,
+    not a statistical bound."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict = {}
+    for r in similarity.brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx: dict = {}
+    for r in similarity.pq_topk(emb, q, k=5, dim=64).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(exact[k_] & approx.get(k_, set())) / len(exact[k_]) for k_ in exact
+    ) / len(exact)
+    assert recall >= 0.88, f"pq recall {recall:.3f} < 0.88"
