@@ -2747,16 +2747,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (r6): the driver's correctness harness checks only the
-    # FIRST 50 entries. Round-5 went 50/50 exact, so every query now has a
-    # green driver hash row; this round simply rotates for freshness:
-    #   1-38: the queries whose latest green row is r4 (they sat past r5's
-    #         window) — r6 renews them;
-    #  39-50: the 12 queries that earned their FIRST driver hash row in r5
-    #         (the 6 HUGEINT/new-oracle fixes + the 6 golden-fixture
-    #         graduates simhash/minhash_lsh/fingerprint/ann_lsh/ann_ivf/
-    #         approx_profile) — a second confirmation guards against
-    #         single-round flukes;
-    #   51+ : multi-round green (3+ exact rows each across r1-r5).
+    # FIRST 50 entries. Round-5 went 50/50 exact, so every pre-existing
+    # query has a green driver hash row; this round's window:
+    #    1-2 : the two NEW r6 queries (quality_classifier, ann_pq) —
+    #          first driver rows;
+    #   3-38 : queries whose latest green row is r4 (they sat past r5's
+    #          window) — r6 renews them. window_analytics and search_bm25
+    #          (4x green r1-r4) ceded their slots to the new queries and
+    #          renew in r7;
+    #  39-50 : the 12 queries that earned their FIRST driver hash row in
+    #          r5 (the 6 HUGEINT/new-oracle fixes + the 6 golden-fixture
+    #          graduates simhash/minhash_lsh/fingerprint/ann_lsh/ann_ivf/
+    #          approx_profile) — a second confirmation guards against
+    #          single-round flukes;
+    #    51+ : multi-round green (3+ exact rows each across r1-r5).
     return {
     # -- new in r6: needs its first driver row -----------------------
         "quality_classifier": q_quality_classifier,

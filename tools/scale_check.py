@@ -27,7 +27,7 @@ HEAVY = [
     "dedup_clusters", "ngram_jaccard", "dup_spans", "minhash_lsh", "ann_ivf",
     "simhash", "strip_dup_spans", "contamination", "lm_perplexity",
     "sample_to_budget", "search_bm25", "embedding_near_dup", "fingerprint",
-    "quality_classifier",
+    "quality_classifier", "ann_pq",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scaledata", "sf1")
