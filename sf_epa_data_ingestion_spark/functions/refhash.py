@@ -581,6 +581,8 @@ def ref_qlr_scores(
         labels[doc_id] = 1 if len({t for t in toks if t in stop}) >= QLR_STOP_MIN else 0
 
     n = len(feats)
+    if n == 0:
+        return []
     w: dict[int, int] = {}
     b = 0
     for _ in range(iters):
@@ -687,18 +689,23 @@ def ref_pq_topk(
     cents = [[list(units[i][s * dsub : (s + 1) * dsub]) for i in seed_ids]
              for s in range(m)]
 
+    n_cents = len(seed_ids)  # may be < ksub on tiny corpora
+
     def assign(u: list[float]) -> list[int]:
         codes = []
         for s in range(m):
             xq = subq(u, s)
             best = None
-            for j in range(ksub):
+            for j in range(n_cents):
                 cq = [_pq_q(c) for c in cents[s][j]]
                 r = sum(c * c for c in cq) - 2 * sum(a * b for a, b in zip(xq, cq))
                 if best is None or (r, j) < best:
                     best = (r, j)
             codes.append(best[1])
         return codes
+
+    if n_cents == 0:
+        return []
 
     for _ in range(iters):
         sums: dict[tuple[int, int, int], int] = {}
@@ -716,7 +723,7 @@ def ref_pq_topk(
                         u[s * dsub + pos] * float(PQ_SUM_SCALE)
                     )
         for s in range(m):
-            for j in range(ksub):
+            for j in range(n_cents):
                 n = counts.get((s, j), 0)
                 if n:
                     cents[s][j] = [
@@ -735,7 +742,7 @@ def ref_pq_topk(
         lut = [
             [
                 sum(a * b for a, b in zip(subq(qu, s), [_pq_q(c) for c in cents[s][j]]))
-                for j in range(ksub)
+                for j in range(n_cents)
             ]
             for s in range(m)
         ]

@@ -161,6 +161,10 @@ def score_quality_lr(
     )
     feats = spread(feats, "id").persist()
     n_docs = labels.count()  # also materializes the persists' lineage root
+    if n_docs == 0:  # nothing to train on — empty result, not a div-by-zero
+        return labels.select(
+            "id", "label", F.lit(0).cast("long").alias("score_fp")
+        )
 
     def err_frame(weights: dict[int, int], bias: int) -> DataFrame:
         """(id, err) from the current model: broadcast-join the weight

@@ -717,6 +717,11 @@ def pq_topk(
         .limit(ksub)
         .collect()
     )
+    if not seeds:  # no valid vectors at all — empty result, not a crash
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score_fp long, rank long"
+        )
     # cents[s][j]: float centroid of subspace s (seed rows' unit subvectors)
     cents = [
         [[float(x) for x in row["__u"][s * dsub : (s + 1) * dsub]] for row in seeds]

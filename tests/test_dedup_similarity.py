@@ -559,3 +559,32 @@ def test_pq_topk_excludes_invalid_vectors(spark):
     want = ref_pq_topk(rows, n_queries=10, k=3)
     assert got == want
     assert not any(v in (100, 101, 102) for _, v, _, _ in got)
+
+
+def test_pq_topk_tiny_and_empty_corpus(spark):
+    """Corpora smaller than ksub (fewer seeds than centroids) and corpora
+    with no valid vectors at all must behave identically to the mirror,
+    not crash (r6 self-audit)."""
+    import numpy as np
+
+    from sf_epa_data_ingestion_spark.functions.refhash import ref_pq_topk
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(64).astype("float32").tolist()) for i in range(7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["score_fp"], r["rank"])
+        for r in similarity.pq_topk(df, q, k=2, dim=64).collect()
+    )
+    want = ref_pq_topk(rows, n_queries=3, k=2)
+    assert got == want and len(got) == 6
+
+    empty = spark.createDataFrame(
+        [(1, None), (2, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    eq = empty.select(F.col("vec_id").alias("query_id"), "embedding")
+    assert similarity.pq_topk(empty, eq, k=2, dim=64).count() == 0
+    assert ref_pq_topk([(1, None), (2, [0.0] * 64)], n_queries=3, k=2) == []

@@ -100,3 +100,13 @@ def test_presence_features_distinct_and_bounded(spark):
     rows = quality_model.hashed_presence_features(df, dim=32).collect()
     assert len(rows) == len({(r["id"], r["bucket"]) for r in rows})
     assert all(0 <= r["bucket"] < 32 for r in rows)
+
+
+def test_empty_corpus_trains_nothing(spark):
+    """All-NULL text: no docs to train on — empty result on both sides,
+    not a divide-by-zero in the update step (r6 self-audit)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    assert quality_model.score_quality_lr(df).count() == 0
+    assert ref_qlr_scores([(1, None), (2, None)]) == []
