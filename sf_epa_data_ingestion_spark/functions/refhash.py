@@ -674,6 +674,8 @@ def ref_pq_topk(
       score_fp = exact int dot of the two 2^-15-quantized FULL unit
       vectors (the ADC+R pattern, with integers instead of floats),
     - top-k by (score_fp desc, vec_id asc), rank 1..k."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     dsub = dim // m
     units = {}
     for i, v in rows:

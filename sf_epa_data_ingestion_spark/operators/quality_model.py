@@ -162,9 +162,12 @@ def score_quality_lr(
     feats = spread(feats, "id").persist()
     n_docs = labels.count()  # also materializes the persists' lineage root
     if n_docs == 0:  # nothing to train on — empty result, not a div-by-zero
-        return labels.select(
+        out = labels.select(
             "id", "label", F.lit(0).cast("long").alias("score_fp")
-        )
+        ).localCheckpoint(eager=True)
+        labels.unpersist()
+        feats.unpersist()
+        return out
 
     def err_frame(weights: dict[int, int], bias: int) -> DataFrame:
         """(id, err) from the current model: broadcast-join the weight
@@ -201,7 +204,15 @@ def score_quality_lr(
         grad_b = next((r["g"] for r in rows if r["bucket"] == -1), 0)
         weights, bias = qlr_update(weights, bias, grads, grad_b, n_docs)
 
-    # final scoring pass with the trained weights
-    return err_frame(weights, bias).select(
+    # Final scoring pass with the trained weights, materialized via
+    # localCheckpoint so the two training caches can be RELEASED here:
+    # .persist() blocks are session-lifetime unless unpersisted (r6
+    # ADVICE — repeated library calls accumulated cached blocks), while
+    # checkpoint blocks are reclaimed by the ContextCleaner when the
+    # returned frame is dropped.
+    out = err_frame(weights, bias).select(
         "id", "label", _hard_sigmoid_fp("logit").alias("score_fp")
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    feats.unpersist()
+    return out

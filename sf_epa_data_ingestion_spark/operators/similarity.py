@@ -46,6 +46,19 @@ from ..partitioning import spread
 IVF_SCALE = 1 << 30
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first NON-NULL vector. Callers on
+    the benched paths pass ``dim`` explicitly (one less job); this is the
+    library-use fallback, and an empty / all-NULL corpus is a clear error
+    here rather than a TypeError on ``first()[0]`` downstream."""
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer vector dim: no non-NULL '{vec_col}' rows; pass dim="
+        )
+    return len(row[0])
+
+
 def _with_vec_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str) -> DataFrame:
     """Project the double-cast vector and its L2 norm as columns, computed
     once per ROW — pair joins downstream then do a single dot-product fold
@@ -204,7 +217,7 @@ def lsh_topk(
     """Approximate cosine top-k: score only corpus vectors sharing an LSH
     bucket with the query in any of ``n_tables`` tables."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
 
     def with_sigs(df: DataFrame, id_col: str, vtag: str, ntag: str) -> DataFrame:
         # double-cast vector + norm once per row (pair scoring is then a
@@ -352,7 +365,7 @@ def ivf_topk(
     recall/compute trades via ``n_probe``.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
 
     def prep(df: DataFrame, id_col: str) -> DataFrame:
         # unit vector projected BELOW the exchange barrier: the shuffle
@@ -485,7 +498,7 @@ def embedding_near_dup_pairs(
         b = cn.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(c.select(vec_col).first()[0])
+        dim = _infer_dim(c, vec_col)
         sig_udf = _signatures_pd(n_tables, bits, dim)
         banded = spread(cn, F.col(id_col)).select(
             F.col(id_col), "__v", "__n",
@@ -687,7 +700,11 @@ def pq_topk(
     lsh_topk (hash buckets) and ivf_topk (cell pruning).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
+    if dim % m:
+        # a silent dim//m would drop the last dim - m*(dim//m) coordinates
+        # from training/encoding/ADC — degrade quietly, never error
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     dsub = dim // m
 
     def prep(df: DataFrame, id_col: str) -> DataFrame:
