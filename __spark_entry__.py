@@ -1160,19 +1160,53 @@ FROM k JOIN '/root/repo/tests/fixtures/golden_hll_profile.parquet' f
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs on the BANDED (production) path — r7
+    retired the exact=True self-join from grading: it was the repo's last
+    driver-graded quadratic AND, at the old 0.60 threshold, vacuously
+    0-row (max pairwise cosine in the testdata is ~0.51). The banded LSH
+    bucketing is deterministic (seeded splitmix64 hyperplanes), so the
+    oracle replays it from a golden signature fixture exactly like
+    ann_lsh/simhash. 16 tables x 4 bits: the 0.40 threshold is the hard
+    LSH regime (per-bit collision ~0.63), so recall comes from table
+    count — measured 57/59 true pairs at sf0.01 (>=0.9 pinned by
+    tests/test_recall_gates.py)."""
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.60, exact=True
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.40,
+        exact=False,
+        n_tables=16,
+        bits=4,
+        dim=64,
     )
 
 
+# Content-addressed banded replay (same scheme as ORACLE_ANN_LSH): join
+# embeddings to the 16x4 golden signatures on md5 of the %.9e canonical
+# rendering, re-derive candidate generation (any-table bucket collision,
+# id_a < id_b, DISTINCT) in SQL, then score survivors with the round-6
+# cosine and apply the threshold. Independent of the engine end to end.
 ORACLE_EMBEDDING_NEAR_DUP = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.60
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         md5(array_to_string(
+           list_transform(embedding, x -> printf('%.9e', CAST(x AS DOUBLE))), ',')) AS h
+  FROM embeddings
+), s AS (
+  SELECT e.vec_id, f.table_id, f.sig
+  FROM e JOIN '/root/repo/tests/fixtures/golden_neardup_sigs.parquet' f ON e.h = f.emb_md5
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM s a JOIN s b ON a.table_id = b.table_id AND a.sig = b.sig
+                   AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(ea.v, eb.v) /
+             (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine_sim
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE round(list_dot_product(ea.v, eb.v) /
+            (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.40
 """
 
 

