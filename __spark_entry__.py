@@ -1508,7 +1508,9 @@ def q_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df, idf). The searchable index IS two DataFrames; freshness comes from
     streaming/freshness.py."""
     d = _t(spark, sf_dir, "documents")
-    postings = search.build_postings(d, id_col="doc_id", text_col="text")
+    # persisted: stats is an aggregate OF postings, and the final join
+    # reads postings again — live, that is two full tokenize passes
+    postings = search.build_postings(d, id_col="doc_id", text_col="text").persist()
     stats = search.build_token_stats(postings, n_docs=d.count())
     return postings.join(stats, "token").select(
         "token", F.col("id").alias("doc_id"), "tf", "df", F.round("idf", 6).alias("idf")
@@ -1536,7 +1538,9 @@ FROM postings p JOIN stats s USING (token)
 def q_search_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 retrieval: top-k docs by sum(tf*idf) over the query terms."""
     d = _t(spark, sf_dir, "documents")
-    postings = search.build_postings(d, id_col="doc_id", text_col="text")
+    # persisted like q_search_bm25: the index is materialized in the real
+    # design; live, each of stats + the scoring branch re-tokenizes
+    postings = search.build_postings(d, id_col="doc_id", text_col="text").persist()
     stats = search.build_token_stats(postings, n_docs=d.count())
     return search.lexical_search(postings, stats, SEARCH_QUERY, k=10).select(
         F.col("id").alias("doc_id"), "score"
@@ -1571,7 +1575,13 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     same postings/stats index as search_lexical."""
     d = _t(spark, sf_dir, "documents")
     n = d.count()  # one count job, shared by stats and the ranker
-    postings = search.build_postings(d, id_col="doc_id", text_col="text")
+    # The index tables are MATERIALIZED in the real design (the streaming
+    # freshness job keeps them fresh); persisting here models that. As a
+    # live subplan, every ranker branch (stats, doclen, hits) would
+    # re-tokenize the whole corpus — the regex+explode pass dominated the
+    # old 6.1x sf1 scaling (SCALE.md r6); cached, the corpus is tokenized
+    # once and the branches read narrow (token, id, tf) rows.
+    postings = search.build_postings(d, id_col="doc_id", text_col="text").persist()
     stats = search.build_token_stats(postings, n_docs=n)
     return search.bm25_search(postings, stats, SEARCH_QUERY, n_docs=n, k=10).select(
         F.col("id").alias("doc_id"), "score"
@@ -1625,7 +1635,7 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
         F.col("doc_id").alias("id"), "text", "lang", "embedding"
     )
-    postings = search.build_postings(docs, id_col="id", text_col="text")
+    postings = search.build_postings(docs, id_col="id", text_col="text").persist()
     stats = search.build_token_stats(postings, n_docs=docs.count())
     qv = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
     return search.hybrid_search(

@@ -109,6 +109,18 @@ def apply_changes(
     return survivors.unionByName(fresh).select("token", "id", "tf")
 
 
+def doc_lengths(docs: DataFrame, id_col: str = "id", text_col: str = "chunk") -> DataFrame:
+    """(id, dl) straight from the raw docs: dl = token count = size of the
+    normalized token array — identical to sum(tf) over the doc's postings,
+    but ONE narrow linear projection instead of the full (token, id)
+    explode + groupBy shuffle. At index time this is the table you
+    materialize next to postings/stats; at query time it lets BM25 touch
+    nothing corpus-wide but linear scans (see bm25_search)."""
+    return spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id").select(
+        "id", F.size(_norm_tokens(F.col(text_col))).alias("dl")
+    )
+
+
 def bm25_search(
     postings: DataFrame,
     stats: DataFrame,
@@ -117,6 +129,7 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    doclens: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k ids by Okapi BM25 (the Lucene-default lexical ranker):
 
@@ -124,16 +137,46 @@ def bm25_search(
             ln(1 + (N - df + 0.5)/(df + 0.5))          # RSJ idf, smoothed
             * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
-    Same index tables as TF-IDF (postings + stats); doc length and avgdl
-    derive from postings with one groupBy. Plan shape: the postings scan
-    is pruned to the query terms FIRST (token IN (...) reaches the scan),
-    so the doc-length join probes with only the hit rows — AQE broadcasts
-    the small side; the global avgdl is a broadcast 1-row aggregate, never
-    a driver round-trip.
+    Same index tables as TF-IDF (postings + stats), plus an optional
+    ``doclens`` (id, dl) table. Plan shape (reworked r7 — the old one was
+    SCALE.md's worst non-quadratic scaler at 6.1x on 10x rows): the
+    postings scan is pruned to the query terms FIRST (a grouping-key
+    filter, so it pushes below the postings aggregate and only matching
+    tokens ever shuffle); stats is filtered the same way; and with
+    ``doclens`` supplied, doc length + avgdl come from a narrow linear
+    projection and a single-row aggregate — the full-corpus (token, id)
+    explode/groupBy that the postings-derived fallback needs is gone
+    from the query-time plan entirely. avgdl = sum(dl)/count is
+    value-identical to avg-of-doubles here because every dl is an exact
+    integer in double. Net: nothing corpus-sized shuffles; AQE broadcasts
+    the pruned-hits side of the doclen join.
+
+    High-df terms still fan the candidate set out with document
+    frequency; that is inherent to exact BM25 over an inverted index
+    (a WAND/maxscore upper-bound skip needs an iterative threshold no
+    one-shot declarative plan has). At 100 TB the standard levers compose
+    here: partition/bucket the postings table by token (prunes the scan
+    to query terms), and drop stopword-class terms at INDEX time — both
+    leave this query-time plan unchanged.
     """
     terms = sorted({t for t in query.lower().split() if t})
-    doclen = postings.groupBy("id").agg(F.sum("tf").cast("double").alias("dl"))
-    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    pruned = postings.filter(F.col("token").isin(terms))
+    if doclens is not None:
+        # index-side (id, dl) table (see doc_lengths): docs with no tokens
+        # are excluded exactly like the postings derivation excludes them
+        lens = doclens.filter(F.col("dl") > 0)
+        doclen = lens.select("id", F.col("dl").cast("double").alias("dl"))
+        avgdl = lens.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+        )
+    else:
+        # derive from postings (one full (id) aggregate — fine when the
+        # postings table is materialized, expensive when it is itself a
+        # live explode+groupBy subplan; pass doclens= in that case)
+        doclen = postings.groupBy("id").agg(F.sum("tf").cast("double").alias("dl"))
+        avgdl = postings.agg(
+            (F.sum("tf").cast("double") / F.countDistinct("id").cast("double")).alias("avgdl")
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -142,7 +185,7 @@ def bm25_search(
         F.col("tf") + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     hits = (
-        postings.filter(F.col("token").isin(terms))
+        pruned
         .join(broadcast(stats.filter(F.col("token").isin(terms)).select("token", "df")), "token")
         .join(doclen, "id")
         .crossJoin(broadcast(avgdl))

@@ -511,12 +511,17 @@ def embedding_near_dup_pairs(
         if dim is None:
             dim = _infer_dim(c, vec_col)
         sig_udf = _signatures_pd(n_tables, bits, dim)
+        # candidate generation carries ONLY (table, sig, id): the bucket
+        # self-join and the pair dedup shuffle 16-byte rows, not vectors
+        # (r7 — with vectors inline, a dense-bucket regime shuffled
+        # ~1 KB/candidate and filled the disk at sf1). Vectors re-join
+        # once per DEDUPED pair for scoring.
         banded = spread(cn, F.col(id_col)).select(
-            F.col(id_col), "__v", "__n",
+            F.col(id_col),
             F.posexplode(sig_udf(F.col("__v"))).alias("table", "sig"),
         )
         a, b = banded.alias("a"), banded.alias("b")
-        pairs = (
+        cand = (
             a.join(
                 b,
                 (F.col("a.table") == F.col("b.table"))
@@ -526,13 +531,16 @@ def embedding_near_dup_pairs(
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.__v").alias("__va"),
-                F.col("a.__n").alias("__na"),
-                F.col("b.__v").alias("__vb"),
-                F.col("b.__n").alias("__nb"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
+        va = cn.select(
+            F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+        )
+        vb = cn.select(
+            F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+        )
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     return (
         pairs.select(
             "id_a",

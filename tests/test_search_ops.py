@@ -1,0 +1,54 @@
+"""Batch search-operator parity pins (index-side doc_lengths vs the
+postings-derived fallback — the r7 BM25 scale rework must be a pure plan
+change, never a result change)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators import search
+from sf_epa_data_ingestion_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+QUERY = "spark join hash table"
+
+
+def _index(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    n = d.count()
+    postings = search.build_postings(d, id_col="doc_id", text_col="text").persist()
+    stats = search.build_token_stats(postings, n_docs=n)
+    return d, n, postings, stats
+
+
+def test_doc_lengths_matches_postings_sum(spark):
+    d, _, postings, _ = _index(spark)
+    from_docs = {
+        r["id"]: r["dl"]
+        for r in search.doc_lengths(d, id_col="doc_id", text_col="text")
+        .filter(F.col("dl") > 0)
+        .collect()
+    }
+    from_postings = {
+        r["id"]: r["dl"]
+        for r in postings.groupBy("id").agg(F.sum("tf").alias("dl")).collect()
+    }
+    assert from_docs == from_postings
+    postings.unpersist()
+
+
+def test_bm25_doclens_path_matches_fallback(spark):
+    d, n, postings, stats = _index(spark)
+    doclens = search.doc_lengths(d, id_col="doc_id", text_col="text")
+    with_lens = sorted(
+        (r["id"], r["score"])
+        for r in search.bm25_search(
+            postings, stats, QUERY, n_docs=n, k=25, doclens=doclens
+        ).collect()
+    )
+    fallback = sorted(
+        (r["id"], r["score"])
+        for r in search.bm25_search(postings, stats, QUERY, n_docs=n, k=25).collect()
+    )
+    assert with_lens == fallback and len(with_lens) > 0
+    postings.unpersist()

@@ -28,6 +28,9 @@ HEAVY = [
     "simhash", "strip_dup_spans", "contamination", "lm_perplexity",
     "sample_to_budget", "search_bm25", "embedding_near_dup", "fingerprint",
     "quality_classifier", "ann_pq",
+    # r7: the rest of the search family (index materialized per query,
+    # like the graded queries do)
+    "search_postings", "search_lexical", "search_hybrid",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scaledata", "sf1")
