@@ -767,3 +767,165 @@ def ref_pq_topk(
         for rank, (score, i) in enumerate(refined[:k], start=1):
             out.append((qid, i, score, rank))
     return sorted(out)
+
+
+def ref_ivfpq_topk(
+    rows: list[tuple[int, list[float]]],
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iters: int = PQ_ITERS,
+    dim: int = 64,
+    rerank: int = PQ_RERANK,
+) -> list[tuple[int, int, int, int]]:
+    """Mirror of ``operators.similarity.ivfpq_topk`` with the benched
+    query's shape (queries = vec_id < n_queries, self-match excluded).
+    Composes the two existing specs: the coarse quantizer is ref_ivf's
+    fixed-point Lloyd (float assignment dots — numpy matmul + stable
+    argsort, so ``last_margin`` records the smallest nonzero adjacent
+    gap across EVERY argsort this replay makes, and the fixture
+    generator refuses to bake below 1e-9); the codebooks/ADC/refine are
+    ref_pq_topk's all-integer chain. PQ validity rules throughout.
+    Returns sorted [(query_id, vec_id, score_fp, rank)]."""
+    import math as _math
+
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+
+    units = {}
+    for i, v in rows:
+        if v is None or len(v) != dim:
+            continue
+        u = _pq_unit(v)
+        if u is not None:
+            units[i] = u
+    if not units:
+        ref_ivfpq_topk.last_margin = float("inf")
+        return []
+
+    margins: list[float] = []
+
+    def topn(cents: list[list[float]], n: int) -> dict[int, list[int]]:
+        C = np.asarray(cents, dtype=np.float64)
+        ids = list(units)
+        M = np.asarray([units[i] for i in ids], dtype=np.float64)
+        dots = M @ C.T
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n]
+        srt = -np.sort(-dots, axis=1)
+        gaps = np.abs(np.diff(srt[:, : min(n + 1, srt.shape[1])], axis=1))
+        nz = gaps[gaps > 0]
+        margins.append(float(nz.min()) if nz.size else float("inf"))
+        return {i: [int(c) for c in order[r]] for r, i in enumerate(ids)}
+
+    def normalize(v: list[float]) -> list[float]:
+        n = _math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    n_seed = max(n_centroids, ksub)
+    seed_ids = sorted(units, key=lambda i: (xxh64_string(str(i)), i))[:n_seed]
+
+    # ---- coarse quantizer (ivf spec, over the re-normalized units) ----
+    scale = 1 << 30
+    coarse = [normalize([float(x) for x in units[i]]) for i in seed_ids[:n_centroids]]
+    for _ in range(ivf_iters):
+        assign = topn(coarse, 1)
+        sums: dict[tuple[int, int], int] = {}
+        counts: dict[int, int] = {}
+        for i, u in units.items():
+            cid = assign[i][0]
+            counts[cid] = counts.get(cid, 0) + 1
+            for pos, x in enumerate(u):
+                sums[(cid, pos)] = sums.get((cid, pos), 0) + _math.floor(x * scale)
+        means: dict[int, list[float]] = {}
+        for (cid, pos), s in sums.items():
+            means.setdefault(cid, [0.0] * dim)[pos] = s / scale / counts[cid]
+        coarse = [normalize(means.get(j, coarse[j])) for j in range(len(coarse))]
+
+    # ---- PQ codebooks (pq spec) ----
+    pq_seed_ids = seed_ids[:ksub]
+    cents = [[list(units[i][s * dsub : (s + 1) * dsub]) for i in pq_seed_ids]
+             for s in range(m)]
+    n_cents = len(pq_seed_ids)
+
+    def subq(u: list[float], s: int) -> list[int]:
+        return [_pq_q(x) for x in u[s * dsub : (s + 1) * dsub]]
+
+    def assign_pq(u: list[float]) -> list[int]:
+        codes = []
+        for s in range(m):
+            xq = subq(u, s)
+            best = None
+            for j in range(n_cents):
+                cq = [_pq_q(c) for c in cents[s][j]]
+                r = sum(c * c for c in cq) - 2 * sum(a * b for a, b in zip(xq, cq))
+                if best is None or (r, j) < best:
+                    best = (r, j)
+            codes.append(best[1])
+        return codes
+
+    for _ in range(pq_iters):
+        psums: dict[tuple[int, int, int], int] = {}
+        pcounts: dict[tuple[int, int], int] = {}
+        for i, u in units.items():
+            codes = assign_pq(u)
+            for s in range(m):
+                j = codes[s]
+                pcounts[(s, j)] = pcounts.get((s, j), 0) + 1
+                for pos in range(dsub):
+                    key = (s, j, pos)
+                    psums[key] = psums.get(key, 0) + _math.floor(
+                        u[s * dsub + pos] * float(PQ_SUM_SCALE)
+                    )
+        for s in range(m):
+            for j in range(n_cents):
+                n = pcounts.get((s, j), 0)
+                if n:
+                    cents[s][j] = [
+                        psums[(s, j, pos)] / float(PQ_SUM_SCALE) / n
+                        for pos in range(dsub)
+                    ]
+
+    # ---- encode + final coarse assignment ----
+    codes = {i: assign_pq(u) for i, u in units.items()}
+    cell = {i: a[0] for i, a in topn(coarse, 1).items()}
+    xq_full = {i: [_pq_q(x) for x in u] for i, u in units.items()}
+
+    # ---- query side: probes, LUT, ADC over probed cells, refine ----
+    shortlist_n = rerank * k
+    probes_all = topn(coarse, min(n_probe, len(coarse)))
+    out: list[tuple[int, int, int, int]] = []
+    for qid in sorted(units):
+        if qid >= n_queries:
+            continue
+        qu = units[qid]
+        probed = set(probes_all[qid])
+        lut = [
+            [
+                sum(a * b for a, b in zip(subq(qu, s), [_pq_q(c) for c in cents[s][j]]))
+                for j in range(n_cents)
+            ]
+            for s in range(m)
+        ]
+        scored = [
+            (sum(lut[s][cv[s]] for s in range(m)), i)
+            for i, cv in codes.items()
+            if i != qid and cell[i] in probed
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        qx = xq_full[qid]
+        refined = [
+            (sum(a * b for a, b in zip(qx, xq_full[i])), i)
+            for _, i in scored[:shortlist_n]
+        ]
+        refined.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (score, i) in enumerate(refined[:k], start=1):
+            out.append((qid, i, score, rank))
+    ref_ivfpq_topk.last_margin = min(margins) if margins else float("inf")
+    return sorted(out)

@@ -872,3 +872,233 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "score_fp", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iters: int = PQ_ITERS,
+    dim: int | None = None,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """IVF-PQ: the standard sublinear shape for corpus-scale vector
+    search (Jegou et al., PAMI'11, the FAISS ``IVFx,PQy`` index) —
+    composes the repo's two ANN tiers so each fixes the other's scale
+    gap: ``ivf_topk`` prunes WHICH vectors a query touches but scans full
+    float vectors inside probed cells; ``pq_topk`` shrinks WHAT a scan
+    reads (8 B codes) but sweeps every code per query. Here the ADC sweep
+    runs only over the ``n_probe`` probed cells' codes: per-query work is
+    ~(n_probe/n_centroids) * |corpus| * m table lookups, over 8-byte
+    codes. At 100 TB: codes+cid persist as a table bucketed by cid (the
+    probe is then a partition-pruned scan), centroids/codebooks are
+    metadata-scale broadcasts, and n_probe trades recall for compute.
+
+    Design choice vs FAISS: PQ encodes the RAW unit vectors, not the
+    cell residuals. Residual encoding squeezes more recall per bit but
+    needs per-cell LUTs (m*ksub ints per (query, probe) instead of per
+    query); raw-vector encoding composes the two existing bit-exact
+    specs unchanged, so training, assignment, ADC and refinement stay
+    pure functions of the input table — which is what lets q_ann_ivfpq
+    carry a golden-fixture oracle (functions/refhash.ref_ivfpq_topk
+    replays the whole chain; the fixture generator asserts the coarse
+    quantizer's argsort margins like the IVF fixture does). The
+    recall@k floor vs brute force is pinned in tests/test_recall_gates.py.
+
+    Both trainers keep their own specs: the coarse quantizer is
+    ivf_topk's fixed-point Lloyd (2^-30 integer sums, ties to the lowest
+    cell, empty cells keep their centroid); the codebooks are pq_topk's
+    (2^-15-quantized argmin over exact int64 ranks). Validity rules are
+    PQ's (NULL / ragged / zero-norm vectors excluded everywhere).
+    """
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+
+    def prep(df: DataFrame, id_col: str) -> DataFrame:
+        dn = _with_vec_norm(df.select(id_col, vec_col), vec_col, "__v", "__n")
+        u = dn.select(
+            id_col,
+            _unit_vec(F.col("__v"), F.col("__n")).alias("__u"),
+            F.size("__v").alias("__d"),
+        )
+        return spread(
+            u.filter(
+                F.col("__u").isNotNull()
+                & (F.col("__d") == dim)
+                & F.col("__u")[0].isNotNull()
+            ).drop("__d"),
+            F.col(id_col),
+        )
+
+    c = prep(corpus, corpus_id).persist()
+
+    # one seed scan feeds BOTH trainers (same engine-stable order; the
+    # coarse quantizer takes the first n_centroids, PQ the first ksub)
+    n_seed = max(n_centroids, ksub)
+    seeds = (
+        c.orderBy(F.xxhash64(F.col(corpus_id).cast("string")), F.col(corpus_id))
+        .limit(n_seed)
+        .collect()
+    )
+    if not seeds:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score_fp long, rank long"
+        )
+
+    # ---- coarse quantizer: ivf_topk's fixed-point Lloyd ----
+    def normalize(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    coarse = [normalize([float(x) for x in row["__u"]]) for row in seeds[:n_centroids]]
+    for _ in range(ivf_iters):
+        nearest = _centroid_topn_pd(coarse, 1)
+        sums = (
+            c.select(F.element_at(nearest(F.col("__u")), 1).alias("cid"), "__u")
+            .select("cid", F.posexplode("__u").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(float(IVF_SCALE))).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for row in sums:
+            means.setdefault(row["cid"], [0.0] * dim)[row["pos"]] = (
+                row["s"] / IVF_SCALE / row["n"]
+            )
+        coarse = [normalize(means.get(j, coarse[j])) for j in range(len(coarse))]
+
+    # ---- PQ codebooks: pq_topk's integer-rank Lloyd ----
+    pq_seeds = seeds[:ksub]
+    cents = [
+        [[float(x) for x in row["__u"][s * dsub : (s + 1) * dsub]] for row in pq_seeds]
+        for s in range(m)
+    ]
+
+    def quantized() -> list[list[list[int]]]:
+        return [
+            [[math.floor(x * float(PQ_COORD_SCALE)) for x in cj] for cj in cs]
+            for cs in cents
+        ]
+
+    for _ in range(pq_iters):
+        codes_udf = _pq_codes_pd(quantized(), dim)
+        sums = (
+            c.select(F.posexplode(codes_udf(F.col("__u"))).alias("s", "cid"), "__u")
+            .select(
+                "s",
+                "cid",
+                F.posexplode(
+                    F.slice(F.col("__u"), F.col("s") * F.lit(dsub) + F.lit(1), F.lit(dsub))
+                ).alias("pos", "x"),
+            )
+            .groupBy("s", "cid", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(float(PQ_SUM_SCALE))).cast("long")).alias("t"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        acc: dict[tuple[int, int], list[float]] = {}
+        cnt: dict[tuple[int, int], int] = {}
+        for row in sums:
+            acc.setdefault((row["s"], row["cid"]), [0.0] * dsub)[row["pos"]] = (
+                row["t"] / float(PQ_SUM_SCALE)
+            )
+            cnt[(row["s"], row["cid"])] = row["n"]
+        for s in range(m):
+            for j in range(len(pq_seeds)):
+                n = cnt.get((s, j), 0)
+                if n:
+                    cents[s][j] = [v / n for v in acc[(s, j)]]
+
+    # ---- encode: (id, cid, codes) — the persisted index of a real run ----
+    cq = quantized()
+    codes_udf = _pq_codes_pd(cq, dim)
+    nearest = _centroid_topn_pd(coarse, 1)
+    assigned = c.select(
+        corpus_id, "__u", F.explode(nearest(F.col("__u"))).alias("cid")
+    )
+    encoded = assigned.select(
+        corpus_id, "cid", F.explode(F.array(codes_udf(F.col("__u")))).alias("__cs")
+    )
+
+    # ---- queries: probes + LUT + quantized vector, one row per probe ----
+    q_rows = prep(queries, query_id).collect()
+    C = np.asarray(coarse, dtype=np.float64)
+    lut_rows = []
+    for row in q_rows:
+        qu = [float(x) for x in row["__u"]]
+        dots = np.asarray(qu, dtype=np.float64) @ C.T
+        probes = np.argsort(-dots, kind="stable")[:n_probe]
+        qx = [math.floor(x * float(PQ_COORD_SCALE)) for x in qu]
+        luts = [
+            [sum(a * b for a, b in zip(qx[s * dsub : (s + 1) * dsub], cj)) for cj in cq[s]]
+            for s in range(m)
+        ]
+        for cid in probes:
+            lut_rows.append((row[query_id], int(cid), luts, qx))
+    spark = corpus.sparkSession
+    if not lut_rows:
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score_fp long, rank long"
+        )
+    q_lut = spark.createDataFrame(
+        lut_rows,
+        f"{query_id} long, cid int, __lut array<array<long>>, __qx array<long>",
+    )
+
+    # ---- ADC over probed cells only: equi-join on cid, not a sweep ----
+    adc = sum(
+        F.element_at(
+            F.element_at("__lut", s + 1), F.element_at("__cs", s + 1) + F.lit(1)
+        )
+        for s in range(m)
+    )
+    scored = (
+        encoded.join(broadcast(q_lut), "cid")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, "__qx", adc.alias("__adc"))
+    )
+    ws = Window.partitionBy(query_id).orderBy(F.desc("__adc"), F.asc(corpus_id))
+    shortlist = (
+        scored.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= rerank * k)
+        .select(query_id, corpus_id, "__qx")
+    )
+    refined = shortlist.join(c, corpus_id).select(
+        query_id,
+        corpus_id,
+        F.aggregate(
+            F.zip_with(
+                F.col("__qx"),
+                F.transform(
+                    "__u",
+                    lambda x: F.floor(x * F.lit(float(PQ_COORD_SCALE))).cast("long"),
+                ),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_fp"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score_fp"), F.asc(corpus_id))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score_fp", F.col("rank").cast("long").alias("rank"))
+    )

@@ -243,3 +243,24 @@ def test_embedding_near_dup_banded_pair_recall(spark):
     assert banded <= truth  # banded survivors all pass the same threshold
     recall = len(banded & truth) / len(truth)
     assert recall >= 0.9, f"banded near-dup pair recall {recall:.3f} < 0.9"
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """The composed sublinear tier: coarse cells prune the ADC sweep to
+    n_probe/n_centroids of the corpus, so recall <= flat PQ's by
+    construction — the floor reflects the 25% scan fraction on isotropic
+    vectors (measured at sf0.01; deterministic, so a pin)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict = {}
+    for r in similarity.brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx: dict = {}
+    for r in similarity.ivfpq_topk(emb, q, k=5, dim=64).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(exact[k_] & approx.get(k_, set())) / len(exact[k_]) for k_ in exact
+    ) / len(exact)
+    assert recall >= 0.4, f"ivfpq recall {recall:.3f} < 0.4"

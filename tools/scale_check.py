@@ -30,7 +30,7 @@ HEAVY = [
     "quality_classifier", "ann_pq",
     # r7: the rest of the search family (index materialized per query,
     # like the graded queries do)
-    "search_postings", "search_lexical", "search_hybrid",
+    "search_postings", "search_lexical", "search_hybrid", "ann_ivfpq",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scaledata", "sf1")
