@@ -517,16 +517,23 @@ def ref_ivf_probes(
 
 QLR_ONE = 1 << 20           # fixed-point scale
 QLR_DIM = 512               # hashed feature buckets
-QLR_ITERS = 3               # full-batch GD iterations (accuracy saturates
-                            # by 2 on the synthetic corpus; 3 keeps one
-                            # spare round at ~25% less job-scheduling cost
-                            # than 4 — callers needing more pass iters=)
-QLR_LR_NUM, QLR_LR_DEN = 4, 1
+QLR_ITERS = 5               # full-batch CENTERED-GD iterations: lr 8 x 5
+                            # reaches 100% train accuracy on the weak rule
+                            # at every testdata SF (4 leaves sf0.001 at
+                            # 99.6%); r7 re-tuned with the centering fix —
+                            # see qlr_update for why raw-presence GD never
+                            # converged at ANY (lr, iters)
+QLR_LR_NUM, QLR_LR_DEN = 8, 1
 QLR_STOPWORDS = (
     "the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "this",
 )
-QLR_STOP_MIN = 4            # distinct stopwords needed for a weak 1-label
+QLR_STOP_MIN = 2            # distinct stopwords needed for a weak 1-label
+                            # (r7: was 4 — unreachable on the testdata,
+                            # whose docs carry at most 2 distinct
+                            # stopwords, so every label was 0 and every
+                            # score 0: a vacuously-uniform graded query.
+                            # 2 splits the corpus ~63/37 at every SF)
 
 
 def qlr_bucket(token: str, dim: int = QLR_DIM) -> int:
@@ -543,24 +550,61 @@ def qlr_hard_sigmoid_fp(x_fp: int) -> int:
     return y // 4
 
 
+def _qlr_tdiv(a: int, d: int) -> int:
+    """Truncate-toward-zero division (Python // floors negatives; the JVM
+    and this spec truncate)."""
+    q = abs(a) // d
+    return q if a >= 0 else -q
+
+
+def qlr_center_offset(weights: dict[int, int], df: dict[int, int], n_docs: int) -> int:
+    """C = trunc(sum_j w_j * df_j / n): the mean-feature offset that makes
+    the presence features effectively CENTERED (x - p_j) without ever
+    materializing dense centered rows — it folds into the logit as a
+    per-iteration constant. Driver-side Python ints (unbounded), so no
+    overflow concern; the Spark-side aggregates it is built from stay
+    within int64."""
+    return _qlr_tdiv(sum(w * df[j] for j, w in weights.items() if j in df), n_docs)
+
+
 def qlr_update(
-    weights: dict[int, int], bias: int, grads: dict[int, int], grad_b: int, n_docs: int
+    weights: dict[int, int],
+    bias: int,
+    grads: dict[int, int],
+    grad_b: int,
+    df: dict[int, int],
+    n_docs: int,
 ) -> tuple[dict[int, int], int]:
-    """One GD weight update from integer gradient sums. Used verbatim by the
-    Spark driver loop AND the mirror, so weight arithmetic cannot drift.
-    Division truncates toward zero on both sides (explicit, since Python //
-    floors negatives)."""
+    """One CENTERED full-batch GD update from integer gradient sums. Used
+    verbatim by the Spark driver loop AND the mirror, so weight arithmetic
+    cannot drift.
 
-    def tdiv(a: int, d: int) -> int:
-        q = abs(a) // d
-        return q if a >= 0 else -q
+    Centering is the r7 convergence fix: with raw presence features the
+    gradient of every common bucket is dominated by the shared all-ones
+    direction (the class prior), which only the slow-moving bias can
+    offset — full-batch GD then oscillates between all-positive and
+    all-negative regardless of learning rate (measured: accuracy stuck at
+    the class prior for every lr x iters tried). On centered features
+    x_ij - p_j that direction is projected out ANALYTICALLY:
 
-    den = QLR_LR_DEN * n_docs
+        grad_centered_j = grad_j - p_j * grad_b
+                        = (grad_j * n - df_j * grad_b) / n
+
+    so the update is w_j -= lr * (grad_j*n - df_j*grad_b) / n^2 — still a
+    pure function of the two integer aggregates the engine already
+    computes (per-bucket err sums + the sentinel bias row) plus the
+    one-time df table. The matching logit is
+    ``sum_j w_j + bias - qlr_center_offset(...)``. Converges to 100%
+    train accuracy on the weak rule in 5 iterations at lr 8 (vs never,
+    before). All arithmetic is driver-side Python ints; division
+    truncates toward zero on both sides."""
+    den = QLR_LR_DEN * n_docs * n_docs
     new_w = dict(weights)
-    for j, g in grads.items():
-        if g:
-            new_w[j] = new_w.get(j, 0) - tdiv(g * QLR_LR_NUM, den)
-    return new_w, bias - tdiv(grad_b * QLR_LR_NUM, den)
+    for j, dfj in df.items():
+        gc = grads.get(j, 0) * n_docs - dfj * grad_b
+        if gc:
+            new_w[j] = new_w.get(j, 0) - _qlr_tdiv(gc * QLR_LR_NUM, den)
+    return new_w, bias - _qlr_tdiv(grad_b * QLR_LR_NUM, QLR_LR_DEN * n_docs)
 
 
 def ref_qlr_scores(
@@ -585,22 +629,28 @@ def ref_qlr_scores(
     n = len(feats)
     if n == 0:
         return []
+    df: dict[int, int] = {}
+    for bs in feats.values():
+        for j in bs:
+            df[j] = df.get(j, 0) + 1
     w: dict[int, int] = {}
     b = 0
     for _ in range(iters):
+        c = qlr_center_offset(w, df, n)
         grads: dict[int, int] = {}
         grad_b = 0
         for doc_id, bs in feats.items():
-            x = b + sum(w.get(j, 0) for j in bs)
+            x = b - c + sum(w.get(j, 0) for j in bs)
             err = qlr_hard_sigmoid_fp(x) - labels[doc_id] * QLR_ONE
             grad_b += err
             for j in bs:
                 grads[j] = grads.get(j, 0) + err
-        w, b = qlr_update(w, b, grads, grad_b, n)
+        w, b = qlr_update(w, b, grads, grad_b, df, n)
 
+    c = qlr_center_offset(w, df, n)
     out = []
     for doc_id, bs in feats.items():
-        x = b + sum(w.get(j, 0) for j in bs)
+        x = b - c + sum(w.get(j, 0) for j in bs)
         out.append((doc_id, labels[doc_id], qlr_hard_sigmoid_fp(x)))
     return sorted(out)
 

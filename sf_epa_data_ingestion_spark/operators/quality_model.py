@@ -45,12 +45,19 @@ from sf_epa_data_ingestion_spark.functions.refhash import (
     QLR_ONE,
     QLR_STOP_MIN,
     QLR_STOPWORDS,
+    qlr_center_offset,
     qlr_update,
 )
 from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
 from sf_epa_data_ingestion_spark.partitioning import spread
 
-__all__ = ["hashed_presence_features", "weak_stopword_labels", "score_quality_lr"]
+__all__ = [
+    "hashed_presence_features",
+    "weak_stopword_labels",
+    "score_quality_lr",
+    "train_quality_lr",
+    "score_docs_lr",
+]
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -113,17 +120,17 @@ def _hard_sigmoid_fp(logit_col: str) -> F.Column:
     )
 
 
-def score_quality_lr(
+def _fit(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    dim: int = QLR_DIM,
-    iters: int = QLR_ITERS,
-) -> DataFrame:
-    """Train the fixed-point LR on the corpus' weak labels and score every
-    non-NULL-text document. Returns (id, label, score_fp) — all integers,
-    bit-identical to ``refhash.ref_qlr_scores`` (pinned by test and by the
-    golden-fixture oracle)."""
+    text_col: str,
+    id_col: str,
+    dim: int,
+    iters: int,
+):
+    """Shared trainer behind score_quality_lr / train_quality_lr: builds
+    the fused presence+label tables, runs the fixed-point GD loop, and
+    returns (weights, bias, labels, feats, err_frame, n_docs). Callers
+    own the two persisted frames (unpersist when done)."""
     spark = df.sparkSession
     # ONE scan + ONE shuffle builds both the presence features and the
     # weak labels (the standalone hashed_presence_features /
@@ -161,13 +168,6 @@ def score_quality_lr(
     )
     feats = spread(feats, "id").persist()
     n_docs = labels.count()  # also materializes the persists' lineage root
-    if n_docs == 0:  # nothing to train on — empty result, not a div-by-zero
-        out = labels.select(
-            "id", "label", F.lit(0).cast("long").alias("score_fp")
-        ).localCheckpoint(eager=True)
-        labels.unpersist()
-        feats.unpersist()
-        return out
 
     def err_frame(weights: dict[int, int], bias: int) -> DataFrame:
         """(id, err) from the current model: broadcast-join the weight
@@ -189,21 +189,65 @@ def score_quality_lr(
             .select("id", "label", "logit", "err")
         )
 
+    # one-time bucket document frequencies (dim rows) — the centering
+    # table: the r7 trainer runs on EFFECTIVELY centered features
+    # (x_ij - p_j), realized as a per-iteration scalar offset in the
+    # logit plus a projected gradient in qlr_update, so the presence
+    # rows themselves never densify (see refhash.qlr_update for the
+    # convergence story)
+    df_rows = (
+        feats.filter(F.col("bucket") >= 0)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dfreq = {r["bucket"]: r["n"] for r in df_rows}
+
     weights: dict[int, int] = {}
     bias = 0
-    for _ in range(iters):
+    for _ in range(iters if n_docs else 0):
         # gradient aggregates: at most `dim`+1 rows cross to the driver,
         # every one a sum of int64 terms (order-independent)
+        center = qlr_center_offset(weights, dfreq, n_docs)
         rows = (
-            feats.join(err_frame(weights, bias).select("id", "err"), "id")
+            feats.join(err_frame(weights, bias - center).select("id", "err"), "id")
             .groupBy("bucket")
             .agg(F.sum("err").alias("g"))
             .collect()
         )
         grads = {r["bucket"]: r["g"] for r in rows if r["bucket"] >= 0}
         grad_b = next((r["g"] for r in rows if r["bucket"] == -1), 0)
-        weights, bias = qlr_update(weights, bias, grads, grad_b, n_docs)
+        weights, bias = qlr_update(weights, bias, grads, grad_b, dfreq, n_docs)
 
+    # fold the final centering offset into the bias so every consumer
+    # (final scoring, train_quality_lr -> score_docs_lr) sees a plain
+    # (weights, bias) linear model
+    if n_docs:
+        bias = bias - qlr_center_offset(weights, dfreq, n_docs)
+    return weights, bias, labels, feats, err_frame, n_docs
+
+
+def score_quality_lr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = QLR_DIM,
+    iters: int = QLR_ITERS,
+) -> DataFrame:
+    """Train the fixed-point LR on the corpus' weak labels and score every
+    non-NULL-text document. Returns (id, label, score_fp) — all integers,
+    bit-identical to ``refhash.ref_qlr_scores`` (pinned by test and by the
+    golden-fixture oracle)."""
+    weights, bias, labels, feats, err_frame, n_docs = _fit(
+        df, text_col, id_col, dim, iters
+    )
+    if n_docs == 0:  # nothing to train on — empty result, not a div-by-zero
+        out = labels.select(
+            "id", "label", F.lit(0).cast("long").alias("score_fp")
+        ).localCheckpoint(eager=True)
+        labels.unpersist()
+        feats.unpersist()
+        return out
     # Final scoring pass with the trained weights, materialized via
     # localCheckpoint so the two training caches can be RELEASED here:
     # .persist() blocks are session-lifetime unless unpersisted (r6
@@ -216,3 +260,56 @@ def score_quality_lr(
     labels.unpersist()
     feats.unpersist()
     return out
+
+
+def train_quality_lr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = QLR_DIM,
+    iters: int = QLR_ITERS,
+) -> tuple[dict[int, int], int]:
+    """Train only: returns the (weights, bias) model — ``dim`` ints plus a
+    bias — for use as a PRE-TRAINED gate (the streaming ingestion path
+    scores arriving batches against this table without ever training in
+    the stream; r6 VERDICT next-round #5). Same GD chain as
+    score_quality_lr, so scores produced from this model via
+    ``score_docs_lr`` are bit-identical to the in-one-call operator
+    (pinned by test)."""
+    weights, bias, labels, feats, _, _ = _fit(df, text_col, id_col, dim, iters)
+    labels.unpersist()
+    feats.unpersist()
+    return weights, bias
+
+
+def score_docs_lr(
+    df: DataFrame,
+    weights: dict[int, int],
+    bias: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = QLR_DIM,
+) -> DataFrame:
+    """Score documents against a PRE-TRAINED model: one tokenize pass,
+    presence buckets, broadcast join of the ``dim``-row weight table,
+    int-sum, hard sigmoid. Returns (id, score_fp). No training, no
+    labels, no persisted state — the per-micro-batch shape the streaming
+    ingestion gate needs. Identical arithmetic to score_quality_lr's
+    final pass (presence rows are distinct buckets either way; the
+    missing sentinel row only ever contributed coalesce-0)."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        list(weights.items()) or [(0, 0)], "bucket long, w long"
+    )
+    doc_sum = (
+        hashed_presence_features(df, text_col, id_col, dim)
+        .join(F.broadcast(wdf), "bucket")
+        .groupBy("id")
+        .agg(F.sum("w").alias("s"))
+    )
+    spine = df.filter(F.col(text_col).isNotNull()).select(F.col(id_col).alias("id"))
+    return (
+        spine.join(doc_sum, "id", "left")
+        .withColumn("logit", F.coalesce("s", F.lit(0)) + F.lit(bias))
+        .select("id", _hard_sigmoid_fp("logit").alias("score_fp"))
+    )

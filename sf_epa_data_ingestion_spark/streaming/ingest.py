@@ -7,7 +7,13 @@ continuous pipeline — the shape a 100 TB corpus build actually runs
 novel text):
 
 1. C4/Gopher quality gate (operators/cleaning.c4_quality_filter) drops
-   low-quality documents inside the micro-batch.
+   low-quality documents inside the micro-batch; optionally followed by
+   the TRAINED model gate (operators/quality_model) — a pre-trained
+   weight table scored against each batch (r6 VERDICT next-round #5).
+   Training NEVER happens in the stream: the model is ``dim`` ints plus
+   a bias, fit offline by ``train_quality_lr`` and broadcast per batch
+   by ``score_docs_lr`` — exactly how a learned filter deploys at
+   100 TB (fit on a sample, apply at wire speed).
 2. In-batch exact dedup: lowest-id row per normalized-text digest
    (same keep-lowest contract as operators/dedup.exact_dedup).
 3. Cross-batch exact dedup: anti-join the batch's digests against the
@@ -39,6 +45,7 @@ from pyspark.sql import Window
 
 from sf_epa_data_ingestion_spark.operators.cleaning import c4_quality_filter
 from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
+from sf_epa_data_ingestion_spark.operators.quality_model import score_docs_lr
 from sf_epa_data_ingestion_spark.storage.txlog import TxTable
 from sf_epa_data_ingestion_spark.streaming.txsink import append_once
 
@@ -49,17 +56,33 @@ def training_doc_appender(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_retries: int = 5,
+    quality_model: tuple[dict[int, int], int] | None = None,
+    min_score_fp: int | None = None,
 ):
     """Build a ``foreachBatch`` callable ingesting documents into ``table``
     (schema: source columns + ``text_hash``) with quality gating, exact
     dedup against everything already ingested, and exactly-once appends::
 
+        model = quality_model.train_quality_lr(labeled_sample)   # offline
         (docs.writeStream
-             .foreachBatch(training_doc_appender(tbl, "doc-ingest"))
+             .foreachBatch(training_doc_appender(
+                 tbl, "doc-ingest",
+                 quality_model=model, min_score_fp=QLR_ONE // 2))
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True)
              .start())
+
+    ``quality_model`` is a pre-trained (weights, bias) from
+    ``train_quality_lr``; when given, each batch is scored via
+    ``score_docs_lr`` (one broadcast join of the dim-row weight table —
+    no training, no state) and only docs with ``score_fp >=
+    min_score_fp`` are admitted. ``min_score_fp`` defaults to
+    ``QLR_ONE // 2`` (the hard sigmoid's 0.5 point) when a model is set.
     """
+    if quality_model is not None and min_score_fp is None:
+        from sf_epa_data_ingestion_spark.functions.refhash import QLR_ONE
+
+        min_score_fp = QLR_ONE // 2
 
     def write_batch(batch_df, batch_id: int) -> None:
         last = table.last_txn(app_id)
@@ -72,6 +95,14 @@ def training_doc_appender(
             .drop("keep")
             .withColumn("text_hash", F.md5(normalized_text(F.col(text_col))))
         )
+        if quality_model is not None:
+            weights, bias = quality_model
+            scores = score_docs_lr(kept, weights, bias, text_col, id_col).filter(
+                F.col("score_fp") >= F.lit(min_score_fp)
+            )
+            kept = kept.join(
+                scores.select(F.col("id").alias(id_col)), id_col, "left_semi"
+            )
         # in-batch dedup: deterministic keep-lowest-id per digest
         w = Window.partitionBy("text_hash").orderBy(id_col)
         kept = (

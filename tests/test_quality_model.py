@@ -110,3 +110,36 @@ def test_empty_corpus_trains_nothing(spark):
     )
     assert quality_model.score_quality_lr(df).count() == 0
     assert ref_qlr_scores([(1, None), (2, None)]) == []
+
+
+def test_train_then_score_matches_one_call(spark):
+    """The deploy split (r7): train_quality_lr's (weights, bias) scored
+    through score_docs_lr — the broadcast, no-training path the streaming
+    gate uses — must be bit-identical to score_quality_lr's fused pass."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {r["id"]: r["score_fp"] for r in quality_model.score_quality_lr(df).collect()}
+    w, b = quality_model.train_quality_lr(df)
+    sep = {r["id"]: r["score_fp"] for r in quality_model.score_docs_lr(df, w, b).collect()}
+    assert full == sep and len(full) > 0
+
+
+def test_classifier_separates_both_classes(spark):
+    """Non-degeneracy guard (the r6 grading hole: STOP_MIN=4 was
+    unreachable on this corpus, so labels AND scores were uniformly zero
+    and the oracle match was vacuous). Both classes must be present and
+    perfectly separated at the ONE/2 threshold."""
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = quality_model.score_quality_lr(df)
+    per = {
+        r["label"]: (r["n"], r["hits"])
+        for r in out.groupBy("label").agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (
+                    (F.col("score_fp") >= QLR_ONE // 2).cast("int") == F.col("label")
+                ).cast("int")
+            ).alias("hits"),
+        ).collect()
+    }
+    assert set(per) == {0, 1}, per
+    assert all(n == hits for n, hits in per.values()), per

@@ -80,3 +80,66 @@ def test_stream_ingest_gates_dedups_and_survives_restart(spark, tmp_path):
     sink(dupes.unionByName(fresh).withColumn(
         "text_hash", F.md5(normalized_text(F.col("text")))), 0)
     assert t.read().count() == n
+
+
+def test_stream_ingest_model_gate_survives_restart(spark, tmp_path):
+    """r7: the TRAINED quality gate in the stream — a pre-trained
+    (weights, bias) model scores every micro-batch (broadcast join, no
+    training in the stream) and only docs at/above the threshold are
+    admitted; exactly-once and restart semantics unchanged."""
+    from sf_epa_data_ingestion_spark.functions.refhash import QLR_ONE
+    from sf_epa_data_ingestion_spark.operators.quality_model import (
+        score_docs_lr,
+        train_quality_lr,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    model = train_quality_lr(docs)  # offline fit on the historical corpus
+    thr = QLR_ONE // 2
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.mode("overwrite").parquet(src)
+
+    t = TxTable(
+        spark, str(tmp_path / "tbl")
+    ).create(docs.withColumn("text_hash", F.lit("")).limit(0))
+    sink = training_doc_appender(
+        t, "doc-ingest-model", quality_model=model, min_score_fp=thr
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(docs.schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch-side oracle: C4 keep AND model score >= thr, lowest id/digest
+    kept = _expected_corpus(docs)
+    admitted = kept.join(
+        score_docs_lr(kept, model[0], model[1])
+        .filter(F.col("score_fp") >= thr)
+        .select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    got = t.read()
+    n_admitted = admitted.count()
+    assert got.count() == n_admitted
+    assert 0 < n_admitted < kept.count()  # the gate actually splits
+    # every admitted doc scores above threshold
+    low = score_docs_lr(got, model[0], model[1]).filter(F.col("score_fp") < thr)
+    assert low.count() == 0
+
+    # restart with only below-threshold docs (score < thr after C4):
+    # nothing new may land, exactly-once preserved
+    rejected = kept.join(
+        admitted.select("doc_id"), "doc_id", "left_anti"
+    ).drop("text_hash").withColumn("doc_id", F.col("doc_id") + 500000)
+    rejected.write.mode("append").parquet(src)
+    run_once()
+    assert t.read().count() == n_admitted
