@@ -189,32 +189,30 @@ def _fit(
             .select("id", "label", "logit", "err")
         )
 
-    # one-time bucket document frequencies (dim rows) — the centering
-    # table: the r7 trainer runs on EFFECTIVELY centered features
-    # (x_ij - p_j), realized as a per-iteration scalar offset in the
-    # logit plus a projected gradient in qlr_update, so the presence
-    # rows themselves never densify (see refhash.qlr_update for the
-    # convergence story)
-    df_rows = (
-        feats.filter(F.col("bucket") >= 0)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    dfreq = {r["bucket"]: r["n"] for r in df_rows}
-
+    # The r7 trainer runs on EFFECTIVELY centered features (x_ij - p_j),
+    # realized as a per-iteration scalar offset in the logit plus a
+    # projected gradient in qlr_update, so the presence rows never
+    # densify (see refhash.qlr_update for the convergence story). The
+    # bucket document frequencies the centering needs ride the FIRST
+    # iteration's gradient aggregate as a count column — every feats row
+    # joins exactly one err row, so count(*) per bucket IS df (no extra
+    # job; the first iteration's center is 0 anyway since weights start
+    # empty).
+    dfreq: dict[int, int] = {}
     weights: dict[int, int] = {}
     bias = 0
-    for _ in range(iters if n_docs else 0):
+    for it in range(iters if n_docs else 0):
         # gradient aggregates: at most `dim`+1 rows cross to the driver,
         # every one a sum of int64 terms (order-independent)
-        center = qlr_center_offset(weights, dfreq, n_docs)
+        center = qlr_center_offset(weights, dfreq, n_docs) if it else 0
         rows = (
             feats.join(err_frame(weights, bias - center).select("id", "err"), "id")
             .groupBy("bucket")
-            .agg(F.sum("err").alias("g"))
+            .agg(F.sum("err").alias("g"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        if it == 0:
+            dfreq = {r["bucket"]: r["n"] for r in rows if r["bucket"] >= 0}
         grads = {r["bucket"]: r["g"] for r in rows if r["bucket"] >= 0}
         grad_b = next((r["g"] for r in rows if r["bucket"] == -1), 0)
         weights, bias = qlr_update(weights, bias, grads, grad_b, dfreq, n_docs)

@@ -588,3 +588,28 @@ def test_pq_topk_tiny_and_empty_corpus(spark):
     eq = empty.select(F.col("vec_id").alias("query_id"), "embedding")
     assert similarity.pq_topk(empty, eq, k=2, dim=64).count() == 0
     assert ref_pq_topk([(1, None), (2, [0.0] * 64)], n_queries=3, k=2) == []
+
+
+def test_shortlist_topn_bounded_path_matches_window(spark):
+    """The adaptive ADC shortlist (r7): the large-Q bounded pandas pass
+    must select exactly the rows the plain window selects — same total
+    comparator (__adc desc, id asc), partition-local top-n is a superset
+    of the global top-n."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (q, v, rng.randrange(-1000, 1000))
+        for q in range(6)
+        for v in rng.sample(range(10_000), 400)
+    ]
+    scored = spark.createDataFrame(rows, "query_id long, vec_id long, __adc long").repartition(8)
+    a = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity._shortlist_topn(scored, "query_id", "vec_id", 25, n_queries=1).collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity._shortlist_topn(scored, "query_id", "vec_id", 25, n_queries=10_000).collect()
+    }
+    assert a == b and len(a) == 6 * 25
