@@ -936,74 +936,53 @@ def _shortlist_topn(
     )
 
 
-def ivfpq_topk(
+def _ivfpq_prep(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """PQ-spec prep: (id, __u) unit vectors with NULL / ragged / zero-norm
+    rows excluded (zero norm surfaces as NULL elements from x/nullif(0),
+    so element 0 is probed too), spread for parallel downstream UDFs."""
+    dn = _with_vec_norm(df.select(id_col, vec_col), vec_col, "__v", "__n")
+    u = dn.select(
+        id_col,
+        _unit_vec(F.col("__v"), F.col("__n")).alias("__u"),
+        F.size("__v").alias("__d"),
+    )
+    return spread(
+        u.filter(
+            F.col("__u").isNotNull()
+            & (F.col("__d") == dim)
+            & F.col("__u")[0].isNotNull()
+        ).drop("__d"),
+        F.col(id_col),
+    )
+
+
+def train_ivfpq(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     corpus_id: str = "vec_id",
-    query_id: str = "query_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    n_probe: int = 4,
     ivf_iters: int = 2,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     pq_iters: int = PQ_ITERS,
     dim: int | None = None,
-    rerank: int = PQ_RERANK,
-) -> DataFrame:
-    """IVF-PQ: the standard sublinear shape for corpus-scale vector
-    search (Jegou et al., PAMI'11, the FAISS ``IVFx,PQy`` index) —
-    composes the repo's two ANN tiers so each fixes the other's scale
-    gap: ``ivf_topk`` prunes WHICH vectors a query touches but scans full
-    float vectors inside probed cells; ``pq_topk`` shrinks WHAT a scan
-    reads (8 B codes) but sweeps every code per query. Here the ADC sweep
-    runs only over the ``n_probe`` probed cells' codes: per-query work is
-    ~(n_probe/n_centroids) * |corpus| * m table lookups, over 8-byte
-    codes. At 100 TB: codes+cid persist as a table bucketed by cid (the
-    probe is then a partition-pruned scan), centroids/codebooks are
-    metadata-scale broadcasts, and n_probe trades recall for compute.
-
-    Design choice vs FAISS: PQ encodes the RAW unit vectors, not the
-    cell residuals. Residual encoding squeezes more recall per bit but
-    needs per-cell LUTs (m*ksub ints per (query, probe) instead of per
-    query); raw-vector encoding composes the two existing bit-exact
-    specs unchanged, so training, assignment, ADC and refinement stay
-    pure functions of the input table — which is what lets q_ann_ivfpq
-    carry a golden-fixture oracle (functions/refhash.ref_ivfpq_topk
-    replays the whole chain; the fixture generator asserts the coarse
-    quantizer's argsort margins like the IVF fixture does). The
-    recall@k floor vs brute force is pinned in tests/test_recall_gates.py.
-
-    Both trainers keep their own specs: the coarse quantizer is
-    ivf_topk's fixed-point Lloyd (2^-30 integer sums, ties to the lowest
-    cell, empty cells keep their centroid); the codebooks are pq_topk's
-    (2^-15-quantized argmin over exact int64 ranks). Validity rules are
-    PQ's (NULL / ragged / zero-norm vectors excluded everywhere).
-    """
+    _prepped: DataFrame | None = None,
+):
+    """Train the IVF-PQ model only: returns (coarse, cq) — the coarse
+    centroids (floats) and the 2^-15-quantized PQ codebooks — or
+    (None, None) on an all-invalid corpus. This is the offline half of
+    the FAISS train/add split: ``encode_ivfpq`` (and the streaming
+    vector-index appender) apply a FROZEN model to new vectors without
+    retraining. Same bit-reproducible chains as ivfpq_topk (which calls
+    this): fixed-point Lloyd for the cells, integer-rank Lloyd for the
+    codebooks."""
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     dsub = dim // m
-
-    def prep(df: DataFrame, id_col: str) -> DataFrame:
-        dn = _with_vec_norm(df.select(id_col, vec_col), vec_col, "__v", "__n")
-        u = dn.select(
-            id_col,
-            _unit_vec(F.col("__v"), F.col("__n")).alias("__u"),
-            F.size("__v").alias("__d"),
-        )
-        return spread(
-            u.filter(
-                F.col("__u").isNotNull()
-                & (F.col("__d") == dim)
-                & F.col("__u")[0].isNotNull()
-            ).drop("__d"),
-            F.col(id_col),
-        )
-
-    c = prep(corpus, corpus_id).persist()
+    own = _prepped is None
+    c = _ivfpq_prep(corpus, corpus_id, vec_col, dim).persist() if own else _prepped
 
     # one seed scan feeds BOTH trainers (same engine-stable order; the
     # coarse quantizer takes the first n_centroids, PQ the first ksub)
@@ -1014,10 +993,9 @@ def ivfpq_topk(
         .collect()
     )
     if not seeds:
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], f"{query_id} long, {corpus_id} long, score_fp long, rank long"
-        )
+        if own:
+            c.unpersist()
+        return None, None
 
     # ---- coarse quantizer: ivf_topk's fixed-point Lloyd ----
     def normalize(v: list[float]) -> list[float]:
@@ -1088,8 +1066,98 @@ def ivfpq_topk(
                 if n:
                     cents[s][j] = [v / n for v in acc[(s, j)]]
 
-    # ---- encode: (id, cid, codes) — the persisted index of a real run ----
     cq = quantized()
+    if own:
+        c.unpersist()
+    return coarse, cq
+
+
+def encode_ivfpq(
+    df: DataFrame,
+    coarse: list[list[float]],
+    cq: list[list[list[int]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a FROZEN IVF-PQ model: (id, cid, codes) rows for every valid
+    vector — the "add" half of the train/add split. One Arrow pass per
+    vector (cell assignment matmul + per-subspace integer-rank argmin),
+    no shuffle beyond the spread; this is what the streaming vector-index
+    appender runs per micro-batch, and what a batch job runs to (re)build
+    the persisted, cid-bucketed index table."""
+    u = _ivfpq_prep(df, id_col, vec_col, dim)
+    nearest = _centroid_topn_pd(coarse, 1)
+    codes_udf = _pq_codes_pd(cq, dim)
+    assigned = u.select(id_col, "__u", F.explode(nearest(F.col("__u"))).alias("cid"))
+    return assigned.select(
+        id_col, "cid", F.explode(F.array(codes_udf(F.col("__u")))).alias("codes")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    pq_iters: int = PQ_ITERS,
+    dim: int | None = None,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """IVF-PQ: the standard sublinear shape for corpus-scale vector
+    search (Jegou et al., PAMI'11, the FAISS ``IVFx,PQy`` index) —
+    composes the repo's two ANN tiers so each fixes the other's scale
+    gap: ``ivf_topk`` prunes WHICH vectors a query touches but scans full
+    float vectors inside probed cells; ``pq_topk`` shrinks WHAT a scan
+    reads (8 B codes) but sweeps every code per query. Here the ADC sweep
+    runs only over the ``n_probe`` probed cells' codes: per-query work is
+    ~(n_probe/n_centroids) * |corpus| * m table lookups, over 8-byte
+    codes. At 100 TB: codes+cid persist as a table bucketed by cid (the
+    probe is then a partition-pruned scan), centroids/codebooks are
+    metadata-scale broadcasts, and n_probe trades recall for compute.
+
+    Design choice vs FAISS: PQ encodes the RAW unit vectors, not the
+    cell residuals. Residual encoding squeezes more recall per bit but
+    needs per-cell LUTs (m*ksub ints per (query, probe) instead of per
+    query); raw-vector encoding composes the two existing bit-exact
+    specs unchanged, so training, assignment, ADC and refinement stay
+    pure functions of the input table — which is what lets q_ann_ivfpq
+    carry a golden-fixture oracle (functions/refhash.ref_ivfpq_topk
+    replays the whole chain; the fixture generator asserts the coarse
+    quantizer's argsort margins like the IVF fixture does). The
+    recall@k floor vs brute force is pinned in tests/test_recall_gates.py.
+
+    Both trainers keep their own specs: the coarse quantizer is
+    ivf_topk's fixed-point Lloyd (2^-30 integer sums, ties to the lowest
+    cell, empty cells keep their centroid); the codebooks are pq_topk's
+    (2^-15-quantized argmin over exact int64 ranks). Validity rules are
+    PQ's (NULL / ragged / zero-norm vectors excluded everywhere).
+    """
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+
+    c = _ivfpq_prep(corpus, corpus_id, vec_col, dim).persist()
+    coarse, cq = train_ivfpq(
+        corpus, corpus_id, vec_col, n_centroids, ivf_iters, m, ksub, pq_iters,
+        dim, _prepped=c,
+    )
+    if coarse is None:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score_fp long, rank long"
+        )
+
+    # ---- encode: (id, cid, codes) — the persisted index of a real run ----
     codes_udf = _pq_codes_pd(cq, dim)
     nearest = _centroid_topn_pd(coarse, 1)
     assigned = c.select(
@@ -1100,7 +1168,7 @@ def ivfpq_topk(
     )
 
     # ---- queries: probes + LUT + quantized vector, one row per probe ----
-    q_rows = prep(queries, query_id).collect()
+    q_rows = _ivfpq_prep(queries, query_id, vec_col, dim).collect()
     C = np.asarray(coarse, dtype=np.float64)
     lut_rows = []
     for row in q_rows:

@@ -1,0 +1,73 @@
+"""Streaming vector-index freshness: frozen-model IVF-PQ encoding of
+arriving embeddings with exactly-once appends.
+
+This is the vector-tier sibling of streaming/freshness.py (the lexical
+index's TARGET_LAG analog — the reference's search service refreshed
+within one minute of base-table change, epa_ingestion.py:844-854): a
+retrieval corpus at 100 TB cannot re-train or re-encode its index when
+documents arrive, so the pipeline splits FAISS-style into
+
+- TRAIN (offline, batch): ``similarity.train_ivfpq`` fits the coarse
+  cells + PQ codebooks on a historical sample — metadata-scale model
+  (n_centroids*dim floats + m*ksub*dsub ints);
+- ADD (continuous, here): each micro-batch of new embeddings is
+  assigned its cell and encoded to 8-byte codes by
+  ``similarity.encode_ivfpq`` with the FROZEN model (one Arrow pass,
+  broadcast centroids, no shuffle), then appended exactly-once into the
+  index table through the txlog txn marker. Newly ingested vectors are
+  probe-visible as soon as the batch commits.
+
+The index table is (vec_id, cid, codes) — at 100 TB it is written
+bucketed/partitioned by ``cid`` so a query's n_probe cells become a
+partition-pruned scan. Periodic re-training (cell drift) is a batch job
+that writes a fresh table generation; the txlog's atomic swap makes the
+cutover a metadata operation.
+
+Cross-batch id dedup follows streaming/ingest.py's design: the table IS
+the state (anti-join on the id column only — Catalyst broadcasts the
+MB-scale batch side against the corpus scan), so a cold restart needs no
+state-store migration. Same single-writer discipline as ingest.py.
+"""
+
+from __future__ import annotations
+
+from sf_epa_data_ingestion_spark.operators.similarity import encode_ivfpq
+from sf_epa_data_ingestion_spark.storage.txlog import TxTable
+from sf_epa_data_ingestion_spark.streaming.txsink import append_once
+
+
+def vector_index_appender(
+    table: TxTable,
+    app_id: str,
+    coarse: list[list[float]],
+    cq: list[list[list[int]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_retries: int = 5,
+):
+    """Build a ``foreachBatch`` callable maintaining an IVF-PQ index table
+    (schema: id_col, cid int, codes array<int>)::
+
+        coarse, cq = similarity.train_ivfpq(historical_sample, dim=64)
+        (embeddings.writeStream
+            .foreachBatch(vector_index_appender(tbl, "vec-index", coarse, cq, 64))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start())
+
+    Encoding is bit-identical to what ``ivfpq_topk`` would produce for
+    the same vectors under the same model (pinned by test), so batch and
+    streaming index builds are interchangeable.
+    """
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        last = table.last_txn(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already durable
+        enc = encode_ivfpq(batch_df, coarse, cq, dim, id_col=id_col, vec_col=vec_col)
+        existing = table.read().select(id_col).distinct()
+        fresh = enc.join(existing, id_col, "left_anti")
+        append_once(table, fresh, app_id, batch_id, max_retries)
+
+    return write_batch

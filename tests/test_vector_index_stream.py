@@ -1,0 +1,70 @@
+"""Streaming IVF-PQ index maintenance (streaming/vectorindex.py): frozen
+model, per-batch encode, exactly-once txlog appends, restart survival,
+and bit-parity with the batch encoder."""
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators import similarity
+from sf_epa_data_ingestion_spark.storage import TxTable
+from sf_epa_data_ingestion_spark.streaming.vectorindex import vector_index_appender
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return {
+        (r["vec_id"], r["cid"], tuple(r["codes"])) for r in df.collect()
+    }
+
+
+def test_vector_index_stream_appends_exactly_once(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    coarse, cq = similarity.train_ivfpq(emb, dim=64)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = emb.filter(F.col("vec_id") < 250)
+    wave1.write.mode("overwrite").parquet(src)
+
+    t = TxTable(spark, str(tmp_path / "tbl")).create(
+        similarity.encode_ivfpq(emb, coarse, cq, 64).limit(0)
+    )
+    sink = vector_index_appender(t, "vec-index", coarse, cq, 64)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(emb.schema).parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = _rows(t.read())
+    want1 = _rows(similarity.encode_ivfpq(wave1, coarse, cq, 64))
+    assert got1 == want1 and len(got1) == 250  # bit-parity with batch encode
+
+    # wave 2: the rest, plus verbatim re-deliveries of wave-1 rows
+    wave2 = emb.filter(F.col("vec_id") >= 250)
+    wave2.unionByName(wave1.limit(50)).write.mode("append").parquet(src)
+    run_once()
+    got2 = _rows(t.read())
+    want_all = _rows(similarity.encode_ivfpq(emb, coarse, cq, 64))
+    assert got2 == want_all  # dedup kept one row per id, encodings exact
+
+    # replaying an old batch id is acknowledged, never re-written
+    n = t.read().count()
+    sink(wave1, 0)
+    assert t.read().count() == n
+
+    # freshness contract: a newly committed vector is probe-visible —
+    # its (cid, codes) row is in the cell the frozen model assigns it
+    probe = similarity.encode_ivfpq(
+        emb.filter(F.col("vec_id") == 499), coarse, cq, 64
+    ).collect()[0]
+    hit = t.read().filter(
+        (F.col("vec_id") == 499) & (F.col("cid") == probe["cid"])
+    )
+    assert hit.count() == 1
