@@ -1164,8 +1164,46 @@ def ivfpq_topk(
         corpus_id, "__u", F.explode(nearest(F.col("__u"))).alias("cid")
     )
     encoded = assigned.select(
-        corpus_id, "cid", F.explode(F.array(codes_udf(F.col("__u")))).alias("__cs")
+        corpus_id, "cid", F.explode(F.array(codes_udf(F.col("__u")))).alias("codes")
     )
+    return ivfpq_search(
+        encoded, corpus, queries, coarse, cq,
+        k=k, corpus_id=corpus_id, query_id=query_id, vec_col=vec_col,
+        n_probe=n_probe, dim=dim, rerank=rerank, _prepped=c,
+    )
+
+
+def ivfpq_search(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[float]],
+    cq: list[list[list[int]]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    dim: int | None = None,
+    rerank: int = PQ_RERANK,
+    _prepped: DataFrame | None = None,
+) -> DataFrame:
+    """Query a PREBUILT IVF-PQ index table: ``index`` is the
+    (corpus_id, cid, codes) frame a batch ``encode_ivfpq`` or the
+    streaming vector-index appender maintains — this path never touches
+    the model trainer or re-encodes anything, which is how a
+    continuously-ingesting 100 TB retrieval tier actually serves
+    queries (the index table is bucketed by cid; the probe equi-join
+    becomes a partition-pruned scan). ``corpus`` supplies raw vectors
+    for the refinement step only — rerank*k rows per query read it.
+    Bit-identical to ivfpq_topk over the same model + vectors (pinned
+    by test; ivfpq_topk itself delegates here)."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    m = len(cq)
+    dsub = dim // m
+    c = _prepped if _prepped is not None else _ivfpq_prep(corpus, corpus_id, vec_col, dim)
+    encoded = index.select(corpus_id, "cid", F.col("codes").alias("__cs"))
 
     # ---- queries: probes + LUT + quantized vector, one row per probe ----
     q_rows = _ivfpq_prep(queries, query_id, vec_col, dim).collect()

@@ -68,3 +68,38 @@ def test_vector_index_stream_appends_exactly_once(spark, tmp_path):
         (F.col("vec_id") == 499) & (F.col("cid") == probe["cid"])
     )
     assert hit.count() == 1
+
+
+def test_search_over_streamed_index_matches_ivfpq_topk(spark, tmp_path):
+    """End-to-end freshness contract: querying the STREAM-maintained
+    index table via ivfpq_search returns exactly what ivfpq_topk
+    computes from scratch on the same corpus + model."""
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    coarse, cq = similarity.train_ivfpq(emb, dim=64)
+    src = str(tmp_path / "src")
+    emb.write.mode("overwrite").parquet(src)
+    t = TxTable(spark, str(tmp_path / "tbl")).create(
+        similarity.encode_ivfpq(emb, coarse, cq, 64).limit(0)
+    )
+    q = (
+        spark.readStream.schema(emb.schema).parquet(src)
+        .writeStream.foreachBatch(vector_index_appender(t, "vec-index2", coarse, cq, 64))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    via_index = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_search(
+            t.read(), emb, queries, coarse, cq, k=5, dim=64
+        ).collect()
+    )
+    from_scratch = sorted(
+        tuple(r) for r in similarity.ivfpq_topk(emb, queries, k=5, dim=64).collect()
+    )
+    assert via_index == from_scratch and len(via_index) == 50
