@@ -1672,6 +1672,79 @@ QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 10
 """
 
 
+BATCH_QUERIES = [
+    (0, "spark hash join table"),
+    (1, "window sort merge batch"),
+    (2, "scan filter value row fast"),
+]
+
+
+def q_search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 retrieval, batch form (r7): a DATAFRAME of queries ranked in ONE
+    plan — the offline-eval / query-log-replay / RAG-batch shape. Term
+    pruning is a broadcast join against the distinct (query, token) set
+    (the join IS the pushdown when terms are data); one window ranks all
+    queries. Single-query parity with bm25_search pinned in
+    tests/test_search_ops.py."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    postings = search.build_postings(d, id_col="doc_id", text_col="text").persist()
+    stats = search.build_token_stats(postings, n_docs=n)
+    doclens = search.doc_lengths(d, id_col="doc_id", text_col="text")
+    qdf = spark.createDataFrame(BATCH_QUERIES, "query_id long, query_text string")
+    return search.bm25_search_many(
+        postings, stats, qdf, n_docs=n, k=10, doclens=doclens
+    ).select("query_id", F.col("id").alias("doc_id"), "score")
+
+
+def _batch_queries_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, '{txt}' AS query_text" for qid, txt in BATCH_QUERIES
+    )
+
+
+ORACLE_SEARCH_BM25_BATCH = rf"""
+WITH q AS ({_batch_queries_sql()}),
+qterms AS (
+  SELECT DISTINCT q.query_id, u.token
+  FROM q,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(query_text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), toks AS (
+  SELECT doc_id, u.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT token, COUNT(*) AS df FROM postings GROUP BY token
+), doclen AS (
+  SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM postings GROUP BY doc_id
+), avgdl AS (
+  SELECT AVG(dl) AS avgdl FROM doclen
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+), hits AS (
+  SELECT qt.query_id, p.doc_id,
+         round(SUM(
+           ln(1.0 + (n.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / a.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN qterms qt USING (token)
+  JOIN stats s USING (token)
+  JOIN doclen d USING (doc_id)
+  CROSS JOIN avgdl a
+  CROSS JOIN n
+  GROUP BY qt.query_id, p.doc_id
+)
+SELECT query_id, doc_id, score FROM hits
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+"""
+
+
 def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 hybrid ranking: alpha-blended lexical TF-IDF + cosine over the
     docs x embeddings join, attribute-filtered. Fully deterministic given
@@ -2906,11 +2979,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
     # -- changed in r7 (vacuity fix): re-grade -----------------------
         "anti_join": q_anti_join,
+    # -- new in r7: batch BM25 ---------------------------------------
+        "search_bm25_batch": q_search_bm25_batch,
     # -- similarity-family padding (r6-green) ------------------------
-        "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
     # -- past the 50-entry window: r6-green, unchanged ---------------
+        "ann_bruteforce": q_ann_bruteforce,
         "minhash_lsh": q_minhash_lsh,
         "dup_spans": q_dup_spans,
         "grouping_sets": q_grouping_sets,
@@ -3013,6 +3088,7 @@ def oracle_sql() -> dict[str, str]:
         "search_postings": ORACLE_SEARCH_POSTINGS,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
         "search_bm25": ORACLE_SEARCH_BM25,
+        "search_bm25_batch": ORACLE_SEARCH_BM25_BATCH,
         "search_hybrid": ORACLE_SEARCH_HYBRID,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "multimodal_meta": ORACLE_MULTIMODAL_META,

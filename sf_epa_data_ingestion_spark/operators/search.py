@@ -231,3 +231,73 @@ def hybrid_search(
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
+
+
+def bm25_search_many(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doclens: DataFrame | None = None,
+    query_id: str = "query_id",
+    text_col: str = "query_text",
+) -> DataFrame:
+    """Batch BM25: score a DATAFRAME of queries in one plan — the serving
+    shape when queries are themselves data (offline eval sets, query-log
+    replays, RAG batch retrieval) rather than one interactive string.
+
+    Same scoring as ``bm25_search`` (identical idf/tf expressions, so a
+    single-query batch reproduces it bit-for-bit — pinned by test), but
+    the term pruning is a JOIN against the distinct (query, token) set
+    instead of a literal IN list: queries tokenize with the index's own
+    normalizer, the term set broadcasts onto the postings scan (a runtime
+    broadcast-hash filter — the join IS the pushdown when the term list
+    is data), df/idf stats broadcast the same way, and ONE window ranks
+    all queries at once (partitioned by query id — no per-query job
+    loop; |Q| queries cost one plan, not |Q| plans).
+
+    Scale: postings rows fan out once per MATCHING (query, term) — the
+    same df-driven fan-out as single-query BM25, summed over the batch.
+    At 100 TB the same index-side levers apply (token-bucketed postings,
+    index-time stopword pruning); grossly-shared high-df terms across a
+    huge batch call for per-term dedup upstream (the distinct() here
+    collapses duplicate terms within AND across queries into one probe
+    row per (query, token))."""
+    qterms = queries.select(
+        F.col(query_id), F.explode(_norm_tokens(F.col(text_col))).alias("token")
+    ).distinct()
+    if doclens is not None:
+        lens = doclens.filter(F.col("dl") > 0)
+        doclen = lens.select("id", F.col("dl").cast("double").alias("dl"))
+        avgdl = lens.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+        )
+    else:
+        doclen = postings.groupBy("id").agg(F.sum("tf").cast("double").alias("dl"))
+        avgdl = postings.agg(
+            (F.sum("tf").cast("double") / F.countDistinct("id").cast("double")).alias("avgdl")
+        )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    hits = (
+        postings.join(broadcast(qterms), "token")
+        .join(broadcast(stats.select("token", "df")), "token")
+        .join(doclen, "id")
+        .crossJoin(broadcast(avgdl))
+        .groupBy(query_id, "id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc("id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -52,3 +52,25 @@ def test_bm25_doclens_path_matches_fallback(spark):
     )
     assert with_lens == fallback and len(with_lens) > 0
     postings.unpersist()
+
+
+def test_bm25_batch_single_query_matches_scalar(spark):
+    """bm25_search_many over a 1-row query frame == bm25_search with the
+    same string (identical expressions, join-pruning vs IN-pruning)."""
+    d, n, postings, stats = _index(spark)
+    doclens = search.doc_lengths(d, id_col="doc_id", text_col="text")
+    qdf = spark.createDataFrame([(7, QUERY)], "query_id long, query_text string")
+    batch = sorted(
+        (r["id"], r["score"])
+        for r in search.bm25_search_many(
+            postings, stats, qdf, n_docs=n, k=25, doclens=doclens
+        ).collect()
+    )
+    scalar = sorted(
+        (r["id"], r["score"])
+        for r in search.bm25_search(
+            postings, stats, QUERY, n_docs=n, k=25, doclens=doclens
+        ).collect()
+    )
+    assert batch == scalar and len(batch) > 0
+    postings.unpersist()
