@@ -284,35 +284,46 @@ def minhash_signature_rows(
     A = np.arange(num_hashes, dtype=np.float64) * 2 + 1        # (64,)
     C = np.arange(num_hashes, dtype=np.float64) ** 2 + 7       # (64,)
 
+    # Sub-chunk size: temporaries for ~128 docs (windows x 64 x 4 B) stay
+    # ~10 MB — cache-resident. This is the load-bearing constant (r7):
+    # with whole-batch temporaries (hundreds of MB/task), 32 concurrent
+    # Arrow workers thrash shared LLC/DRAM bandwidth and each task ran
+    # ~25x slower than solo (measured: 21 s -> 2.3 s wall for the sf1
+    # signature stage from sub-chunking + the int32 grid alone; pure-CPU
+    # work shows no such penalty, so it is the memory system, not cores).
+    SUB = 128
+
     def compute(batches):
         for pdf in batches:
             ids = pdf[id_col].tolist()
             texts = pdf[text_col].tolist()
             sigs: list[object] = [None] * len(ids)
-            views: list[np.ndarray] = []
-            lens: list[int] = []
-            fast_rows: list[int] = []
-            for row, t in enumerate(texts):
-                t = ref_normalize(t)
-                b = t.encode("utf-8")
-                if len(t) < shingle_k or len(b) != len(t):
-                    # slow path: whole-string shingle for short text,
-                    # per-char windows for non-ASCII — the pure mirror
-                    n_pos = max(len(t) - shingle_k + 1, 1)
-                    base = {
-                        java_abs_int(murmur3_string(t[i : i + shingle_k]))
-                        for i in range(n_pos)
-                    }
-                    sigs[row] = [
-                        min(java_rem((2 * i + 1) * h + i * i + 7, _P) for h in base)
-                        for i in range(num_hashes)
-                    ]
+            for lo in range(0, len(texts), SUB):
+                views: list[np.ndarray] = []
+                lens: list[int] = []
+                fast_rows: list[int] = []
+                for row in range(lo, min(lo + SUB, len(texts))):
+                    t = ref_normalize(texts[row])
+                    b = t.encode("utf-8")
+                    if len(t) < shingle_k or len(b) != len(t):
+                        # slow path: whole-string shingle for short text,
+                        # per-char windows for non-ASCII — the pure mirror
+                        n_pos = max(len(t) - shingle_k + 1, 1)
+                        base = {
+                            java_abs_int(murmur3_string(t[i : i + shingle_k]))
+                            for i in range(n_pos)
+                        }
+                        sigs[row] = [
+                            min(java_rem((2 * i + 1) * h + i * i + 7, _P) for h in base)
+                            for i in range(num_hashes)
+                        ]
+                        continue
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    views.append(np.lib.stride_tricks.sliding_window_view(arr, shingle_k))
+                    lens.append(len(t) - shingle_k + 1)
+                    fast_rows.append(row)
+                if not fast_rows:
                     continue
-                arr = np.frombuffer(b, dtype=np.uint8)
-                views.append(np.lib.stride_tricks.sliding_window_view(arr, shingle_k))
-                lens.append(len(t) - shingle_k + 1)
-                fast_rows.append(row)
-            if fast_rows:
                 h32 = _murmur3_window_matrix(np.concatenate(views))
                 # Java abs quirk: np.abs(int32 MIN) stays MIN — same as
                 # Math.abs; widen AFTER so the quirk is preserved
@@ -323,25 +334,23 @@ def minhash_signature_rows(
                 uniq_parts = []
                 uoffsets = [0]
                 for j in range(len(fast_rows)):
-                    s = offsets[j]
-                    e = s + lens[j]
-                    u = np.unique(base[s:e])
+                    st = offsets[j]
+                    u = np.unique(base[st : st + lens[j]])
                     uniq_parts.append(u)
                     uoffsets.append(uoffsets[-1] + len(u))
                 ub = np.concatenate(uniq_parts)
-                # Permutation grid over the batch-GLOBAL unique hashes in
-                # float64, gathered back per doc. Exact: |h| < 2^31 and
-                # (2i+1) <= 127, so every product + offset < 2^38 << 2^53
-                # and float64 fmod is the integer answer (pinned equal to
-                # the int64 grid by test). Two wins (r7): float64 fmod
-                # vectorizes where int64 has no SIMD path, and batch-wide
-                # dedup shrinks the grid when docs share shingles — the
-                # unique-window density is CORPUS-dependent (the sf1
-                # digit-mixed text is ~98% unique per doc, which made the
-                # old per-occurrence int64 grid the entire stage: 3.1x
-                # measured on that workload, neutral-or-better elsewhere).
+                # Permutation grid over the chunk-GLOBAL unique hashes in
+                # float64 (exact: |h| < 2^31 and (2i+1) <= 127, so every
+                # product + offset < 2^38 << 2^53 and float64 fmod IS the
+                # integer answer — float64 fmod vectorizes where int64 has
+                # no SIMD path), stored int32 (post-mod values < P < 2^31,
+                # so the cast is lossless and the gather+min pass moves
+                # half the bytes), gathered back per doc. All pinned equal
+                # to the int64 spec by the parity tests + golden oracle.
                 gu, inv = np.unique(ub, return_inverse=True)
-                vals = np.fmod(gu.astype(np.float64)[:, None] * A[None, :] + C[None, :], _P)
+                vals = np.fmod(
+                    gu.astype(np.float64)[:, None] * A[None, :] + C[None, :], _P
+                ).astype(np.int32)
                 mins = np.minimum.reduceat(
                     vals[inv], np.array(uoffsets[:-1]), axis=0
                 ).astype(np.int64)
