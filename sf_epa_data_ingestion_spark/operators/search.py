@@ -301,3 +301,22 @@ def bm25_search_many(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def prune_high_df_terms(
+    postings: DataFrame, n_docs: int, max_df_frac: float = 0.5
+) -> DataFrame:
+    """Index-time stopword-class pruning: drop tokens present in more than
+    ``max_df_frac`` of documents. This is the concrete form of the lever
+    the BM25 scale notes reference: a term with df ~= N fans every query
+    containing it out to nearly the whole corpus while contributing
+    near-zero RSJ idf (ln(1 + (N-df+.5)/(df+.5)) -> 0 as df -> N), so
+    dropping it at INDEX time bounds query-time work with negligible
+    ranking impact. The drop list is the anti-join side — high-df terms
+    are FEW by Zipf, so it broadcasts no matter how large the vocabulary
+    is (the keep-side vocabulary would not). Query-time plans are
+    unchanged; scoring a dropped term simply contributes nothing, exactly
+    as if the query had omitted it (pinned by test)."""
+    dfs = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    drop = dfs.filter(F.col("df") > float(max_df_frac) * n_docs).select("token")
+    return postings.join(broadcast(drop), "token", "left_anti")

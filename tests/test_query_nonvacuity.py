@@ -41,3 +41,13 @@ def test_oracle_result_is_not_degenerate(con, name):
         assert any(df[c].notna().any() for c in df.columns), (
             f"{name}: single all-NULL row — vacuous check"
         )
+    # Uniformity guard: the r6 quality_classifier bug returned 500 rows of
+    # identical zeros and still hash-matched. Any multi-row result must
+    # carry SOME variety — at least one column with >= 2 distinct values.
+    # (A genuinely-constant-valued answer over distinct keys passes via
+    # the key column; a fully-uniform frame means the query computes
+    # nothing.)
+    if len(df) > 1:
+        assert any(df[c].nunique(dropna=False) > 1 for c in df.columns), (
+            f"{name}: {len(df)} identical rows — uniform output, vacuous check"
+        )

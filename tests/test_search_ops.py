@@ -74,3 +74,37 @@ def test_bm25_batch_single_query_matches_scalar(spark):
     )
     assert batch == scalar and len(batch) > 0
     postings.unpersist()
+
+
+def test_prune_high_df_terms_equals_dropping_the_term_from_queries(spark):
+    """BM25 over a df-pruned index == BM25 over the full index with the
+    high-df terms removed from the query string (the pruning only ever
+    removes whole posting lists, and doc lengths come from doclens)."""
+    d, n, postings, stats = _index(spark)
+    doclens = search.doc_lengths(d, id_col="doc_id", text_col="text")
+    # find a genuinely high-df term to make the test meaningful
+    dfs = {r["token"]: r["df"] for r in stats.collect()}
+    hot = max(dfs, key=dfs.get)
+    # the synthetic vocabulary is uniformly common (~78% df) — set the cap
+    # between the hottest term and the rest so exactly it drops
+    frac = (dfs[hot] - 1) / n
+    assert all(dfs[t] <= frac * n for t in QUERY.split()), "query term above cap"
+    pruned = search.prune_high_df_terms(postings, n, max_df_frac=frac).persist()
+    pruned_stats = search.build_token_stats(pruned, n_docs=n)
+    assert pruned.filter(F.col("token") == hot).count() == 0
+    q = f"{hot} {QUERY}"
+    with_pruned_index = sorted(
+        (r["id"], r["score"])
+        for r in search.bm25_search(
+            pruned, pruned_stats, q, n_docs=n, k=25, doclens=doclens
+        ).collect()
+    )
+    without_hot_term = sorted(
+        (r["id"], r["score"])
+        for r in search.bm25_search(
+            pruned, pruned_stats, QUERY, n_docs=n, k=25, doclens=doclens
+        ).collect()
+    )
+    assert with_pruned_index == without_hot_term and len(with_pruned_index) > 0
+    pruned.unpersist()
+    postings.unpersist()
