@@ -1812,6 +1812,89 @@ QUALIFY row_number() OVER (ORDER BY score DESC, id ASC) <= 10
 """.replace("{QV}", _HYBRID_QV_SQL)
 
 
+HYBRID_BATCH_QUERIES = [
+    (0, "spark hash join table", [1.0 if i % 7 == 0 else 0.25 for i in range(64)]),
+    (1, "window sort merge batch", [0.8 if i % 5 == 0 else -0.2 for i in range(64)]),
+    (2, "scan filter value row", [(-1.0) ** i * (0.1 + i / 64.0) for i in range(64)]),
+]
+
+
+def q_search_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 hybrid retrieval, batch form (r7): a frame of (query_id, text,
+    vector) rows ranked in one plan — broadcast term-set pruning for the
+    lexical pool, broadcast query vectors for the semantic blend, one
+    window pair for candidates + final ranks. Single-query parity with
+    hybrid_search pinned in tests/test_search_ops.py."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
+        F.col("doc_id").alias("id"), "text", "lang", "embedding"
+    )
+    postings = search.build_postings(docs, id_col="id", text_col="text").persist()
+    stats = search.build_token_stats(postings, n_docs=docs.count())
+    qdf = spark.createDataFrame(
+        HYBRID_BATCH_QUERIES, "query_id long, query_text string, query_vec array<double>"
+    )
+    return search.hybrid_search_many(
+        docs, postings, stats, qdf, attr_filters={"lang": "en"}, k=10
+    ).select("query_id", "id", "lex_score", "sem_score", "score")
+
+
+def _hybrid_batch_values_sql() -> str:
+    rows = []
+    for qid, txt, qv in HYBRID_BATCH_QUERIES:
+        vec = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+        rows.append(f"({qid}, '{txt}', {vec})")
+    return ",\n        ".join(rows)
+
+
+ORACLE_SEARCH_HYBRID_BATCH = rf"""
+WITH q AS (
+  SELECT * FROM (VALUES
+        {_hybrid_batch_values_sql()}
+  ) AS t(query_id, query_text, qv)
+), qterms AS (
+  SELECT DISTINCT q.query_id, u.token
+  FROM q,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(query_text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), docs AS (
+  SELECT d.doc_id AS id, d.text, d.lang, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), toks AS (
+  SELECT id, u.token
+  FROM docs,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT token, COUNT(*) AS df,
+         ln(CAST((SELECT COUNT(*) FROM docs) + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0 AS idf
+  FROM postings GROUP BY token
+), lex AS (
+  SELECT qt.query_id, p.id, round(SUM(p.tf * st.idf), 6) AS lex_score
+  FROM postings p JOIN qterms qt USING (token) JOIN stats st USING (token)
+  GROUP BY qt.query_id, p.id
+  QUALIFY row_number() OVER (PARTITION BY qt.query_id
+                             ORDER BY lex_score DESC, p.id ASC) <= 100
+), scored AS (
+  SELECT l.query_id, b.id, l.lex_score,
+         list_dot_product(CAST(b.embedding AS DOUBLE[]), q.qv) /
+           nullif(sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv)), 0.0) AS sem_score
+  FROM docs b
+  JOIN lex l ON b.id = l.id
+  JOIN q ON q.query_id = l.query_id
+  WHERE b.lang = 'en'
+)
+SELECT query_id, id, lex_score, sem_score,
+       round(0.5 * lex_score + 0.5 * sem_score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (north star; codecs stubbed, plumbing real)
 # ---------------------------------------------------------------------------
@@ -2979,12 +3062,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
     # -- changed in r7 (vacuity fix): re-grade -----------------------
         "anti_join": q_anti_join,
-    # -- new in r7: batch BM25 ---------------------------------------
+    # -- new in r7: batch retrieval ----------------------------------
         "search_bm25_batch": q_search_bm25_batch,
+        "search_hybrid_batch": q_search_hybrid_batch,
     # -- similarity-family padding (r6-green) ------------------------
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
     # -- past the 50-entry window: r6-green, unchanged ---------------
+        "ann_ivf": q_ann_ivf,
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_lsh": q_minhash_lsh,
         "dup_spans": q_dup_spans,
@@ -3089,6 +3173,7 @@ def oracle_sql() -> dict[str, str]:
         "search_lexical": ORACLE_SEARCH_LEXICAL,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_bm25_batch": ORACLE_SEARCH_BM25_BATCH,
+        "search_hybrid_batch": ORACLE_SEARCH_HYBRID_BATCH,
         "search_hybrid": ORACLE_SEARCH_HYBRID,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -320,3 +320,86 @@ def prune_high_df_terms(
     dfs = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     drop = dfs.filter(F.col("df") > float(max_df_frac) * n_docs).select("token")
     return postings.join(broadcast(drop), "token", "left_anti")
+
+
+def hybrid_search_many(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    attr_filters: dict[str, object] | None = None,
+    k: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    text_col: str = "query_text",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch hybrid retrieval: a DATAFRAME of (query_id, query_text,
+    query_vec) rows ranked in one plan — alpha * lexical TF-IDF +
+    (1-alpha) * cosine, after attribute filtering. The batch-shape
+    sibling of ``hybrid_search`` exactly as ``bm25_search_many`` is to
+    ``bm25_search``: term pruning is a broadcast join of the distinct
+    (query, token) set, the lexical candidate pool (top 10k-per-query,
+    min 100 — same widening rule as the scalar form) comes from ONE
+    query-partitioned window, and the semantic side joins the candidate
+    pool against the docs' vectors with the query vectors broadcast —
+    the corpus embedding column is only read for lexical candidates,
+    never swept. ``attr_filters`` apply to the whole batch (per-query
+    filters belong in the caller's query frame as separate calls).
+
+    Single-query parity with ``hybrid_search`` pinned by test.
+    """
+    base = docs
+    for attr, val in (attr_filters or {}).items():
+        if isinstance(val, (list, tuple)):
+            base = base.filter(F.arrays_overlap(F.col(attr), F.array(*[F.lit(v) for v in val])))
+        else:
+            base = base.filter(F.col(attr) == F.lit(val))
+
+    pool = max(k * 10, 100)
+    qterms = queries.select(
+        F.col(query_id), F.explode(_norm_tokens(F.col(text_col))).alias("token")
+    ).distinct()
+    lex = (
+        postings.join(broadcast(qterms), "token")
+        .join(broadcast(stats.select("token", "idf")), "token")
+        .groupBy(query_id, "id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("lex_score"))
+    )
+    wl = Window.partitionBy(query_id).orderBy(F.desc("lex_score"), F.asc("id"))
+    cand = (
+        lex.withColumn("__r", F.row_number().over(wl))
+        .filter(F.col("__r") <= pool)
+        .drop("__r")
+    )
+
+    from ..functions.vectors import cosine
+
+    qv = queries.select(F.col(query_id), F.col(qvec_col))
+    out = (
+        base.join(cand, base[id_col] == cand["id"], "inner")
+        .drop(cand["id"])
+        .join(broadcast(qv), query_id)
+        .withColumn(
+            "sem_score",
+            F.when(
+                F.col(qvec_col).isNotNull(), cosine(F.col(vec_col), F.col(qvec_col))
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(alpha) * F.col("lex_score")
+                + F.lit(1.0 - alpha) * F.col("sem_score"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank", qvec_col)
+    )

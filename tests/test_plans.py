@@ -196,3 +196,23 @@ def test_sample_to_budget_windows_are_bounded(spark):
     assert re.search(
         r"cum_before#\d+L? \+ coalesce\(_we0#\d+L?, 0\)", p
     )
+
+
+def test_ivfpq_probe_is_equijoin_no_cartesian(spark):
+    p = plan_of(spark, "ann_ivfpq")
+    # the ADC sweep must be a cid equi-join against the broadcast per-probe
+    # LUT rows — never a cartesian over the corpus codes; the only allowed
+    # broadcast-nested-loop is a 1-row scalar if any
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the full-vector refine side joins only the shortlist
+    assert "cid" in p
+
+
+def test_bm25_batch_broadcasts_query_terms(spark):
+    p = plan_of(spark, "search_bm25_batch")
+    # term pruning is a broadcast join of the distinct (query, token) set
+    # onto the postings — the join IS the pushdown when terms are data;
+    # corpus-sized sides never cartesian
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p

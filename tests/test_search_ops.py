@@ -108,3 +108,32 @@ def test_prune_high_df_terms_equals_dropping_the_term_from_queries(spark):
     assert with_pruned_index == without_hot_term and len(with_pruned_index) > 0
     pruned.unpersist()
     postings.unpersist()
+
+
+def test_hybrid_batch_single_query_matches_scalar(spark):
+    """hybrid_search_many over a 1-row query frame == hybrid_search with
+    the same string + vector + filters."""
+    d, n, postings, stats = _index(spark)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
+        F.col("doc_id").alias("id"), "text", "lang", "embedding"
+    )
+    qv = [1.0 if i % 5 == 0 else 0.5 for i in range(64)]
+    qdf = spark.createDataFrame(
+        [(3, QUERY, qv)], "query_id long, query_text string, query_vec array<double>"
+    )
+    batch = sorted(
+        (r["id"], r["lex_score"], r["sem_score"], r["score"])
+        for r in search.hybrid_search_many(
+            docs, postings, stats, qdf, attr_filters={"lang": "en"}, k=10
+        ).collect()
+    )
+    scalar = sorted(
+        (r["id"], r["lex_score"], r["sem_score"], r["score"])
+        for r in search.hybrid_search(
+            docs, postings, stats, QUERY, query_vec=qv,
+            attr_filters={"lang": "en"}, k=10,
+        ).collect()
+    )
+    assert batch == scalar and len(batch) > 0
+    postings.unpersist()
