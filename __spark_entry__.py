@@ -1375,6 +1375,27 @@ JOIN '/root/repo/tests/fixtures/golden_fingerprints.parquet' f
 _HASH_UNIT_SQL = "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 13)) AS UBIGINT) / 4503599627370496.0"
 
 
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: the write-side global shuffle — deterministic (shard,
+    order_key) per document from salted md5 hash units; the writer does
+    partitionBy(shard) + sortWithinPartitions(order_key) for
+    byte-reproducible training shards on any cluster size, and a new
+    salt is a fresh epoch permutation (sampling.shard_for_training)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.shard_for_training(d, "doc_id", n_shards=8, salt="epoch0").select(
+        "doc_id", "shard", "order_key"
+    )
+
+
+ORACLE_TRAIN_SHARDS = f"""
+SELECT doc_id,
+       CAST(floor({_HASH_UNIT_SQL.format(k="'epoch0:' || CAST(doc_id AS VARCHAR)")} * 8) AS INT) AS shard,
+       {_HASH_UNIT_SQL.format(k="'epoch0#' || CAST(doc_id AS VARCHAR)")} AS order_key
+FROM documents
+"""
+
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-deterministic ~20% sample of documents (same rows on any
     engine/partitioning — unlike df.sample)."""
@@ -3065,9 +3086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- new in r7: batch retrieval ----------------------------------
         "search_bm25_batch": q_search_bm25_batch,
         "search_hybrid_batch": q_search_hybrid_batch,
-    # -- similarity-family padding (r6-green) ------------------------
-        "ann_lsh": q_ann_lsh,
+    # -- new in r7: training-shard writer ----------------------------
+        "train_shards": q_train_shards,
     # -- past the 50-entry window: r6-green, unchanged ---------------
+        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_lsh": q_minhash_lsh,
@@ -3174,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_bm25_batch": ORACLE_SEARCH_BM25_BATCH,
         "search_hybrid_batch": ORACLE_SEARCH_HYBRID_BATCH,
+        "train_shards": ORACLE_TRAIN_SHARDS,
         "search_hybrid": ORACLE_SEARCH_HYBRID,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "multimodal_meta": ORACLE_MULTIMODAL_META,

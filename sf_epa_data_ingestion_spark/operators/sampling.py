@@ -282,3 +282,35 @@ def sample_to_budget(
         .select("key", "source", "w")
     )
     return inside.unionByName(boundary)
+
+
+def shard_for_training(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 32,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the write-side
+    operator a pretraining data pipeline ends with: ``shard =
+    floor(u1 * n_shards)`` and a within-shard ``order_key = u2``, both
+    from the engine-portable md5 hash unit over a SALTED key. The writer
+    then does ``partitionBy(shard)`` + ``sortWithinPartitions(order_key)``
+    — a reproducible global permutation with ONE hash-partitioned
+    exchange and per-shard sorts, never a global sort (the hash IS the
+    permutation). Re-salting (``epoch1``, ...) yields a fresh
+    independent permutation per epoch at zero extra state; a key's
+    (shard, order) is a pure function of (salt, key), so any engine /
+    cluster size / retry reproduces byte-identical shards.
+
+    u1 and u2 use domain-separated saltings (``salt:key`` vs
+    ``salt#key``) so shard assignment and intra-shard order are
+    independent. Both are exact in a double (52-bit md5 prefix over a
+    2^52 divisor), which is what lets the DuckDB oracle replay them
+    digit-for-digit."""
+    u1 = _hash_unit(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    u2 = _hash_unit(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string")))
+    return df.select(
+        "*",
+        F.floor(u1 * n_shards).cast("int").alias("shard"),
+        u2.alias("order_key"),
+    )
