@@ -3018,18 +3018,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note (r7): the driver's correctness harness checks only
     # the FIRST 50 entries. After r6 every query's newest green row was
     # r5+ except search_bm25/window_analytics (r4). This window:
-    #    1   : the NEW r7 query (ann_ivfpq) — first driver row;
+    #    1   : NEW ann_ivfpq — first driver row;
     #   2-10 : queries whose CODE changed in r7 (banded near-dup grading,
     #          search-family index materialization + bm25 rework, the
     #          r6 ngram_jaccard PPJoin rewrite that sat past r6's window,
-    #          quality_classifier cache-release, ann_pq guards) — a
-    #          changed query always re-grades the round it changes;
+    #          quality_classifier centered trainer + label fix, ann_pq
+    #          adaptive shortlist) — a changed query always re-grades the
+    #          round it changes;
     #  11-46 : the 36 remaining queries whose newest green row is r5
     #          (they sat past r6's window) — renewed, so after r7 every
     #          registry query has a row at most one round old;
-    #  47-50 : similarity-family padding (r6-green, adjacent to this
-    #          round's changes);
-    #   51+  : r6-green, unchanged.
+    #  47-50 : anti_join (r7 vacuity fix) + the three other NEW r7
+    #          queries (search_bm25_batch, search_hybrid_batch,
+    #          train_shards);
+    #   51+  : r6-green, unchanged (incl. the ann padding that ceded its
+    #          slots to the new queries).
     # tools/check_freshness.py enforces the <=2-round staleness rule.
     return {
     # -- new in r7: needs its first driver row -----------------------
