@@ -1201,6 +1201,8 @@ def ivfpq_search(
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     m = len(cq)
+    if m == 0 or dim % m:
+        raise ValueError(f"dim {dim} not divisible by {m} codebook subspaces")
     dsub = dim // m
     c = _prepped if _prepped is not None else _ivfpq_prep(corpus, corpus_id, vec_col, dim)
     encoded = index.select(corpus_id, "cid", F.col("codes").alias("__cs"))
