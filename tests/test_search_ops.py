@@ -137,3 +137,53 @@ def test_hybrid_batch_single_query_matches_scalar(spark):
     )
     assert batch == scalar and len(batch) > 0
     postings.unpersist()
+
+
+def test_bm25_batch_fallback_doclens_matches(spark):
+    """Batch BM25 without an index-side doclens table (postings-derived
+    fallback) == the doclens path."""
+    d, n, postings, stats = _index(spark)
+    doclens = search.doc_lengths(d, id_col="doc_id", text_col="text")
+    qdf = spark.createDataFrame(
+        [(0, QUERY), (1, "window sort merge")], "query_id long, query_text string"
+    )
+    a = sorted(
+        (r["query_id"], r["id"], r["score"])
+        for r in search.bm25_search_many(
+            postings, stats, qdf, n_docs=n, k=25, doclens=doclens
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["id"], r["score"])
+        for r in search.bm25_search_many(postings, stats, qdf, n_docs=n, k=25).collect()
+    )
+    assert a == b and len(a) > 0
+    postings.unpersist()
+
+
+def test_hybrid_batch_null_vector_means_lexical_only(spark):
+    """A NULL query_vec row degrades to pure-lexical ranking (sem 0),
+    matching the scalar form with query_vec=None."""
+    d, n, postings, stats = _index(spark)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
+        F.col("doc_id").alias("id"), "text", "lang", "embedding"
+    )
+    qdf = spark.createDataFrame(
+        [(9, QUERY, None)], "query_id long, query_text string, query_vec array<double>"
+    )
+    batch = sorted(
+        (r["id"], r["lex_score"], r["sem_score"], r["score"])
+        for r in search.hybrid_search_many(
+            docs, postings, stats, qdf, attr_filters={"lang": "en"}, k=10
+        ).collect()
+    )
+    scalar = sorted(
+        (r["id"], r["lex_score"], r["sem_score"], r["score"])
+        for r in search.hybrid_search(
+            docs, postings, stats, QUERY, query_vec=None,
+            attr_filters={"lang": "en"}, k=10,
+        ).collect()
+    )
+    assert batch == scalar and len(batch) > 0
+    postings.unpersist()

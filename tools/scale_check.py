@@ -31,6 +31,8 @@ HEAVY = [
     # r7: the rest of the search family (index materialized per query,
     # like the graded queries do)
     "search_postings", "search_lexical", "search_hybrid", "ann_ivfpq",
+    # r7 batch retrieval + shard writer
+    "search_bm25_batch", "search_hybrid_batch", "train_shards",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scaledata", "sf1")
