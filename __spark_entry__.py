@@ -1711,10 +1711,13 @@ def q_search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.count()
     postings = search.build_postings(d, id_col="doc_id", text_col="text").persist()
     stats = search.build_token_stats(postings, n_docs=n)
-    doclens = search.doc_lengths(d, id_col="doc_id", text_col="text")
+    # doc lengths come from the PERSISTED postings (the fallback path):
+    # a live doc_lengths subplan re-tokenizes the corpus once per
+    # consumer (doclen + avgdl) — measured 7.4s vs 1.1s at sf1. The
+    # doclens= parameter is for a MATERIALIZED index-side table.
     qdf = spark.createDataFrame(BATCH_QUERIES, "query_id long, query_text string")
     return search.bm25_search_many(
-        postings, stats, qdf, n_docs=n, k=10, doclens=doclens
+        postings, stats, qdf, n_docs=n, k=10
     ).select("query_id", F.col("id").alias("doc_id"), "score")
 
 
