@@ -1,21 +1,29 @@
 """Similarity search over embedding columns (north-star scope).
 
-Two paths:
-- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
-  Query set × corpus join with expression-level dot products, then a
-  per-query window top-k. Use when |queries| is small or as the verifier.
-- ``lsh_topk``: random-hyperplane LSH — the 100 TB path. Sign-bit
-  signatures bucket the corpus; each query only scores its own buckets.
-  Recall < 1 by construction; multi-probe (``n_tables``) trades compute
-  for recall.
+The ANN ladder, each tier fixing the previous one's scale gap:
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline
+  and verifier (O(|Q|*|C|), queries broadcast, corpus never shuffles).
+- ``lsh_topk``: random-hyperplane buckets — each query scores only its
+  own buckets; ``n_tables`` trades compute for recall.
+- ``ivf_topk``: coarse k-means cells — prunes WHICH vectors a query
+  touches (~n_probe/n_centroids of the corpus).
+- ``pq_topk``: product quantization (ADC+R) — shrinks WHAT a scan reads
+  (16x4-bit codes = 8 B/vector), integer-exact end to end.
+- ``ivfpq_topk`` / ``train_ivfpq`` + ``encode_ivfpq`` + ``ivfpq_search``:
+  the composed sublinear tier (FAISS ``IVF16,PQ16x4`` analog) with a
+  train/add/search split — the streaming vector-index appender applies
+  the frozen model to arriving vectors, and queries serve from the
+  prebuilt (id, cid, codes) table.
 - ``embedding_near_dup_pairs``: corpus self-similarity above a cosine
-  threshold (near-duplicate detection by embedding).
+  threshold (near-duplicate detection by embedding; banded production
+  path, exact mode as test-only verifier).
+- ``quantize_embeddings``: int8 scalar quantization (SQ8 analog).
 
-Scale notes: brute force is O(|Q| * |C|) — fine for |Q| small since the
-corpus never shuffles (queries broadcast). LSH replaces the cross join with
-an equi-join on (table, signature): one shuffle of corpus + queries, bucket-
-bounded pairwise work, AQE handles skewed buckets. Hyperplanes are derived
-from a fixed seed so results are deterministic across runs.
+Determinism is the design constraint throughout: seeded hyperplanes,
+engine-stable seed choice, fixed-point Lloyd sums (order-independent
+integer aggregation), and 2^-15-quantized integer ADC/refinement ranks —
+which is what lets every tier carry a hash-exact golden-fixture DuckDB
+oracle (functions/refhash mirrors). Scale notes live on each operator.
 """
 
 from __future__ import annotations
