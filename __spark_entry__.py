@@ -1650,6 +1650,12 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-tokenize the whole corpus — the regex+explode pass dominated the
     # old 6.1x sf1 scaling (SCALE.md r6); cached, the corpus is tokenized
     # once and the branches read narrow (token, id, tf) rows.
+    # Cache lifecycle: the returned frame is lazy and REFERENCES this
+    # cache, so the query function cannot unpersist it (an eager
+    # checkpoint would also truncate the plan the explain-audit tests
+    # pin). The driver and bench clear the cache after consuming each
+    # query; a library caller who keeps the session should do the same
+    # (spark.catalog.clearCache() or unpersist the index explicitly).
     postings = search.build_postings(d, id_col="doc_id", text_col="text").persist()
     stats = search.build_token_stats(postings, n_docs=n)
     return search.bm25_search(postings, stats, SEARCH_QUERY, n_docs=n, k=10).select(
