@@ -264,3 +264,24 @@ def test_ivfpq_recall_vs_bruteforce(spark):
         len(exact[k_] & approx.get(k_, set())) / len(exact[k_]) for k_ in exact
     ) / len(exact)
     assert recall >= 0.4, f"ivfpq recall {recall:.3f} < 0.4"
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark):
+    """n_probe = n_centroids means every cell is probed, so the candidate
+    set is the whole corpus and IVF-PQ must reduce to flat PQ bit-for-bit
+    (both trainers draw seeds from the same engine-stable order, so the
+    codebooks are identical; the pruning is the ONLY difference)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = sorted(
+        tuple(r) for r in similarity.pq_topk(emb, q, k=5, dim=64).collect()
+    )
+    full_probe = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_topk(
+            emb, q, k=5, dim=64, n_centroids=16, n_probe=16
+        ).collect()
+    )
+    assert flat == full_probe and len(flat) == 50
