@@ -187,3 +187,49 @@ def test_hybrid_batch_null_vector_means_lexical_only(spark):
     )
     assert batch == scalar and len(batch) > 0
     postings.unpersist()
+
+
+def test_token_bucketed_postings_prune_the_bm25_scan(spark, tmp_path):
+    """The index-side claim in the BM25 scale notes, demonstrated: save
+    the postings table bucketed by token and the query-term IN filter
+    prunes to a subset of buckets (SelectedBucketsCount in the scan) —
+    at 100 TB the term probe reads ~n_terms/n_buckets of the index."""
+    import contextlib
+    import io
+
+    d, n, postings, stats = _index(spark)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    name = "postings_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (postings.write.bucketBy(16, "token").sortBy("token").saveAsTable(name))
+    try:
+        bucketed = spark.table(name)
+        terms = sorted(set(QUERY.split()))
+        probed = bucketed.filter(F.col("token").isin(terms))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probed.explain("formatted")
+        plan = buf.getvalue()
+        assert "SelectedBucketsCount" in plan, plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), m.group(0) if m else plan
+        # and the pruned-table ranking is identical to the plain one
+        doclens = search.doc_lengths(d, id_col="doc_id", text_col="text")
+        a = sorted(
+            (r["id"], r["score"])
+            for r in search.bm25_search(
+                bucketed, stats, QUERY, n_docs=n, k=25, doclens=doclens
+            ).collect()
+        )
+        b = sorted(
+            (r["id"], r["score"])
+            for r in search.bm25_search(
+                postings, stats, QUERY, n_docs=n, k=25, doclens=doclens
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        postings.unpersist()
