@@ -156,8 +156,11 @@ def bm25_search(
     (a WAND/maxscore upper-bound skip needs an iterative threshold no
     one-shot declarative plan has). At 100 TB the standard levers compose
     here: partition/bucket the postings table by token (prunes the scan
-    to query terms), and drop stopword-class terms at INDEX time — both
-    leave this query-time plan unchanged.
+    to query terms — demonstrated end-to-end in tests/test_search_ops.py:
+    a token-bucketed save + the IN filter selects a strict subset of
+    buckets at identical ranking), and drop stopword-class terms at
+    INDEX time (``prune_high_df_terms``) — both leave this query-time
+    plan unchanged.
     """
     terms = sorted({t for t in query.lower().split() if t})
     pruned = postings.filter(F.col("token").isin(terms))
