@@ -290,9 +290,15 @@ def bm25_search_many(
     tf_part = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
+    # stats is vocabulary-sized — unbounded at corpus scale — so prune it
+    # to the batch's term set (left_semi against the distinct tokens)
+    # BEFORE broadcasting, exactly like the scalar form's literal IN list
+    qstats = stats.select("token", "df").join(
+        qterms.select("token").distinct(), "token", "left_semi"
+    )
     hits = (
         postings.join(broadcast(qterms), "token")
-        .join(broadcast(stats.select("token", "df")), "token")
+        .join(broadcast(qstats), "token")
         .join(doclen, "id")
         .crossJoin(broadcast(avgdl))
         .groupBy(query_id, "id")
@@ -365,9 +371,14 @@ def hybrid_search_many(
     qterms = queries.select(
         F.col(query_id), F.explode(_norm_tokens(F.col(text_col))).alias("token")
     ).distinct()
+    # prune the vocabulary-sized stats to the batch's terms before the
+    # broadcast (see bm25_search_many — same OOM guard)
+    qstats = stats.select("token", "idf").join(
+        qterms.select("token").distinct(), "token", "left_semi"
+    )
     lex = (
         postings.join(broadcast(qterms), "token")
-        .join(broadcast(stats.select("token", "idf")), "token")
+        .join(broadcast(qstats), "token")
         .groupBy(query_id, "id")
         .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("lex_score"))
     )

@@ -1154,12 +1154,22 @@ def ivfpq_topk(
         raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
     dsub = dim // m
 
+    # Cache lifecycle: the returned frame is lazy and REFERENCES this cache
+    # (train, encode and the refine re-join all read it), so this function
+    # cannot unpersist it before the caller consumes the result. Callers
+    # invoking ivfpq_topk repeatedly in one session should release it
+    # (spark.catalog.clearCache() or unpersist) between calls — the same
+    # documented contract as q_search_bm25's persisted index.
     c = _ivfpq_prep(corpus, corpus_id, vec_col, dim).persist()
     coarse, cq = train_ivfpq(
         corpus, corpus_id, vec_col, n_centroids, ivf_iters, m, ksub, pq_iters,
         dim, _prepped=c,
     )
     if coarse is None:
+        # empty-corpus early return: the empty frame never references the
+        # cache, so release it here instead of leaking session-lifetime
+        # cached blocks (r7 ADVICE)
+        c.unpersist()
         spark = corpus.sparkSession
         return spark.createDataFrame(
             [], f"{query_id} long, {corpus_id} long, score_fp long, rank long"

@@ -23,10 +23,14 @@ partition-pruned scan. Periodic re-training (cell drift) is a batch job
 that writes a fresh table generation; the txlog's atomic swap makes the
 cutover a metadata operation.
 
-Cross-batch id dedup follows streaming/ingest.py's design: the table IS
-the state (anti-join on the id column only — Catalyst broadcasts the
-MB-scale batch side against the corpus scan), so a cold restart needs no
-state-store migration. Same single-writer discipline as ingest.py.
+Id dedup follows streaming/ingest.py's two-stage design: in-batch (one
+encoded row per id, lowest cid/codes tiebreak — a window over the
+MB-scale micro-batch), then cross-batch, where the table IS the state
+(left_anti join on the id column only; the STREAM side is the probe and
+the corpus side is the anti-join's build side, so at corpus scale the
+existing-id projection should be a narrow column scan — ids only, never
+codes), so a cold restart needs no state-store migration. Same
+single-writer discipline as ingest.py.
 """
 
 from __future__ import annotations
@@ -62,10 +66,24 @@ def vector_index_appender(
     """
 
     def write_batch(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         last = table.last_txn(app_id)
         if last is not None and batch_id <= last:
             return  # replayed batch: already durable
         enc = encode_ivfpq(batch_df, coarse, cq, dim, id_col=id_col, vec_col=vec_col)
+        # in-batch dedup: duplicate ids arriving WITHIN one micro-batch all
+        # survive the cross-batch anti-join, so collapse to one encoded row
+        # per id first (deterministic keep: lowest (cid, codes) — encoding
+        # is a pure function of the vector, so true duplicates are
+        # identical rows and any tiebreak returns the same codes).
+        one = Window.partitionBy(id_col).orderBy(F.asc("cid"), F.asc("codes"))
+        enc = (
+            enc.withColumn("__rn", F.row_number().over(one))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         existing = table.read().select(id_col).distinct()
         fresh = enc.join(existing, id_col, "left_anti")
         append_once(table, fresh, app_id, batch_id, max_retries)
