@@ -1207,41 +1207,84 @@ FROM k JOIN '/root/repo/tests/fixtures/golden_hll_profile.parquet' f
 """
 
 
+NEARDUP_PLANT_OFFSET = 1_000_000  # planted ids live far above any real vec_id
+
+
+def _plant_perturb_expr(x):
+    """Elementwise fixed-point near-dup perturbation (Spark expression
+    form of functions/refhash.ref_plant_perturb — bit-identical in Spark,
+    DuckDB and Python; `%` on a long follows the dividend's sign in both
+    engines, mirrored by java_rem): p = (floor(x*1e6) + jitter - 3)/1e6
+    with jitter = (floor(x*1e6) * 2654435761) % 7."""
+    fl = F.floor(x * F.lit(1000000.0))
+    j = (fl * F.lit(2654435761)) % F.lit(7)
+    return (fl + j - F.lit(3)) / F.lit(1000000.0)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs on the BANDED (production) path — r7
-    retired the exact=True self-join from grading: it was the repo's last
-    driver-graded quadratic AND, at the old 0.60 threshold, vacuously
-    0-row (max pairwise cosine in the testdata is ~0.51). The banded LSH
-    bucketing is deterministic (seeded splitmix64 hyperplanes), so the
-    oracle replays it from a golden signature fixture exactly like
-    ann_lsh/simhash. 16 tables x 4 bits: the 0.40 threshold is the hard
-    LSH regime (per-bit collision ~0.63), so recall comes from table
-    count — measured 57/59 true pairs at sf0.01 (>=0.9 pinned by
-    tests/test_recall_gates.py)."""
+    """Embedding near-dup detection, banded path, PRODUCTION regime (r8).
+
+    r7 graded the banded path at t=0.40 16x4 because the isotropic driver
+    embeddings have no pairs above cosine ~0.51 — and at that angle ~64%
+    of ALL pairs genuinely band-collide, so the graded plan ran ~n^2
+    candidates (27x at sf1) and never exercised the pruning that makes
+    the operator scale (r7 VERDICT "What's wrong" #1). r8 derives a
+    corpus WITH planted near-dups deterministically from the driver's own
+    table: union the embeddings with fixed-point-perturbed copies
+    (cosine >= 1 - ~1e-9 by construction on the unit-norm testdata; ids
+    offset by 1e6), then run banded t=0.95 at the production 8x8 band
+    geometry — per-bit collision for unrelated pairs is ~0.5, so a random
+    pair survives a table with probability ~2^-8 and candidate volume is
+    ~3% of pairs instead of ~64% (production regime measured 2.5x at sf1,
+    SCALE.md). The oracle replays the same signatures from a golden
+    fixture (tools/make_golden_neardup_prod.py) and re-derives candidate
+    generation + cosine scoring in SQL, so the graded check is hash-exact
+    AND the graded plan is the scale-shaped one. Planted-pair recall is
+    pinned in tests/test_recall_gates.py; the dense t=0.40 regime remains
+    covered there as an operator-level recall gate."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(NEARDUP_PLANT_OFFSET)).alias("vec_id"),
+        F.transform("embedding", _plant_perturb_expr).alias("embedding"),
+    )
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=0.40,
+        emb.unionByName(pert),
+        threshold=0.95,
         exact=False,
-        n_tables=16,
-        bits=4,
+        n_tables=8,
+        bits=8,
         dim=64,
     )
 
 
-# Content-addressed banded replay (same scheme as ORACLE_ANN_LSH): join
-# embeddings to the 16x4 golden signatures on md5 of the %.9e canonical
-# rendering, re-derive candidate generation (any-table bucket collision,
-# id_a < id_b, DISTINCT) in SQL, then score survivors with the round-6
-# cosine and apply the threshold. Independent of the engine end to end.
+# Content-addressed banded replay (same scheme as ORACLE_ANN_LSH): build
+# the SAME union corpus (originals + the elementwise fixed-point
+# perturbation — bit-identical across engines), join it to the 8x8 golden
+# signatures on md5 of the %.9e canonical rendering, re-derive candidate
+# generation (any-table bucket collision, id_a < id_b, DISTINCT) in SQL,
+# then score survivors with exact cosine and apply the 0.95 threshold.
+# Independent of the engine end to end.
 ORACLE_EMBEDDING_NEAR_DUP = """
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         md5(array_to_string(
-           list_transform(embedding, x -> printf('%.9e', CAST(x AS DOUBLE))), ',')) AS h
-  FROM embeddings
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(v,
+           x -> (CAST(floor(x * 1000000.0) AS BIGINT)
+                 + ((CAST(floor(x * 1000000.0) AS BIGINT) * 2654435761) % 7) - 3)
+                / 1000000.0) AS v
+  FROM base
+), e AS (
+  SELECT vec_id, v,
+         md5(array_to_string(list_transform(v, x -> printf('%.9e', x)), ',')) AS h
+  FROM corpus
 ), s AS (
   SELECT e.vec_id, f.table_id, f.sig
-  FROM e JOIN '/root/repo/tests/fixtures/golden_neardup_sigs.parquet' f ON e.h = f.emb_md5
+  FROM e JOIN '/root/repo/tests/fixtures/golden_neardup_prod_sigs.parquet' f ON e.h = f.emb_md5
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM s a JOIN s b ON a.table_id = b.table_id AND a.sig = b.sig
@@ -1254,7 +1297,7 @@ FROM cand c
 JOIN e ea ON ea.vec_id = c.id_a
 JOIN e eb ON eb.vec_id = c.id_b
 WHERE round(list_dot_product(ea.v, eb.v) /
-            (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.40
+            (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.95
 """
 
 

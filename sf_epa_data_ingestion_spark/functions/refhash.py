@@ -30,6 +30,8 @@ Byte-level quirks mirrored deliberately (pinned by
 
 from __future__ import annotations
 
+import math
+
 _M32 = 0xFFFFFFFF
 _M64 = 0xFFFFFFFFFFFFFFFF
 
@@ -334,6 +336,32 @@ def ref_lsh_sigs(
             if d > 0:
                 sig |= 1 << b
         out.append(sig)
+    return out
+
+
+def ref_plant_perturb(vec: list[float] | None) -> list[float] | None:
+    """Mirror the planted near-duplicate perturbation the graded
+    ``embedding_near_dup`` query applies (``__spark_entry__.py``) — a pure
+    elementwise fixed-point function of the coordinate value, so Spark
+    (``transform`` expression), DuckDB (``list_transform`` in the oracle)
+    and this Python mirror (fixture baking) all reproduce it bit-for-bit:
+
+        fl = floor(x * 1e6)            # exact: double -> int
+        j  = java_rem(fl * 2654435761, 7)   # C-style %, sign of dividend
+        p  = (fl + j - 3) / 1e6        # exact int -> double division
+
+    |p - x| <= 1e-6 (floor) + 6e-6 (jitter) per coordinate, so for the
+    unit-norm testdata embeddings cosine(x, p) >= 1 - ~1e-9 — a planted
+    pair far above any production near-dup threshold, derived
+    deterministically from the driver's own table (no side-channel data).
+    """
+    if vec is None:
+        return None
+    out = []
+    for x in vec:
+        fl = math.floor(float(x) * 1000000.0)
+        j = java_rem(fl * 2654435761, 7)
+        out.append((fl + j - 3) / 1000000.0)
     return out
 
 
