@@ -1968,6 +1968,99 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) <=
 """
 
 
+def q_search_hybrid_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 TRUE hybrid retrieval (r8): lexical candidates UNION IVF-PQ
+    semantic candidates, reciprocal-rank fused. ``search_hybrid`` builds
+    its pool from the lexical index alone (the embedding only reranks),
+    so a document matching the query semantically but sharing no tokens
+    is unreachable at any k — the one capability where the reference's
+    managed service (epa_ingestion.py:844-854, lexical AND vector
+    retrieval, fused) still beat the engine (r7 VERDICT next-round #1).
+    Here the semantic leg queries a PREBUILT (id, cid, codes) index with
+    a frozen train_ivfpq model — the serving shape of a maintained 100 TB
+    retrieval tier — and the fusion is RRF over the two rank lists, so
+    scores on incomparable scales need no normalization sweep. The ANN
+    leg is deterministic end to end (the golden-fixture chain already
+    proven for ann_ivfpq, external-query form), the lexical leg and the
+    fusion are re-derived in SQL by the oracle. Semantic-only matches
+    surfacing in top-k is pinned by tests/test_search_ops.py."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
+        F.col("doc_id").alias("id"), "text", "embedding"
+    )
+    postings = search.build_postings(docs, id_col="id", text_col="text").persist()
+    stats = search.build_token_stats(postings, n_docs=docs.count())
+    coarse, cq = similarity.train_ivfpq(
+        docs, corpus_id="id", vec_col="embedding", dim=64
+    )
+    index = similarity.encode_ivfpq(
+        docs, coarse, cq, 64, id_col="id", vec_col="embedding"
+    )
+    qv = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
+    return search.hybrid_search_ann(
+        docs, postings, stats, SEARCH_QUERY, qv, index, coarse, cq, k=10, dim=64
+    )
+
+
+# Lexical leg + RRF fusion re-derived in SQL; ONLY the ANN semantic leg
+# joins from the content-addressed golden fixture (the ivfpq chain is
+# replayed outside the JVM by tools/make_golden_hybrid_ann.py — same
+# scheme as ORACLE_ANN_IVFPQ, external-query form). A corpus mismatch
+# drops the sem leg and fails the hash compare loudly.
+ORACLE_SEARCH_HYBRID_ANN = rf"""
+WITH docs AS (
+  SELECT d.doc_id AS id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), eh AS (
+  SELECT id,
+         md5(array_to_string(
+           list_transform(embedding, x -> printf('%.9e', CAST(x AS DOUBLE))), ',')) AS h
+  FROM docs
+), corp AS (
+  SELECT md5(string_agg(CAST(id AS VARCHAR) || ':' || h, ',' ORDER BY id)) AS ch
+  FROM eh
+), toks AS (
+  SELECT id, u.token
+  FROM docs,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT token, COUNT(*) AS df,
+         ln(CAST((SELECT COUNT(*) FROM docs) + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0 AS idf
+  FROM postings GROUP BY token
+), lex AS (
+  SELECT id, round(SUM(tf * idf), 6) AS score
+  FROM postings JOIN stats USING (token)
+  WHERE token IN ({", ".join("'" + t + "'" for t in sorted(set(SEARCH_QUERY.split())))})
+  GROUP BY id
+  QUALIFY row_number() OVER (ORDER BY score DESC, id ASC) <= 100
+), lexr AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INTEGER) AS lex_rank
+  FROM lex
+), sem AS (
+  SELECT g.id, g.sem_rank
+  FROM '/root/repo/tests/fixtures/golden_hybrid_ann.parquet' g
+  JOIN corp ON g.corpus_md5 = corp.ch
+), fused AS (
+  SELECT COALESCE(l.id, s.id) AS id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(s.sem_rank, 0) AS sem_rank,
+         (CASE WHEN l.lex_rank IS NULL THEN 0.0
+               ELSE 1.0 / (60.0 + l.lex_rank) END
+          + CASE WHEN s.sem_rank IS NULL THEN 0.0
+                 ELSE 1.0 / (60.0 + s.sem_rank) END) AS rrf
+  FROM lexr l FULL OUTER JOIN sem s ON l.id = s.id
+)
+SELECT id, lex_rank, sem_rank, round(rrf, 6) AS rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (north star; codecs stubbed, plumbing real)
 # ---------------------------------------------------------------------------
@@ -3141,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- new in r7: batch retrieval ----------------------------------
         "search_bm25_batch": q_search_bm25_batch,
         "search_hybrid_batch": q_search_hybrid_batch,
+    # -- new in r8: true hybrid (lexical UNION ANN, RRF-fused) -------
+        "search_hybrid_ann": q_search_hybrid_ann,
     # -- new in r7: training-shard writer ----------------------------
         "train_shards": q_train_shards,
     # -- past the 50-entry window: r6-green, unchanged ---------------
@@ -3247,6 +3342,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles": ORACLE_PERCENTILES,
         "heavy_hitters": ORACLE_HEAVY_HITTERS,
         "search_postings": ORACLE_SEARCH_POSTINGS,
+        "search_hybrid_ann": ORACLE_SEARCH_HYBRID_ANN,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_bm25_batch": ORACLE_SEARCH_BM25_BATCH,

@@ -859,9 +859,13 @@ def ref_ivfpq_topk(
     pq_iters: int = PQ_ITERS,
     dim: int = 64,
     rerank: int = PQ_RERANK,
+    queries: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, int, int, int]]:
-    """Mirror of ``operators.similarity.ivfpq_topk`` with the benched
-    query's shape (queries = vec_id < n_queries, self-match excluded).
+    """Mirror of ``operators.similarity.ivfpq_topk``. Default shape is
+    the benched query's (queries = corpus rows with vec_id < n_queries,
+    self-match excluded); pass ``queries=[(qid, vec), ...]`` for EXTERNAL
+    query vectors (the hybrid-ANN leg shape — qids outside the corpus id
+    space, so the engine's qid != cid filter is a no-op, mirrored here).
     Composes the two existing specs: the coarse quantizer is ref_ivf's
     fixed-point Lloyd (float assignment dots — numpy matmul + stable
     argsort, so ``last_margin`` records the smallest nonzero adjacent
@@ -890,10 +894,11 @@ def ref_ivfpq_topk(
 
     margins: list[float] = []
 
-    def topn(cents: list[list[float]], n: int) -> dict[int, list[int]]:
+    def topn(cents: list[list[float]], n: int, over=None) -> dict[int, list[int]]:
         C = np.asarray(cents, dtype=np.float64)
-        ids = list(units)
-        M = np.asarray([units[i] for i in ids], dtype=np.float64)
+        vecs = units if over is None else over
+        ids = list(vecs)
+        M = np.asarray([vecs[i] for i in ids], dtype=np.float64)
         dots = M @ C.T
         order = np.argsort(-dots, axis=1, kind="stable")[:, :n]
         srt = -np.sort(-dots, axis=1)
@@ -977,13 +982,25 @@ def ref_ivfpq_topk(
 
     # ---- query side: probes, LUT, ADC over probed cells, refine ----
     shortlist_n = rerank * k
-    probes_all = topn(coarse, min(n_probe, len(coarse)))
+    if queries is None:
+        q_units = {qid: units[qid] for qid in units if qid < n_queries}
+        probes_all = topn(coarse, min(n_probe, len(coarse)))
+        q_probes = {qid: probes_all[qid] for qid in q_units}
+    else:
+        q_units = {}
+        for qid, v in queries:
+            if v is None or len(v) != dim:
+                continue
+            u = _pq_unit(v)
+            if u is not None:
+                q_units[qid] = u
+        q_probes = (
+            topn(coarse, min(n_probe, len(coarse)), over=q_units) if q_units else {}
+        )
     out: list[tuple[int, int, int, int]] = []
-    for qid in sorted(units):
-        if qid >= n_queries:
-            continue
-        qu = units[qid]
-        probed = set(probes_all[qid])
+    for qid in sorted(q_units):
+        qu = q_units[qid]
+        probed = set(q_probes[qid])
         lut = [
             [
                 sum(a * b for a, b in zip(subq(qu, s), [_pq_q(c) for c in cents[s][j]]))
@@ -997,7 +1014,7 @@ def ref_ivfpq_topk(
             if i != qid and cell[i] in probed
         ]
         scored.sort(key=lambda t: (-t[0], t[1]))
-        qx = xq_full[qid]
+        qx = [_pq_q(x) for x in qu]  # == xq_full[qid] when qid is a corpus row
         refined = [
             (sum(a * b for a, b in zip(qx, xq_full[i])), i)
             for _, i in scored[:shortlist_n]

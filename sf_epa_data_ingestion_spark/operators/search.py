@@ -236,6 +236,125 @@ def hybrid_search(
     return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("rank")
 
 
+def hybrid_search_ann(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    query_vec: list[float],
+    index: DataFrame,
+    coarse: list[list[float]],
+    cq: list[list[list[int]]],
+    k: int = 10,
+    pool: int | None = None,
+    rrf_k: int = 60,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    dim: int | None = None,
+    attr_filters: dict[str, object] | None = None,
+) -> DataFrame:
+    """TRUE hybrid retrieval: lexical candidates UNION ANN semantic
+    candidates, fused by reciprocal-rank fusion (RRF, Cormack et al.
+    SIGIR'09 — the standard score-free fusion for heterogeneous rankers).
+
+    ``hybrid_search`` builds its candidate pool from the lexical index
+    only and uses the embedding solely to RERANK those candidates — a
+    document that matches the query semantically but shares no tokens can
+    never be retrieved, at any k. This operator closes that gap (the one
+    capability where the reference's managed search service,
+    epa_ingestion.py:844-854, still beat the engine — it runs lexical AND
+    vector retrieval and fuses): the semantic leg retrieves from a
+    PREBUILT IVF-PQ index via ``similarity.ivfpq_search`` (sublinear:
+    n_probe/n_centroids of the codes, 8 B each), the lexical leg from the
+    postings index, and candidates full-outer-merge on id — a doc found
+    by either leg is rankable:
+
+        rrf(d) = sum over legs of 1 / (rrf_k + rank_leg(d)),   missing leg -> 0
+
+    Rank-based fusion (not score blending) because BM25/TF-IDF scores and
+    fixed-point ADC scores live on incomparable scales; RRF needs no
+    normalization pass over either corpus. Ranking uses the EXACT double
+    (identical IEEE ops in the DuckDB oracle); ``rrf_score`` is rounded
+    for display. Ties break by id.
+
+    Scale: both legs are the already-scale-shaped plans (pruned postings
+    probe; cell-pruned ADC over a cid-bucketed index). The fusion itself
+    touches 2*pool candidate ROWS per query — metadata-sized. Attribute
+    filters apply to the doc join after fusion (same pushdown shape as
+    ``hybrid_search``).
+
+    Single-leg degeneracy pinned by test: with an empty semantic leg the
+    top-k ordering equals ``lexical_search``'s; with an empty lexical leg
+    it equals the ANN ranking.
+    """
+    from .similarity import ivfpq_search
+
+    pool = pool if pool is not None else max(k * 10, 100)
+
+    lex = lexical_search(postings, stats, query, k=pool)
+    wl = Window.orderBy(F.desc("score"), F.asc("id"))
+    lexr = lex.select(
+        F.col("id").alias(id_col), F.row_number().over(wl).alias("lex_rank")
+    )
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(-1, [float(x) for x in query_vec])], "query_id long, embedding array<double>"
+    )
+    ann = ivfpq_search(
+        index,
+        docs.select(F.col(id_col), F.col(vec_col)),
+        qdf,
+        coarse,
+        cq,
+        k=pool,
+        corpus_id=id_col,
+        query_id="query_id",
+        vec_col=vec_col,
+        n_probe=n_probe,
+        dim=dim,
+    )
+    semr = ann.select(F.col(id_col), F.col("rank").cast("int").alias("sem_rank"))
+
+    fused = lexr.join(semr, id_col, "full_outer").select(
+        id_col,
+        F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).alias("sem_rank"),
+        (
+            F.when(
+                F.col("lex_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("sem_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
+            ).otherwise(F.lit(0.0))
+        ).alias("__rrf"),
+    )
+
+    base = docs
+    for attr, val in (attr_filters or {}).items():
+        if isinstance(val, (list, tuple)):
+            base = base.filter(F.arrays_overlap(F.col(attr), F.array(*[F.lit(v) for v in val])))
+        else:
+            base = base.filter(F.col(attr) == F.lit(val))
+    out = fused.join(base.select(id_col), id_col, "inner")
+
+    w = Window.orderBy(F.desc("__rrf"), F.asc(id_col))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "lex_rank",
+            "sem_rank",
+            F.round(F.col("__rrf"), 6).alias("rrf_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def bm25_search_many(
     postings: DataFrame,
     stats: DataFrame,

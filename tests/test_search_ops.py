@@ -233,3 +233,82 @@ def test_token_bucketed_postings_prune_the_bm25_scan(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         postings.unpersist()
+
+
+def _tiny_hybrid_corpus(spark):
+    """40 docs sharing tokens with QUERY + one planted doc (id 999) that
+    shares NO tokens but whose embedding IS the query vector. Deterministic
+    embeddings: near-orthogonal-to-qv pattern for the token-matching docs."""
+    qv = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
+    rows = []
+    for i in range(40):
+        # rotate a base pattern so vectors are distinct and far from qv
+        emb = [(-1.0) ** ((i + j) % 2) * (0.1 + ((i * 17 + j) % 64) / 64.0) for j in range(64)]
+        rows.append((i, f"spark join hash table doc number {i}", emb))
+    rows.append((999, "zebra quokka axolotl wombat", qv))
+    docs = spark.createDataFrame(rows, "id long, text string, embedding array<double>")
+    postings = search.build_postings(docs, id_col="id", text_col="text")
+    stats = search.build_token_stats(postings, n_docs=docs.count())
+    from sf_epa_data_ingestion_spark.operators import similarity
+
+    coarse, cq = similarity.train_ivfpq(docs, corpus_id="id", vec_col="embedding", dim=64)
+    index = similarity.encode_ivfpq(docs, coarse, cq, 64, id_col="id", vec_col="embedding")
+    return docs, postings, stats, index, coarse, cq, qv
+
+
+def test_hybrid_ann_semantic_only_match_surfaces(spark):
+    """The r8 capability pin: a document matching the query SEMANTICALLY
+    but sharing no tokens must surface in hybrid top-k — impossible for
+    hybrid_search (lexical-only candidate pool; asserted as the contrast)
+    and the reason the ANN leg exists (reference's managed service runs
+    lexical AND vector retrieval, fused)."""
+    docs, postings, stats, index, coarse, cq, qv = _tiny_hybrid_corpus(spark)
+    # pool=5 models the corpus-scale regime where the two legs' candidate
+    # pools barely overlap (on this 41-doc corpus pool=100 puts EVERY doc
+    # in both pools, which drowns single-leg candidates — K=60 RRF
+    # deliberately discounts a lone top rank below two mediocre ones)
+    out = search.hybrid_search_ann(
+        docs, postings, stats, QUERY, qv, index, coarse, cq, k=10, pool=5, dim=64
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert 999 in by_id, "semantic-only match missing from hybrid-ANN top-k"
+    assert by_id[999]["lex_rank"] == 0  # proven unreachable lexically
+    assert by_id[999]["sem_rank"] == 1  # its embedding IS the query vector
+    # contrast: the lexical-pool-only hybrid can NEVER retrieve doc 999,
+    # at any k or pool depth — its candidate set is the lexical one
+    old = search.hybrid_search(
+        docs, postings, stats, QUERY, query_vec=qv, id_col="id", k=41
+    ).collect()
+    assert all(r["id"] != 999 for r in old)
+
+
+def test_hybrid_ann_single_leg_degeneracy(spark):
+    """Docstring contract: with an empty semantic leg the top-k ordering
+    equals lexical_search's; with an empty lexical leg (no query token in
+    the corpus) it equals the ANN ranking."""
+    docs, postings, stats, index, coarse, cq, qv = _tiny_hybrid_corpus(spark)
+    empty_index = index.filter(F.lit(False))
+    lex_only = search.hybrid_search_ann(
+        docs, postings, stats, QUERY, qv, empty_index, coarse, cq, k=5, dim=64
+    ).collect()
+    lex_ref = search.lexical_search(postings, stats, QUERY, k=5).collect()
+    assert [r["id"] for r in lex_only] == [r["id"] for r in lex_ref]
+    assert all(r["sem_rank"] == 0 for r in lex_only)
+
+    sem_only = search.hybrid_search_ann(
+        docs, postings, stats, "qqqq wwww", qv, index, coarse, cq, k=5, dim=64
+    ).collect()
+    from sf_epa_data_ingestion_spark.operators import similarity
+
+    ann_ref = similarity.ivfpq_search(
+        index,
+        docs.select("id", "embedding"),
+        spark.createDataFrame([(-1, qv)], "query_id long, embedding array<double>"),
+        coarse,
+        cq,
+        k=5,
+        corpus_id="id",
+        dim=64,
+    ).collect()
+    assert [r["id"] for r in sem_only] == [r["id"] for r in ann_ref]
+    assert all(r["lex_rank"] == 0 for r in sem_only)
