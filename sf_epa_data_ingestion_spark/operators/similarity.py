@@ -1228,7 +1228,9 @@ def ivfpq_search(
     # ---- queries: probes + LUT + quantized vector, one row per probe ----
     q_rows = _ivfpq_prep(queries, query_id, vec_col, dim).collect()
     C = np.asarray(coarse, dtype=np.float64)
-    lut_rows = []
+    probe_rows: list[tuple[int, int]] = []
+    luts_by_q: dict[int, np.ndarray] = {}
+    qx_by_q: dict[int, np.ndarray] = {}
     for row in q_rows:
         qu = [float(x) for x in row["__u"]]
         dots = np.asarray(qu, dtype=np.float64) @ C.T
@@ -1238,51 +1240,78 @@ def ivfpq_search(
             [sum(a * b for a, b in zip(qx[s * dsub : (s + 1) * dsub], cj)) for cj in cq[s]]
             for s in range(m)
         ]
+        qid_v = row[query_id]
+        luts_by_q[qid_v] = np.asarray(luts, dtype=np.int64)  # (m, ksub)
+        qx_by_q[qid_v] = np.asarray(qx, dtype=np.int64)  # (dim,)
         for cid in probes:
-            lut_rows.append((row[query_id], int(cid), luts, qx))
+            probe_rows.append((qid_v, int(cid)))
     spark = corpus.sparkSession
-    if not lut_rows:
+    if not probe_rows:
         return spark.createDataFrame(
             [], f"{query_id} long, {corpus_id} long, score_fp long, rank long"
         )
-    q_lut = spark.createDataFrame(
-        lut_rows,
-        f"{query_id} long, cid int, __lut array<array<long>>, __qx array<long>",
-    )
+    q_probes = spark.createDataFrame(probe_rows, f"{query_id} long, cid int")
+    # LUTs and quantized query vectors are metadata-scale (|Q| * m * ksub
+    # int64s), so they ride broadcast VARIABLES into the Arrow stages
+    # instead of per-row array columns — scored rows stay (qid, cid, codes)
+    # narrow through the shuffle, and nothing below is an interpreted
+    # higher-order-function expression (r8: the element_at/aggregate/
+    # zip_with chains here were the suite's hottest never-codegen'd
+    # expressions AND a long-session degradation risk — PLANS.md "the
+    # session is part of the plan"; bit-identical int64 math in numpy).
+    luts_b = spark.sparkContext.broadcast(luts_by_q)
+    qx_b = spark.sparkContext.broadcast(qx_by_q)
 
     # ---- ADC over probed cells only: equi-join on cid, not a sweep ----
-    adc = sum(
-        F.element_at(
-            F.element_at("__lut", s + 1), F.element_at("__cs", s + 1) + F.lit(1)
-        )
-        for s in range(m)
-    )
-    # narrow scored rows + post-shortlist __qx broadcast, same as pq_topk
-    scored = (
-        encoded.join(broadcast(q_lut.select(query_id, "cid", "__lut")), "cid")
+    joined = (
+        encoded.join(broadcast(q_probes), "cid")
         .filter(F.col(query_id) != F.col(corpus_id))
-        .select(query_id, corpus_id, adc.alias("__adc"))
+        .select(query_id, corpus_id, "__cs")
     )
-    q_qx = q_lut.select(query_id, "__qx").dropDuplicates([query_id])
-    shortlist = _shortlist_topn(
-        scored, query_id, corpus_id, rerank * k, len(q_rows)
-    ).join(broadcast(q_qx), query_id)
-    refined = shortlist.join(c, corpus_id).select(
-        query_id,
-        corpus_id,
-        F.aggregate(
-            F.zip_with(
-                F.col("__qx"),
-                F.transform(
-                    "__u",
-                    lambda x: F.floor(x * F.lit(float(PQ_COORD_SCALE))).cast("long"),
-                ),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("score_fp"),
-    )
+    n_sub = m
+    adc_schema = f"{query_id} long, {corpus_id} long, __adc long"
+
+    def adc_rows(batches):
+        sub_ix = np.arange(n_sub)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf[query_id].to_numpy()
+            codes = np.stack(pdf["__cs"].to_numpy()).astype(np.int64, copy=False)
+            out = np.empty(len(pdf), dtype=np.int64)
+            for qv in np.unique(qids):
+                msk = qids == qv
+                lut = luts_b.value[int(qv)]
+                # row r of the masked block scores sum_s lut[s, codes[r, s]]
+                out[msk] = lut[sub_ix[None, :], codes[msk]].sum(axis=1)
+            yield pd.DataFrame(
+                {query_id: qids, corpus_id: pdf[corpus_id].to_numpy(), "__adc": out}
+            )
+
+    scored = joined.mapInPandas(adc_rows, adc_schema)
+    shortlist = _shortlist_topn(scored, query_id, corpus_id, rerank * k, len(q_rows))
+    ref_in = shortlist.join(c, corpus_id).select(query_id, corpus_id, "__u")
+    scale = float(PQ_COORD_SCALE)
+    ref_schema = f"{query_id} long, {corpus_id} long, score_fp long"
+
+    def refine_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf[query_id].to_numpy()
+            U = np.stack(pdf["__u"].to_numpy())
+            # floor(u_i * 2^15) -> int64: exact (|u_i| <= 1), == the
+            # expression spec F.floor(x * SCALE).cast("long")
+            xq = np.floor(U * scale).astype(np.int64)
+            out = np.empty(len(pdf), dtype=np.int64)
+            for qv in np.unique(qids):
+                msk = qids == qv
+                out[msk] = xq[msk] @ qx_b.value[int(qv)]
+            yield pd.DataFrame(
+                {query_id: qids, corpus_id: pdf[corpus_id].to_numpy(), "score_fp": out}
+            )
+
+    refined = ref_in.mapInPandas(refine_rows, ref_schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("score_fp"), F.asc(corpus_id))
     return (
         refined.withColumn("rank", F.row_number().over(w))
