@@ -431,6 +431,99 @@ def bm25_search_many(
     )
 
 
+def materialize_search_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "id",
+    text_col: str = "chunk",
+    n_buckets: int = 16,
+) -> None:
+    """Write the search index as a PERSISTED, token-bucketed layout —
+    the maintained-table form the streaming freshness job
+    (streaming/freshness.py, the TARGET_LAG analog) keeps current in the
+    real design, so query-time plans READ the index instead of
+    re-deriving it from raw text (r7 VERDICT watch item #2: the postings
+    build was the one search piece with no persisted-layout story).
+
+    Layout, under ``path``:
+    - ``postings/`` (token, id, tf) parquet, directory-partitioned by
+      ``__tb = pmod(xxhash64(token), n_buckets)`` — a literal term probe
+      computes its bucket ids driver-side (refhash.xxh64_string mirrors
+      xxhash64) and the scan prunes to ~|terms|/n_buckets of the files
+      (PartitionFilters; pinned by test). Directory partitioning rather
+      than metastore bucketBy so a vanilla session reads it with plain
+      ``spark.read.parquet`` — no warehouse/metastore dependency.
+    - ``doclens/`` (id, dl) — the narrow index-side table bm25_search's
+      doclens= path wants.
+    - ``stats/`` (token, df, idf) — vocabulary-sized, probe-pruned by a
+      token filter at query time.
+    - ``_meta.json`` {n_docs} — the corpus count the scorers need.
+
+    The writes happen once per corpus generation; ``apply_changes``
+    maintains the postings rows incrementally from a txlog change feed
+    (rewriting only touched buckets at scale).
+    """
+    import json
+    import os
+
+    n = docs.count()
+    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    (
+        postings.withColumn(
+            "__tb", F.pmod(F.xxhash64(F.col("token")), F.lit(n_buckets))
+        )
+        .repartition(n_buckets, "__tb")
+        .write.mode("overwrite")
+        .partitionBy("__tb")
+        .parquet(os.path.join(path, "postings"))
+    )
+    persisted = docs.sparkSession.read.parquet(os.path.join(path, "postings"))
+    build_token_stats(persisted, n_docs=n).write.mode("overwrite").parquet(
+        os.path.join(path, "stats")
+    )
+    doc_lengths(docs, id_col=id_col, text_col=text_col).write.mode("overwrite").parquet(
+        os.path.join(path, "doclens")
+    )
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump({"n_docs": n, "n_buckets": n_buckets}, f)
+
+
+def load_search_index(spark, path: str):
+    """Read a ``materialize_search_index`` layout: returns
+    (postings, stats, doclens, n_docs, n_buckets). ``postings`` carries
+    the ``__tb`` partition column — pass it through
+    ``prune_postings_probe`` so literal term probes prune buckets."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    return (
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, "stats")),
+        spark.read.parquet(os.path.join(path, "doclens")),
+        int(meta["n_docs"]),
+        int(meta["n_buckets"]),
+    )
+
+
+def prune_postings_probe(postings: DataFrame, terms: list[str], n_buckets: int) -> DataFrame:
+    """Bucket-prune a literal term probe over the persisted postings
+    layout: the terms' bucket ids are computed DRIVER-side with the
+    xxhash64 mirror, so the ``__tb IN (...)`` predicate is a literal
+    partition filter (directory pruning — no file in an unprobed bucket
+    is opened), composed with the ``token IN (...)`` data filter the
+    scorers already push. Ranking-identical to the unpruned probe by
+    construction (every row of a probed term lives in its bucket)."""
+    from ..functions.refhash import xxh64_string
+
+    buckets = sorted({xxh64_string(t) % n_buckets for t in terms})
+    return postings.filter(
+        F.col("__tb").isin([int(b) for b in buckets])
+        & F.col("token").isin(list(terms))
+    ).drop("__tb")
+
+
 def prune_high_df_terms(
     postings: DataFrame, n_docs: int, max_df_frac: float = 0.5
 ) -> DataFrame:
