@@ -1635,7 +1635,7 @@ def _search_index_dir(spark: SparkSession, sf_dir: str) -> str:
         if os.path.isdir(p)
         else [p]
     )
-    sig = hashlib.md5(os.path.realpath(p).encode())
+    sig = hashlib.md5(f"v2:{os.path.realpath(p)}".encode())  # v2: + bounds/
     for q in parts:
         st = os.stat(q)
         sig.update(f"{q}:{st.st_size}:{st.st_mtime_ns}".encode())
@@ -1862,6 +1862,93 @@ qterms AS (
 SELECT query_id, doc_id, score FROM hits
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
 """
+
+
+WAND_BATCH_QUERIES = [
+    # "dup" is the corpus's one RARE term (df 25/500 at sf0.01 vs ~390 for
+    # the rest): its bound dominates, pass-1 floors come from its short
+    # posting list, and the common terms' suffix bounds fall below the
+    # floor — the stopword-class lists get pruned from candidate
+    # generation. Query 2 has no rare term (floor too low to prune): the
+    # no-pruning path stays exercised in the same graded batch.
+    (0, "dup scan batch data value"),
+    (1, "dup window sort merge row"),
+    (2, "scan filter value row fast"),
+]
+
+
+def q_search_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 with sound max-score (WAND-style) candidate pruning
+    over the PERSISTED index (r8, r7 VERDICT next-round #6): per-term
+    score upper bounds live in the index (``bounds/``,
+    search.build_term_bounds); query-time, a first pass over the
+    top-bound term's postings sets the top-k floor and every term whose
+    suffix bound sum cannot reach it is skipped during candidate
+    generation — the high-df lists whose fan-out dominates naive batch
+    BM25. The pruning is RESULT-INVISIBLE by construction (sound floor
+    argument in the operator docstring), so the oracle is plain
+    full-scoring SQL with no fixture: any unsound pruning fails the
+    hash compare. Equality with bm25_search_many also pinned in
+    tests/test_search_ops.py; measured probe-row reduction in SCALE.md."""
+    root = _search_index_dir(spark, sf_dir)
+    postings, stats, doclens, n_docs, _nb = search.load_search_index(spark, root)
+    bounds = spark.read.parquet(os.path.join(root, "bounds"))
+    qdf = spark.createDataFrame(WAND_BATCH_QUERIES, "query_id long, query_text string")
+    return search.bm25_search_many_maxscore(
+        postings.drop("__tb"), stats, bounds, qdf, n_docs=n_docs, doclens=doclens, k=10
+    ).select("query_id", F.col("id").alias("doc_id"), "score")
+
+
+def _wand_queries_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, '{txt}' AS query_text"
+        for qid, txt in WAND_BATCH_QUERIES
+    )
+
+
+# Full-scoring oracle — the SAME shape as ORACLE_SEARCH_BM25_BATCH (no
+# fixture, no knowledge of the pruning): max-score soundness means the
+# pruned engine plan must reproduce the naive ranking bit-for-bit.
+ORACLE_SEARCH_BM25_WAND = rf"""
+WITH q AS ({{QSQL}}),
+qterms AS (
+  SELECT DISTINCT q.query_id, u.token
+  FROM q,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(query_text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), toks AS (
+  SELECT doc_id, u.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT token, COUNT(*) AS df FROM postings GROUP BY token
+), doclen AS (
+  SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM postings GROUP BY doc_id
+), avgdl AS (
+  SELECT AVG(dl) AS avgdl FROM doclen
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+), hits AS (
+  SELECT qt.query_id, p.doc_id,
+         round(SUM(
+           ln(1.0 + (n.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / a.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN qterms qt USING (token)
+  JOIN stats s USING (token)
+  JOIN doclen d USING (doc_id)
+  CROSS JOIN avgdl a
+  CROSS JOIN n
+  GROUP BY qt.query_id, p.doc_id
+)
+SELECT query_id, doc_id, score FROM hits
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10
+""".replace("{QSQL}", _wand_queries_sql())
 
 
 def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3282,6 +3369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_batch": q_search_hybrid_batch,
     # -- new in r8: true hybrid (lexical UNION ANN, RRF-fused) -------
         "search_hybrid_ann": q_search_hybrid_ann,
+    # -- new in r8: max-score pruned batch BM25 ----------------------
+        "search_bm25_wand": q_search_bm25_wand,
     # -- new in r7: training-shard writer ----------------------------
         "train_shards": q_train_shards,
     # -- past the 50-entry window: r6-green, unchanged ---------------
@@ -3389,6 +3478,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": ORACLE_HEAVY_HITTERS,
         "search_postings": ORACLE_SEARCH_POSTINGS,
         "search_hybrid_ann": ORACLE_SEARCH_HYBRID_ANN,
+        "search_bm25_wand": ORACLE_SEARCH_BM25_WAND,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_bm25_batch": ORACLE_SEARCH_BM25_BATCH,

@@ -357,3 +357,46 @@ def test_persisted_index_layout_prunes_partitions_and_matches_live(spark, tmp_pa
     )
     assert a == b and len(a) > 0
     postings.unpersist()
+
+
+def test_maxscore_bm25_identical_to_naive_and_actually_prunes(spark):
+    """r8 WAND/max-score gate: (1) the pruned batch ranking is IDENTICAL
+    to bm25_search_many over the same index — scores, ids, tie-breaks;
+    (2) on queries containing the corpus's one rare term ('dup',
+    df 25/500) the pruning genuinely fires: the floor from dup's short
+    posting list puts the common terms' suffix bounds under it, so
+    candidate generation scans strictly fewer (query, term) lists than
+    the naive probe. Deterministic corpus + floors, so both are pins."""
+    d, n, postings, stats = _index(spark)
+    doclens = search.doc_lengths(d, id_col="doc_id", text_col="text")
+    bounds = search.build_term_bounds(postings, doclens, n)
+    queries = [
+        (0, "dup scan batch data value"),
+        (1, "dup window sort merge row"),
+        (2, "scan filter value row fast"),
+    ]
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    info: dict = {}
+    pruned = sorted(
+        (r["query_id"], r["id"], r["score"])
+        for r in search.bm25_search_many_maxscore(
+            postings, stats, bounds, qdf, n_docs=n, doclens=doclens, k=10,
+            _explain_out=info,
+        ).collect()
+    )
+    naive = sorted(
+        (r["query_id"], r["id"], r["score"])
+        for r in search.bm25_search_many(
+            postings, stats, qdf, n_docs=n, k=10, doclens=doclens
+        ).collect()
+    )
+    assert pruned == naive and len(pruned) == 30
+    all_terms = {(r["query_id"], r["token"]) for r in info["qterms"].collect()}
+    essential = {(r["query_id"], r["token"]) for r in info["essential"].collect()}
+    assert essential <= all_terms
+    # the dup-anchored queries prune their common terms...
+    for qid in (0, 1):
+        pruned_terms = {t for q, t in all_terms - essential if q == qid}
+        assert pruned_terms, f"query {qid}: no term pruned"
+        assert ("dup" in {t for q, t in essential if q == qid})
+    postings.unpersist()
