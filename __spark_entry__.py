@@ -3293,87 +3293,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (r7): the driver's correctness harness checks only
-    # the FIRST 50 entries. After r6 every query's newest green row was
-    # r5+ except search_bm25/window_analytics (r4). This window:
-    #    1   : NEW ann_ivfpq — first driver row;
-    #   2-10 : queries whose CODE changed in r7 (banded near-dup grading,
-    #          search-family index materialization + bm25 rework, the
-    #          r6 ngram_jaccard PPJoin rewrite that sat past r6's window,
-    #          quality_classifier centered trainer + label fix, ann_pq
-    #          adaptive shortlist) — a changed query always re-grades the
-    #          round it changes;
-    #  11-46 : the 36 remaining queries whose newest green row is r5
-    #          (they sat past r6's window) — renewed, so after r7 every
-    #          registry query has a row at most one round old;
-    #  47-50 : anti_join (r7 vacuity fix) + the three other NEW r7
-    #          queries (search_bm25_batch, search_hybrid_batch,
-    #          train_shards);
-    #   51+  : r6-green, unchanged (incl. the ann padding that ceded its
-    #          slots to the new queries).
-    # tools/check_freshness.py enforces the <=2-round staleness rule.
+    # Ordering note (r8): the driver's correctness harness checks only
+    # the FIRST 50 entries; tools/check_freshness.py enforces that every
+    # query's newest green row is <=2 rounds old. This window:
+    #    1-6 : the r8 NEW/CHANGED set — a changed query always re-grades
+    #          the round it changes:
+    #          embedding_near_dup (production t=0.95 regime w/ planted
+    #          pairs), search_hybrid_ann (NEW: lexical UNION ANN + RRF),
+    #          search_bm25_wand (NEW: max-score pruned batch BM25),
+    #          ann_ivfpq (Arrow-fronted ADC/refine — bit-identical by
+    #          fixture, re-graded anyway), search_postings +
+    #          search_lexical (persisted token-bucketed index reads);
+    #   7-50 : ALL 44 queries whose newest green row is r6 (age 2 at r8
+    #          — they must grade now or stale out at r9);
+    #    51+ : r7-green, unchanged (46 queries — they are r9's window).
+    # Results-identical plan fixes this round that did NOT re-grade their
+    # r7-green queries (stats-broadcast pruning in bm25_search_many /
+    # hybrid_search_many) are pinned by single-query-parity pytest tests;
+    # those queries re-grade next round with the rest of the r7 set.
     return {
-    # -- new in r7: needs its first driver row -----------------------
-        "ann_ivfpq": q_ann_ivfpq,
-    # -- code changed in r7 (+ the r6 ngram_jaccard rewrite) ---------
+    # -- changed in r8: production-regime banded near-dup ------------
         "embedding_near_dup": q_embedding_near_dup,
-        "search_bm25": q_search_bm25,
-        "window_analytics": q_window_analytics,
-        "ngram_jaccard": q_ngram_jaccard,
-        "search_lexical": q_search_lexical,
-        "search_postings": q_search_postings,
-        "search_hybrid": q_search_hybrid,
-        "quality_classifier": q_quality_classifier,
-        "ann_pq": q_ann_pq,
-    # -- newest green row is r5: renew (36) --------------------------
-        "group_collect": q_group_collect,
-        "merge_upsert": q_merge_upsert,
-        "update_from_join": q_update_from_join,
-        "delete_using": q_delete_using,
-        "sample_hash": q_sample_hash,
-        "percentiles": q_percentiles,
-        "heavy_hitters": q_heavy_hitters,
-        "semi_join": q_semi_join,
-        "join_computed_key": q_join_computed_key,
-        "filter_project": q_filter_project,
-        "like_suffix": q_like_suffix,
-        "regexp_substr": q_regexp_substr,
-        "clean_filename": q_clean_filename,
-        "scalar_suite": q_scalar_suite,
-        "top_k": q_top_k,
-        "set_except": q_set_except,
-        "set_intersect": q_set_intersect,
-        "lateral_tokenize": q_lateral_tokenize,
-        "json_extract": q_json_extract,
-        "window_tumbling": q_window_tumbling,
-        "window_sliding": q_window_sliding,
-        "session_windows": q_session_windows,
-        "quality_score": q_quality_score,
-        "stratified_sample": q_stratified_sample,
-        "priority_sample": q_priority_sample,
-        "temperature_resample": q_temperature_resample,
-        "line_dedup": q_line_dedup,
-        "train_val_test": q_train_val_test,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "pdf_to_download": q_pdf_to_download,
-        "pricing_summary": q_pricing_summary,
-        "join_dims_rollup": q_join_dims_rollup,
-        "window_dedup_latest": q_window_dedup_latest,
-        "dedup_exact": q_dedup_exact,
-        "chunk_documents": q_chunk_documents,
-    # -- changed in r7 (vacuity fix): re-grade -----------------------
-        "anti_join": q_anti_join,
-    # -- new in r7: batch retrieval ----------------------------------
-        "search_bm25_batch": q_search_bm25_batch,
-        "search_hybrid_batch": q_search_hybrid_batch,
     # -- new in r8: true hybrid (lexical UNION ANN, RRF-fused) -------
         "search_hybrid_ann": q_search_hybrid_ann,
     # -- new in r8: max-score pruned batch BM25 ----------------------
         "search_bm25_wand": q_search_bm25_wand,
-    # -- new in r7: training-shard writer ----------------------------
-        "train_shards": q_train_shards,
-    # -- past the 50-entry window: r6-green, unchanged ---------------
+    # -- changed in r8: Arrow-fronted ADC/refine ---------------------
+        "ann_ivfpq": q_ann_ivfpq,
+    # -- changed in r8: persisted token-bucketed index ---------------
+        "search_postings": q_search_postings,
+        "search_lexical": q_search_lexical,
+    # -- newest green row is r6 (age 2): renew all 44 ----------------
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_bruteforce": q_ann_bruteforce,
@@ -3418,6 +3368,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "approx_profile": q_approx_profile,
+    # -- past the 50-entry window: r7-green, unchanged (r9's window) -
+        "search_bm25": q_search_bm25,
+        "window_analytics": q_window_analytics,
+        "ngram_jaccard": q_ngram_jaccard,
+        "search_hybrid": q_search_hybrid,
+        "quality_classifier": q_quality_classifier,
+        "ann_pq": q_ann_pq,
+        "group_collect": q_group_collect,
+        "merge_upsert": q_merge_upsert,
+        "update_from_join": q_update_from_join,
+        "delete_using": q_delete_using,
+        "sample_hash": q_sample_hash,
+        "percentiles": q_percentiles,
+        "heavy_hitters": q_heavy_hitters,
+        "semi_join": q_semi_join,
+        "join_computed_key": q_join_computed_key,
+        "filter_project": q_filter_project,
+        "like_suffix": q_like_suffix,
+        "regexp_substr": q_regexp_substr,
+        "clean_filename": q_clean_filename,
+        "scalar_suite": q_scalar_suite,
+        "top_k": q_top_k,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "lateral_tokenize": q_lateral_tokenize,
+        "json_extract": q_json_extract,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "session_windows": q_session_windows,
+        "quality_score": q_quality_score,
+        "stratified_sample": q_stratified_sample,
+        "priority_sample": q_priority_sample,
+        "temperature_resample": q_temperature_resample,
+        "line_dedup": q_line_dedup,
+        "train_val_test": q_train_val_test,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "pdf_to_download": q_pdf_to_download,
+        "pricing_summary": q_pricing_summary,
+        "join_dims_rollup": q_join_dims_rollup,
+        "window_dedup_latest": q_window_dedup_latest,
+        "dedup_exact": q_dedup_exact,
+        "chunk_documents": q_chunk_documents,
+        "anti_join": q_anti_join,
+        "search_bm25_batch": q_search_bm25_batch,
+        "search_hybrid_batch": q_search_hybrid_batch,
+        "train_shards": q_train_shards,
     }
 
 

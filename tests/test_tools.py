@@ -27,3 +27,15 @@ def test_check_freshness_fails_when_rotation_would_stall():
     r = _run("12")
     assert r.returncode == 1, r.stdout + r.stderr
     assert "STALE at round 12" in r.stdout
+
+
+def test_rotation_would_survive_the_next_round_gate():
+    """The r8 in-suite stall gate: simulate the CURRENT window going
+    green this round, then require every query to clear the <=2-round
+    staleness rule at the NEXT round with no window credit. If the
+    current queries() ordering strands anything (e.g. a new query parked
+    past position 50, or a stale set not rotated in), this test is red
+    TODAY — not at the next pre-round checklist."""
+    r = _run("--assume-window-green")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "fresh at round" in r.stdout

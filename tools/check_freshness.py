@@ -15,6 +15,14 @@ Run it as part of the pre-round checklist AFTER reordering ``queries()``:
     python tools/check_freshness.py            # next round = max seen + 1
     python tools/check_freshness.py 9          # explicit next round no.
 
+With ``--assume-window-green`` the check simulates the round being
+prepared actually completing: every in-window query is credited a green
+row for that round, the window skip is disabled, and staleness is
+evaluated one round further out — so ``pytest`` (tests/test_tools.py)
+goes red TODAY if the current ordering would leave any query stale at
+the NEXT round's gate, instead of the stall surfacing only in the next
+pre-round checklist (r7 VERDICT next-round #8).
+
 A brand-new query (no green row yet) is only OK while it is in the
 window. Exit 0 prints the staleness histogram; exit 1 lists offenders.
 """
@@ -47,7 +55,9 @@ def main() -> int:
     if not rounds:
         print("no CORRECTNESS_r*.json found — nothing to check")
         return 0
-    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else max(rounds) + 1
+    args = [a for a in sys.argv[1:] if a != "--assume-window-green"]
+    assume = "--assume-window-green" in sys.argv[1:]
+    next_round = int(args[0]) if args else max(rounds) + 1
 
     # registry order without building a SparkSession: queries() bodies are
     # literal dicts, so parse the source
@@ -55,6 +65,14 @@ def main() -> int:
     m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
     names = re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1))
     window = set(names[:WINDOW])
+
+    if assume:
+        # simulate the prepared round completing green for the window,
+        # then gate the round AFTER it with no window credit
+        for q in window:
+            last_green[q] = max(last_green.get(q, 0), next_round)
+        next_round += 1
+        window = set()
 
     offenders = []
     hist: dict[int, int] = {}
