@@ -49,6 +49,7 @@ def vector_index_appender(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_retries: int = 5,
+    residual: bool = False,
 ):
     """Build a ``foreachBatch`` callable maintaining an IVF-PQ index table
     (schema: id_col, cid int, codes array<int>)::
@@ -72,7 +73,10 @@ def vector_index_appender(
         last = table.last_txn(app_id)
         if last is not None and batch_id <= last:
             return  # replayed batch: already durable
-        enc = encode_ivfpq(batch_df, coarse, cq, dim, id_col=id_col, vec_col=vec_col)
+        enc = encode_ivfpq(
+            batch_df, coarse, cq, dim, id_col=id_col, vec_col=vec_col,
+            residual=residual,
+        )
         # in-batch dedup: duplicate ids arriving WITHIN one micro-batch all
         # survive the cross-batch anti-join, so collapse to one encoded row
         # per id first (deterministic keep: lowest (cid, codes) — encoding

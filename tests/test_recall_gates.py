@@ -310,3 +310,70 @@ def test_ivfpq_full_probe_equals_flat_pq(spark):
         ).collect()
     )
     assert flat == full_probe and len(flat) == 50
+
+
+def test_ivfpq_residual_mode_gates(spark):
+    """r8 residual-encoding option (the FAISS IVFPQ default shape): the
+    full chain in residual mode must (a) retrieve every planted
+    near-neighbor exactly like raw mode, (b) match-or-beat raw-mode
+    recall@5 vs brute force at the default rerank, and (c) serve
+    identically from a prebuilt encode_ivfpq index (the train/add
+    split). On THIS corpus (isotropic, 16 cells) residuals ~= raw
+    vectors and pooled global codebooks buy no ADC headroom — measured
+    rerank=1 ADC recall 0.26 (residual) vs 0.32 (raw); refinement
+    restores parity (0.56 == 0.56). The gates pin no-regression; the
+    payoff regime is clustered corpora with many cells (SCALE.md)."""
+    import __spark_entry__ as entry
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict = {}
+    for r in similarity.brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(top):
+        approx: dict = {}
+        for r in top.collect():
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(exact[k_] & approx.get(k_, set())) / len(exact[k_]) for k_ in exact
+        ) / len(exact)
+
+    raw_rec = recall(similarity.ivfpq_topk(emb, q, k=5, dim=64, residual=False))
+    spark.catalog.clearCache()
+    res_rec = recall(similarity.ivfpq_topk(emb, q, k=5, dim=64, residual=True))
+    spark.catalog.clearCache()
+    assert res_rec >= raw_rec, f"residual {res_rec:.3f} < raw {raw_rec:.3f}"
+
+    # planted near-neighbors: corpus + perturbed copies, query originals
+    pert = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", entry._plant_perturb_expr).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    got: dict = {}
+    for r in similarity.ivfpq_topk(corpus, q, k=5, dim=64, residual=True).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    spark.catalog.clearCache()
+    assert all(qid + 1_000_000 in got[qid] for qid in got) and len(got) == 10
+
+    # train/add split parity in residual mode: serving from a prebuilt
+    # index == the fused chain
+    coarse, cq = similarity.train_ivfpq(emb, dim=64, residual=True)
+    index = similarity.encode_ivfpq(emb, coarse, cq, 64, residual=True)
+    a = sorted(
+        (r["query_id"], r["vec_id"], r["score_fp"], r["rank"])
+        for r in similarity.ivfpq_search(
+            index, emb, q, coarse, cq, k=5, dim=64, residual=True
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["vec_id"], r["score_fp"], r["rank"])
+        for r in similarity.ivfpq_topk(emb, q, k=5, dim=64, residual=True).collect()
+    )
+    assert a == b and len(a) > 0
+    spark.catalog.clearCache()
