@@ -1137,12 +1137,24 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin-guarded at fixture-bake time, so the whole chain replays
     bit-for-bit in functions/refhash.ref_ivfpq_topk
     (tools/make_golden_ivfpq.py). Recall@5 vs ann_bruteforce pinned in
-    tests/test_recall_gates.py."""
+    tests/test_recall_gates.py.
+
+    Since r8 the query SERVES from the persisted cid-partitioned index
+    (_vector_index_dir / similarity.materialize_vector_index — train
+    once, serve many): the trainer no longer runs per query, and the
+    driver-side probe's literal ``cid IN (...)`` predicate prunes the
+    index scan to the probed cells' directories. Bit-identical to the
+    in-query ivfpq_topk chain (training is a pure function of the
+    corpus; pinned by tests/test_vector_index_stream.py), so the golden
+    fixture is unchanged."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivfpq_topk(emb, queries, k=5, dim=64)
+    index, coarse, cq, _meta = similarity.load_vector_index(
+        spark, _vector_index_dir(spark, sf_dir)
+    )
+    return similarity.ivfpq_search(index, emb, queries, coarse, cq, k=5, dim=64)
 
 
 # Same thin corpus-keyed fixture join as ORACLE_ANN_PQ: the result is a
@@ -1615,38 +1627,36 @@ QUALIFY rank <= 5
 SEARCH_QUERY = "spark hash join table"
 
 
-def _search_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build-or-reuse the PERSISTED token-bucketed search index for a
-    corpus (search.materialize_search_index). The cache key is the
-    documents table's content signature (paths + sizes + mtimes), so a
-    regenerated corpus rebuilds and a re-run reuses — modeling the real
-    design, where the index is a maintained table (streaming/freshness.py
-    is the TARGET_LAG analog) and query-time plans READ it rather than
-    re-deriving postings from raw text per query. Build is atomic:
-    written to a scratch dir (_meta.json last) and renamed in."""
+def _materialized_dir(sf_dir: str, table: str, tag: str, build) -> str:
+    """Build-or-reuse a PERSISTED index layout for a corpus table. The
+    cache key is the table's content signature (paths + sizes + mtimes),
+    so a regenerated corpus rebuilds and a re-run reuses — modeling the
+    real design, where the index is a maintained table (the streaming
+    maintainers are the TARGET_LAG analog) and query-time plans READ it
+    rather than re-deriving it per query. Build is atomic: ``build``
+    writes into a scratch dir (_meta.json last) which is renamed in."""
     import glob
     import hashlib
     import shutil
     import tempfile
 
-    p = os.path.join(sf_dir, "documents.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
     parts = (
         sorted(glob.glob(os.path.join(p, "**"), recursive=True))
         if os.path.isdir(p)
         else [p]
     )
-    sig = hashlib.md5(f"v2:{os.path.realpath(p)}".encode())  # v2: + bounds/
+    sig = hashlib.md5(f"{tag}:{os.path.realpath(p)}".encode())
     for q in parts:
         st = os.stat(q)
         sig.update(f"{q}:{st.st_size}:{st.st_mtime_ns}".encode())
     root = os.path.join(
-        tempfile.gettempdir(), f"sg_search_index_{sig.hexdigest()[:16]}"
+        tempfile.gettempdir(), f"sg_{tag}_{sig.hexdigest()[:16]}"
     )
     if not os.path.exists(os.path.join(root, "_meta.json")):
-        d = _t(spark, sf_dir, "documents")
         tmp = f"{root}.build_{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        search.materialize_search_index(d, tmp, id_col="doc_id", text_col="text")
+        build(tmp)
         shutil.rmtree(root, ignore_errors=True)
         try:
             os.rename(tmp, root)
@@ -1655,6 +1665,40 @@ def _search_index_dir(spark: SparkSession, sf_dir: str) -> str:
                 raise  # lost a build race AND the winner's index is absent
             shutil.rmtree(tmp, ignore_errors=True)
     return root
+
+
+def _search_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted token-bucketed search index (search.materialize_search_index)
+    over the documents table — see _materialized_dir. ``search_index_v2``
+    keys the current layout generation (v2 added bounds/)."""
+    return _materialized_dir(
+        sf_dir,
+        "documents",
+        "search_index_v2",
+        lambda tmp: search.materialize_search_index(
+            _t(spark, sf_dir, "documents"), tmp, id_col="doc_id", text_col="text"
+        ),
+    )
+
+
+def _vector_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted cid-partitioned IVF-PQ index + frozen model
+    (similarity.materialize_vector_index) over the embeddings table —
+    the vector sibling of _search_index_dir, batch form of the
+    streaming/vectorindex.py appender's table. Training is a pure
+    function of the (id, vector) set, so every graded consumer whose
+    corpus carries the same pairs (ann_ivfpq over embeddings;
+    search_hybrid_ann over documents⋈embeddings, a 1:1 rename) serves
+    bit-identically from this one layout."""
+    return _materialized_dir(
+        sf_dir,
+        "embeddings",
+        "vector_index_v1",
+        lambda tmp: similarity.materialize_vector_index(
+            _t(spark, sf_dir, "embeddings"), tmp, corpus_id="vec_id",
+            vec_col="embedding", dim=64,
+        ),
+    )
 
 
 def q_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2124,12 +2168,16 @@ def q_search_hybrid_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     postings = search.build_postings(docs, id_col="id", text_col="text").persist()
     stats = search.build_token_stats(postings, n_docs=docs.count())
-    coarse, cq = similarity.train_ivfpq(
-        docs, corpus_id="id", vec_col="embedding", dim=64
+    # the ANN leg serves from the SAME persisted index as ann_ivfpq:
+    # the joined corpus carries exactly the embeddings table's
+    # (id, vector) pairs (doc_id == vec_id, 1:1 join), and training is a
+    # pure function of those pairs — so a rename of the id column is the
+    # only delta, and the golden fixture (trained on the joined corpus)
+    # replays bit-for-bit. Train once, serve every retrieval query.
+    index, coarse, cq, _meta = similarity.load_vector_index(
+        spark, _vector_index_dir(spark, sf_dir)
     )
-    index = similarity.encode_ivfpq(
-        docs, coarse, cq, 64, id_col="id", vec_col="embedding"
-    )
+    index = index.withColumnRenamed("vec_id", "id")
     qv = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
     return search.hybrid_search_ann(
         docs, postings, stats, SEARCH_QUERY, qv, index, coarse, cq, k=10, dim=64

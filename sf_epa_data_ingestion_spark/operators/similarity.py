@@ -1346,8 +1346,16 @@ def ivfpq_search(
     qx_b = spark.sparkContext.broadcast(qx_by_q)
 
     # ---- ADC over probed cells only: equi-join on cid, not a sweep ----
+    # The probed cells are known DRIVER-side, so push them as a literal
+    # IN predicate too: over a cid-partitioned persisted index
+    # (materialize_vector_index) this is a directory-level PartitionFilter
+    # — unprobed cells' files are never opened — where the broadcast join
+    # alone only filters rows after the scan. Bit-identical: the join key
+    # set is exactly the probed set.
+    probed_cids = sorted({cid for _, cid, _ in probe_rows})
     joined = (
-        encoded.join(broadcast(q_probes), "cid")
+        encoded.filter(F.col("cid").isin(probed_cids))
+        .join(broadcast(q_probes), "cid")
         .filter(F.col(query_id) != F.col(corpus_id))
         .select(query_id, corpus_id, "__cs", "__cell")
     )
@@ -1402,3 +1410,111 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "score_fp", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def materialize_vector_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    residual: bool = False,
+) -> None:
+    """Write the IVF-PQ retrieval tier as a PERSISTED layout — the
+    vector-side sibling of ``search.materialize_search_index`` and the
+    batch form of what ``streaming/vectorindex.py`` maintains
+    incrementally: query-time plans READ a maintained index table
+    instead of re-running the trainer per query (train once, serve
+    many — the FAISS train/add split, on disk).
+
+    Layout, under ``path``:
+    - ``index/`` (corpus_id, codes) parquet, directory-partitioned by
+      ``cid`` — ``ivfpq_search``'s driver-side probe pushes a literal
+      ``cid IN (...)`` predicate, so a query's scan opens only the
+      ``n_probe`` probed cells' directories (PartitionFilters; pinned by
+      test). 8 B of codes per vector; the raw vectors stay in the source
+      table and are re-joined for the rerank·k refinement rows only.
+    - ``_meta.json`` — the FROZEN model: coarse centroids (exact
+      repr-round-trip doubles), the 2^-15-quantized integer codebooks,
+      and the (dim, m, ksub, n_centroids, residual) params, written
+      LAST so a present meta file implies a complete index.
+
+    Training is a pure function of the corpus (hash-ordered seeds,
+    fixed-point Lloyd — train_ivfpq), so serving from this layout is
+    bit-identical to the in-query ivfpq_topk chain: same golden
+    fixtures, pinned by test. At 100 TB the index is a real table the
+    streaming appender keeps current; a corpus change rewrites only the
+    touched cells' partitions.
+    """
+    import json
+    import os
+
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    prepped = _ivfpq_prep(corpus, corpus_id, vec_col, dim).persist()
+    try:
+        coarse, cq = train_ivfpq(
+            corpus,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            m=m,
+            ksub=ksub,
+            dim=dim,
+            _prepped=prepped,
+            residual=residual,
+        )
+        os.makedirs(path, exist_ok=True)
+        if coarse is not None:
+            enc = encode_ivfpq(
+                corpus, coarse, cq, dim,
+                id_col=corpus_id, vec_col=vec_col, residual=residual,
+            )
+            (
+                enc.repartition(n_centroids, "cid")
+                .write.mode("overwrite")
+                .partitionBy("cid")
+                .parquet(os.path.join(path, "index"))
+            )
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "corpus_id": corpus_id,
+                    "dim": dim,
+                    "n_centroids": n_centroids,
+                    "m": m,
+                    "ksub": ksub,
+                    "residual": residual,
+                    "coarse": coarse,
+                    "cq": cq,
+                },
+                f,
+            )
+    finally:
+        prepped.unpersist()
+
+
+def load_vector_index(spark, path: str):
+    """Read a ``materialize_vector_index`` layout: returns
+    (index, coarse, cq, meta) — ``index`` is the (corpus_id, cid, codes)
+    frame ``ivfpq_search`` consumes (cid as the partition column, so the
+    probe's literal IN predicate prunes directories), ``coarse``/``cq``
+    the frozen model (None on an all-invalid corpus), ``meta`` the param
+    dict. Rename the id column to match the serving corpus when the two
+    differ (e.g. doc_id vs vec_id over the same id/vector pairs)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    coarse = meta["coarse"]
+    cq = meta["cq"]
+    index = (
+        spark.read.parquet(os.path.join(path, "index"))
+        if coarse is not None
+        else None
+    )
+    return index, coarse, cq, meta

@@ -144,3 +144,66 @@ def test_cid_partitioned_index_probe_is_partition_pruned(spark, tmp_path):
         tuple(r) for r in similarity.ivfpq_topk(emb, queries, k=5, dim=64).collect()
     )
     assert via_table == from_scratch
+
+
+def test_materialized_vector_index_serves_bit_identically(spark, tmp_path):
+    """materialize_vector_index -> load_vector_index -> ivfpq_search is
+    bit-identical to the in-query ivfpq_topk chain (training is a pure
+    function of the corpus), and _meta.json round-trips the model
+    exactly (repr doubles for coarse, ints for the codebooks)."""
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    path = str(tmp_path / "vi")
+    similarity.materialize_vector_index(emb, path, dim=64)
+    index, coarse, cq, meta = similarity.load_vector_index(spark, path)
+
+    want_coarse, want_cq = similarity.train_ivfpq(emb, dim=64)
+    assert coarse == want_coarse  # exact float round-trip through JSON
+    assert cq == want_cq
+    assert meta["dim"] == 64 and meta["corpus_id"] == "vec_id"
+    assert _rows(index.select("vec_id", "cid", "codes")) == _rows(
+        similarity.encode_ivfpq(emb, want_coarse, want_cq, 64)
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_search(
+            index, emb, queries, coarse, cq, k=5, dim=64
+        ).collect()
+    )
+    from_scratch = sorted(
+        tuple(r) for r in similarity.ivfpq_topk(emb, queries, k=5, dim=64).collect()
+    )
+    assert served == from_scratch and len(served) == 50
+
+
+def test_ivfpq_search_probe_prunes_persisted_partitions(spark, tmp_path):
+    """ivfpq_search's own plan over the persisted layout carries the
+    driver-side probe as a literal cid IN (...) PartitionFilter — the
+    unprobed cells' directories are never opened (n_probe=1 here, so at
+    most 10 of 16 cell partitions survive for 10 distinct queries)."""
+    import contextlib
+    import io
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    path = str(tmp_path / "vi")
+    similarity.materialize_vector_index(emb, path, dim=64)
+    index, coarse, cq, _ = similarity.load_vector_index(spark, path)
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivfpq_search(
+        index, emb, queries, coarse, cq, k=5, dim=64, n_probe=1
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the literal IN predicate reached the index scan's partition filters
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "cid" in seg.split("]")[0] + "]"
+    assert out.count() == 50
