@@ -33,6 +33,9 @@ HEAVY = [
     "search_postings", "search_lexical", "search_hybrid", "ann_ivfpq",
     # r7 batch retrieval + shard writer
     "search_bm25_batch", "search_hybrid_batch", "train_shards",
+    # r8: WAND-pruned batch BM25 + true-hybrid (both served from the
+    # persisted indexes; first run per corpus pays the one-time build)
+    "search_bm25_wand", "search_hybrid_ann",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scaledata", "sf1")
