@@ -2242,6 +2242,125 @@ QUALIFY rank <= 10
 """
 
 
+# Batch true-hybrid: same texts/vectors as HYBRID_BATCH_QUERIES but with
+# NEGATIVE query ids — outside the corpus id space, so ivfpq_search's
+# self-match guard (query_id != corpus_id) is a no-op for the batch,
+# exactly like the scalar form's qid -1.
+HYBRID_ANN_BATCH_QUERIES = [
+    (-(qid + 1), txt, qv) for qid, txt, qv in HYBRID_BATCH_QUERIES
+]
+
+
+def q_search_hybrid_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 TRUE hybrid retrieval, batch form (r8): a frame of (query_id,
+    query_text, query_vec) rows, each ranked by RRF over lexical UNION
+    IVF-PQ semantic candidates — ``search_hybrid_ann``'s batch sibling,
+    the serving shape for offline eval sets / query-log replays / RAG
+    batch retrieval. One plan for the batch: broadcast term-set pruning
+    for the lexical legs, ONE ivfpq_search over the PERSISTED
+    cid-partitioned index for all semantic legs (the per-query probes
+    union into one literal cid IN (...) partition filter), RRF fusion
+    per query. Single-row-batch parity with the scalar form and batch
+    semantic-only reachability pinned in tests/test_search_ops.py."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
+        F.col("doc_id").alias("id"), "text", "embedding"
+    )
+    postings = search.build_postings(docs, id_col="id", text_col="text").persist()
+    stats = search.build_token_stats(postings, n_docs=docs.count())
+    index, coarse, cq, _meta = similarity.load_vector_index(
+        spark, _vector_index_dir(spark, sf_dir)
+    )
+    index = index.withColumnRenamed("vec_id", "id")
+    qdf = spark.createDataFrame(
+        HYBRID_ANN_BATCH_QUERIES,
+        "query_id long, query_text string, query_vec array<double>",
+    )
+    return search.hybrid_search_ann_many(
+        docs, postings, stats, qdf, index, coarse, cq, k=10, dim=64
+    )
+
+
+def _hybrid_ann_batch_values_sql() -> str:
+    rows = []
+    for qid, txt, qv in HYBRID_ANN_BATCH_QUERIES:
+        vec = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+        rows.append(f"({qid}, '{txt}', {vec})")
+    return ",\n        ".join(rows)
+
+
+# Lexical legs + RRF fusion re-derived in SQL per query; ONLY the ANN
+# semantic legs join from the content-addressed golden fixture
+# (tools/make_golden_hybrid_ann_batch.py replays the ivfpq chain for the
+# three query vectors outside the JVM — the scalar scheme with a
+# query_id column). A corpus mismatch drops every sem leg and fails the
+# hash compare loudly.
+ORACLE_SEARCH_HYBRID_ANN_BATCH = rf"""
+WITH q AS (
+  SELECT * FROM (VALUES
+        {{HYBRID_ANN_BATCH_VALUES}}
+  ) AS t(query_id, query_text, qv)
+), docs AS (
+  SELECT d.doc_id AS id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), eh AS (
+  SELECT id,
+         md5(array_to_string(
+           list_transform(embedding, x -> printf('%.9e', CAST(x AS DOUBLE))), ',')) AS h
+  FROM docs
+), corp AS (
+  SELECT md5(string_agg(CAST(id AS VARCHAR) || ':' || h, ',' ORDER BY id)) AS ch
+  FROM eh
+), qterms AS (
+  SELECT DISTINCT q.query_id, u.token
+  FROM q,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(query_text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), toks AS (
+  SELECT id, u.token
+  FROM docs,
+       unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> '')) AS u(token)
+), postings AS (
+  SELECT token, id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT token, COUNT(*) AS df,
+         ln(CAST((SELECT COUNT(*) FROM docs) + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0 AS idf
+  FROM postings GROUP BY token
+), lex AS (
+  SELECT qt.query_id, p.id, round(SUM(p.tf * st.idf), 6) AS score
+  FROM postings p JOIN qterms qt USING (token) JOIN stats st USING (token)
+  GROUP BY qt.query_id, p.id
+  QUALIFY row_number() OVER (PARTITION BY qt.query_id
+                             ORDER BY score DESC, p.id ASC) <= 100
+), lexr AS (
+  SELECT query_id, id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, id ASC) AS INTEGER) AS lex_rank
+  FROM lex
+), sem AS (
+  SELECT g.query_id, g.id, g.sem_rank
+  FROM '/root/repo/tests/fixtures/golden_hybrid_ann_batch.parquet' g
+  JOIN corp ON g.corpus_md5 = corp.ch
+), fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.id, s.id) AS id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(s.sem_rank, 0) AS sem_rank,
+         (CASE WHEN l.lex_rank IS NULL THEN 0.0
+               ELSE 1.0 / (60.0 + l.lex_rank) END
+          + CASE WHEN s.sem_rank IS NULL THEN 0.0
+                 ELSE 1.0 / (60.0 + s.sem_rank) END) AS rrf
+  FROM lexr l FULL OUTER JOIN sem s ON l.query_id = s.query_id AND l.id = s.id
+)
+SELECT query_id, id, lex_rank, sem_rank, round(rrf, 6) AS rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id ASC) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= 10
+""".replace("{HYBRID_ANN_BATCH_VALUES}", _hybrid_ann_batch_values_sql())
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (north star; codecs stubbed, plumbing real)
 # ---------------------------------------------------------------------------
@@ -3349,9 +3468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          embedding_near_dup (production t=0.95 regime w/ planted
     #          pairs), search_hybrid_ann (NEW: lexical UNION ANN + RRF),
     #          search_bm25_wand (NEW: max-score pruned batch BM25),
-    #          ann_ivfpq (Arrow-fronted ADC/refine — bit-identical by
-    #          fixture, re-graded anyway), search_postings +
-    #          search_lexical (persisted token-bucketed index reads);
+    #          ann_ivfpq (Arrow-fronted ADC/refine, served from the
+    #          persisted vector index), search_hybrid_ann_batch (NEW:
+    #          batch true hybrid — displaced search_postings to 51, see
+    #          the inline note), search_lexical (persisted
+    #          token-bucketed index read);
     #   7-50 : ALL 44 queries whose newest green row is r6 (age 2 at r8
     #          — they must grade now or stale out at r9);
     #    51+ : r7-green, unchanged (46 queries — they are r9's window).
@@ -3368,8 +3489,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_wand": q_search_bm25_wand,
     # -- changed in r8: Arrow-fronted ADC/refine ---------------------
         "ann_ivfpq": q_ann_ivfpq,
+    # -- new in r8: batch true hybrid over the persisted indexes -----
+    #    (takes search_postings' window slot: the persisted layout's
+    #    row-parity with the live build is test-pinned AND the in-window
+    #    search_lexical row drives the same persisted index through the
+    #    driver gate; search_postings re-grades at r9, age 2, in-window)
+        "search_hybrid_ann_batch": q_search_hybrid_ann_batch,
     # -- changed in r8: persisted token-bucketed index ---------------
-        "search_postings": q_search_postings,
         "search_lexical": q_search_lexical,
     # -- newest green row is r6 (age 2): renew all 44 ----------------
         "ann_lsh": q_ann_lsh,
@@ -3416,7 +3542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "approx_profile": q_approx_profile,
-    # -- past the 50-entry window: r7-green, unchanged (r9's window) -
+    # -- past the 50-entry window: r7-green (r9's window), plus
+    #    search_postings (r8-changed but displaced by the new batch
+    #    query — its persisted layout is driver-driven via
+    #    search_lexical this round and re-grades first at r9) ---------
+        "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "window_analytics": q_window_analytics,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3523,6 +3653,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": ORACLE_HEAVY_HITTERS,
         "search_postings": ORACLE_SEARCH_POSTINGS,
         "search_hybrid_ann": ORACLE_SEARCH_HYBRID_ANN,
+        "search_hybrid_ann_batch": ORACLE_SEARCH_HYBRID_ANN_BATCH,
         "search_bm25_wand": ORACLE_SEARCH_BM25_WAND,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
         "search_bm25": ORACLE_SEARCH_BM25,

@@ -810,3 +810,131 @@ def hybrid_search_many(
         .filter(F.col("rank") <= k)
         .drop("rank", qvec_col)
     )
+
+def hybrid_search_ann_many(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    index: DataFrame,
+    coarse: list[list[float]],
+    cq: list[list[list[int]]],
+    k: int = 10,
+    pool: int | None = None,
+    rrf_k: int = 60,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    text_col: str = "query_text",
+    qvec_col: str = "query_vec",
+    n_probe: int = 4,
+    dim: int | None = None,
+    attr_filters: dict[str, object] | None = None,
+    residual: bool = False,
+) -> DataFrame:
+    """Batch TRUE hybrid retrieval: a DATAFRAME of (query_id, query_text,
+    query_vec) rows, each ranked by RRF over a lexical candidate leg
+    UNION an ANN semantic leg — ``hybrid_search_ann``'s batch sibling
+    exactly as ``hybrid_search_many`` is to ``hybrid_search``, and the
+    serving shape when queries are themselves data (offline eval sets,
+    query-log replays, RAG batch retrieval).
+
+    One plan for the whole batch: the lexical leg prunes the postings
+    scan with the broadcast distinct (query, token) set and ranks all
+    queries with one window; the semantic leg is ONE ``ivfpq_search``
+    call over the prebuilt (id, cid, codes) index — its per-query probes
+    union into a single literal ``cid IN (...)`` partition filter plus a
+    broadcast probe join, so |Q| queries still cost one pruned scan of
+    the codes. Candidates full-outer-merge per (query_id, id); a doc
+    found by either leg is rankable, so a semantically-matching document
+    sharing no query tokens surfaces (pinned by test, batch form).
+
+    rrf(q, d) = sum over legs of 1/(rrf_k + rank_leg(q, d)), missing
+    leg contributing 0 — rank fusion, not score blending, because BM25/
+    TF-IDF and fixed-point ADC scores live on incomparable scales.
+
+    Query ids must be disjoint from corpus ids (use negative ids for
+    interactive batches): ``ivfpq_search`` drops rows where the two are
+    equal, the self-match guard for queries drawn from the corpus.
+    Single-row-batch parity with ``hybrid_search_ann`` pinned by test.
+    """
+    from .similarity import ivfpq_search
+
+    pool = pool if pool is not None else max(k * 10, 100)
+
+    qterms = queries.select(
+        F.col(query_id), F.explode(_norm_tokens(F.col(text_col))).alias("token")
+    ).distinct()
+    # stats is vocabulary-sized — prune to the batch's terms BEFORE the
+    # broadcast (the bm25_search_many OOM guard)
+    qstats = stats.select("token", "idf").join(
+        qterms.select("token").distinct(), "token", "left_semi"
+    )
+    lex = (
+        postings.join(broadcast(qterms), "token")
+        .join(broadcast(qstats), "token")
+        .groupBy(query_id, "id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
+    )
+    wl = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc("id"))
+    lexr = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= pool)
+        .select(query_id, F.col("id").alias(id_col), "lex_rank")
+    )
+
+    qvecs = queries.select(F.col(query_id), F.col(qvec_col).alias(vec_col))
+    ann = ivfpq_search(
+        index,
+        docs.select(F.col(id_col), F.col(vec_col)),
+        qvecs,
+        coarse,
+        cq,
+        k=pool,
+        corpus_id=id_col,
+        query_id=query_id,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        dim=dim,
+        residual=residual,
+    )
+    semr = ann.select(query_id, id_col, F.col("rank").cast("int").alias("sem_rank"))
+
+    fused = lexr.join(semr, [query_id, id_col], "full_outer").select(
+        query_id,
+        id_col,
+        F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).alias("sem_rank"),
+        (
+            F.when(
+                F.col("lex_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("sem_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
+            ).otherwise(F.lit(0.0))
+        ).alias("__rrf"),
+    )
+
+    base = docs
+    for attr, val in (attr_filters or {}).items():
+        if isinstance(val, (list, tuple)):
+            base = base.filter(F.arrays_overlap(F.col(attr), F.array(*[F.lit(v) for v in val])))
+        else:
+            base = base.filter(F.col(attr) == F.lit(val))
+    out = fused.join(base.select(id_col), id_col, "inner")
+
+    w = Window.partitionBy(query_id).orderBy(F.desc("__rrf"), F.asc(id_col))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            id_col,
+            "lex_rank",
+            "sem_rank",
+            F.round(F.col("__rrf"), 6).alias("rrf_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -400,3 +400,45 @@ def test_maxscore_bm25_identical_to_naive_and_actually_prunes(spark):
         assert pruned_terms, f"query {qid}: no term pruned"
         assert ("dup" in {t for q, t in essential if q == qid})
     postings.unpersist()
+
+
+def test_hybrid_ann_batch_single_row_parity_and_semantic_reach(spark):
+    """hybrid_search_ann_many contracts: (1) a 1-row batch reproduces
+    hybrid_search_ann row-for-row (same legs, same RRF, same ties);
+    (2) the batch form retrieves a semantic-only match for the query
+    that wants it while OTHER queries in the same batch don't pick it
+    up — per-query pools and fusion don't bleed across the batch."""
+    docs, postings, stats, index, coarse, cq, qv = _tiny_hybrid_corpus(spark)
+
+    one = spark.createDataFrame(
+        [(-1, QUERY, qv)], "query_id long, query_text string, query_vec array<double>"
+    )
+    got = sorted(
+        (r["id"], r["lex_rank"], r["sem_rank"], r["rrf_score"], r["rank"])
+        for r in search.hybrid_search_ann_many(
+            docs, postings, stats, one, index, coarse, cq, k=10, pool=5, dim=64
+        ).collect()
+    )
+    want = sorted(
+        (r["id"], r["lex_rank"], r["sem_rank"], r["rrf_score"], r["rank"])
+        for r in search.hybrid_search_ann(
+            docs, postings, stats, QUERY, qv, index, coarse, cq, k=10, pool=5, dim=64
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # batch of two: the qv query surfaces doc 999 (no shared tokens, its
+    # embedding IS qv); an all-lexical query with an orthogonal-ish
+    # vector must not rank 999 first
+    other_vec = [(-1.0) ** j * (0.1 + j / 64.0) for j in range(64)]
+    two = spark.createDataFrame(
+        [(-1, QUERY, qv), (-2, QUERY, other_vec)],
+        "query_id long, query_text string, query_vec array<double>",
+    )
+    out = search.hybrid_search_ann_many(
+        docs, postings, stats, two, index, coarse, cq, k=10, pool=5, dim=64
+    ).collect()
+    q1 = {r["id"]: r for r in out if r["query_id"] == -1}
+    q2 = {r["id"]: r for r in out if r["query_id"] == -2}
+    assert 999 in q1 and q1[999]["lex_rank"] == 0 and q1[999]["sem_rank"] == 1
+    assert 999 not in q2 or q2[999]["sem_rank"] != 1
