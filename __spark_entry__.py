@@ -1627,7 +1627,7 @@ QUALIFY rank <= 5
 SEARCH_QUERY = "spark hash join table"
 
 
-def _materialized_dir(sf_dir: str, table: str, tag: str, build) -> str:
+def _materialized_dir(sf_dir: str, table, tag: str, build) -> str:
     """Build-or-reuse a PERSISTED index layout for a corpus table. The
     cache key is the table's content signature (paths + sizes + mtimes),
     so a regenerated corpus rebuilds and a re-run reuses — modeling the
@@ -1640,16 +1640,19 @@ def _materialized_dir(sf_dir: str, table: str, tag: str, build) -> str:
     import shutil
     import tempfile
 
-    p = os.path.join(sf_dir, f"{table}.parquet")
-    parts = (
-        sorted(glob.glob(os.path.join(p, "**"), recursive=True))
-        if os.path.isdir(p)
-        else [p]
-    )
-    sig = hashlib.md5(f"{tag}:{os.path.realpath(p)}".encode())
-    for q in parts:
-        st = os.stat(q)
-        sig.update(f"{q}:{st.st_size}:{st.st_mtime_ns}".encode())
+    tables = [table] if isinstance(table, str) else list(table)
+    sig = hashlib.md5(tag.encode())
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        parts = (
+            sorted(glob.glob(os.path.join(p, "**"), recursive=True))
+            if os.path.isdir(p)
+            else [p]
+        )
+        sig.update(f":{os.path.realpath(p)}".encode())
+        for q in parts:
+            st = os.stat(q)
+            sig.update(f"{q}:{st.st_size}:{st.st_mtime_ns}".encode())
     root = os.path.join(
         tempfile.gettempdir(), f"sg_{tag}_{sig.hexdigest()[:16]}"
     )
@@ -1698,6 +1701,50 @@ def _vector_index_dir(spark: SparkSession, sf_dir: str) -> str:
             _t(spark, sf_dir, "embeddings"), tmp, corpus_id="vec_id",
             vec_col="embedding", dim=64,
         ),
+    )
+
+
+def _joined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid-retrieval serving corpus: documents that HAVE an
+    embedding (1:1 inner join on doc_id = vec_id)."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
+        F.col("doc_id").alias("id"), "text", "embedding"
+    )
+
+
+def _joined_search_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted token-bucketed search index over the JOINED hybrid
+    corpus (documents that have an embedding) — a separate layout from
+    _search_index_dir because df/idf statistics are corpus-relative and
+    the joined corpus is a strict subset of documents at sf>=0.1. The
+    signature covers BOTH source tables, so either regenerating
+    rebuilds. One index per serving corpus is the production shape, not
+    a workaround."""
+    return _materialized_dir(
+        sf_dir,
+        ["documents", "embeddings"],
+        "search_index_join_v1",
+        lambda tmp: search.materialize_search_index(
+            _joined_docs(spark, sf_dir), tmp, id_col="id", text_col="text"
+        ),
+    )
+
+
+def _probe_terms(*texts: str) -> list:
+    """Driver-side mirror of search._norm_tokens for literal query
+    strings: lowercase, non-alphanumerics to spaces, whitespace split —
+    the term set a bucket-pruned probe of the persisted postings needs."""
+    import re
+
+    return sorted(
+        {
+            t
+            for txt in texts
+            for t in re.sub(r"[^a-z0-9\s]", " ", txt.lower()).split()
+            if t
+        }
     )
 
 
@@ -2161,19 +2208,23 @@ def q_search_hybrid_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven for ann_ivfpq, external-query form), the lexical leg and the
     fusion are re-derived in SQL by the oracle. Semantic-only matches
     surfacing in top-k is pinned by tests/test_search_ops.py."""
-    d = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
-        F.col("doc_id").alias("id"), "text", "embedding"
+    docs = _joined_docs(spark, sf_dir)
+    # BOTH legs serve from persisted, maintained layouts now: the
+    # lexical leg bucket-prunes its literal term probe over the joined
+    # corpus's token-bucketed index (a separate layout from the
+    # whole-documents one — df/idf are corpus-relative), and the ANN leg
+    # reads the SAME persisted vector index as ann_ivfpq: the joined
+    # corpus carries exactly the embeddings table's (id, vector) pairs
+    # (doc_id == vec_id, 1:1 join), and training is a pure function of
+    # those pairs — so a rename of the id column is the only delta, and
+    # the golden fixture (trained on the joined corpus) replays
+    # bit-for-bit. Train once, serve every retrieval query.
+    postings, stats, _dl, _n, nb = search.load_search_index(
+        spark, _joined_search_index_dir(spark, sf_dir)
     )
-    postings = search.build_postings(docs, id_col="id", text_col="text").persist()
-    stats = search.build_token_stats(postings, n_docs=docs.count())
-    # the ANN leg serves from the SAME persisted index as ann_ivfpq:
-    # the joined corpus carries exactly the embeddings table's
-    # (id, vector) pairs (doc_id == vec_id, 1:1 join), and training is a
-    # pure function of those pairs — so a rename of the id column is the
-    # only delta, and the golden fixture (trained on the joined corpus)
-    # replays bit-for-bit. Train once, serve every retrieval query.
+    postings = search.prune_postings_probe(
+        postings, _probe_terms(SEARCH_QUERY), nb
+    ).drop("__tb")
     index, coarse, cq, _meta = similarity.load_vector_index(
         spark, _vector_index_dir(spark, sf_dir)
     )
@@ -2262,13 +2313,16 @@ def q_search_hybrid_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     union into one literal cid IN (...) partition filter), RRF fusion
     per query. Single-row-batch parity with the scalar form and batch
     semantic-only reachability pinned in tests/test_search_ops.py."""
-    d = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
-        F.col("doc_id").alias("id"), "text", "embedding"
+    docs = _joined_docs(spark, sf_dir)
+    # both legs from persisted layouts (see q_search_hybrid_ann); the
+    # batch's term set is literal too, so the postings probe bucket-
+    # prunes on the union of the three queries' terms
+    postings, stats, _dl, _n, nb = search.load_search_index(
+        spark, _joined_search_index_dir(spark, sf_dir)
     )
-    postings = search.build_postings(docs, id_col="id", text_col="text").persist()
-    stats = search.build_token_stats(postings, n_docs=docs.count())
+    postings = search.prune_postings_probe(
+        postings, _probe_terms(*[t for _, t, _ in HYBRID_ANN_BATCH_QUERIES]), nb
+    ).drop("__tb")
     index, coarse, cq, _meta = similarity.load_vector_index(
         spark, _vector_index_dir(spark, sf_dir)
     )
