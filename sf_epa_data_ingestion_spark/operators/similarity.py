@@ -355,6 +355,83 @@ def _residual_pd(centroids: list[list[float]], dim: int):
     return resid
 
 
+def _ivf_prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, __u) unit-vector rows, projected BELOW the exchange barrier:
+    the spread shuffle materializes __u, so downstream reads (centroid
+    dots per row, repeated across Lloyd jobs) are attribute reads, never
+    re-evaluations of the normalize expression."""
+    dn = _with_vec_norm(df.select(id_col, vec_col), vec_col, "__v", "__n")
+    u = dn.select(id_col, _unit_vec(F.col("__v"), F.col("__n")).alias("__u"))
+    return spread(u, F.col(id_col))
+
+
+def train_ivf(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int | None = None,
+    _prepped: DataFrame | None = None,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer only: the seeds + fixed-point Lloyd
+    block of ``ivf_topk`` (which delegates here), returned as the plain
+    centroid list — the frozen model ``encode_ivf``/``ivf_search`` and
+    the persisted layout (``materialize_ivf_index``) apply without
+    retraining. Deterministic across any partitioning: hash-ordered
+    seeds, stable-argsort assignment, int64 fixed-point cell sums (see
+    ivf_topk's docstring for the full argument)."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    own = _prepped is None
+    c = _ivf_prep(corpus, corpus_id, vec_col).persist() if own else _prepped
+
+    seeds = (
+        corpus.select(corpus_id, vec_col)
+        .orderBy(F.xxhash64(F.col(corpus_id).cast("string")), F.col(corpus_id))
+        .limit(n_centroids)
+        .collect()
+    )
+
+    def normalize(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else list(v)
+
+    cents = [normalize([float(x) for x in row[1]]) for row in seeds]
+
+    # Assignment/probing runs through the Arrow-batched matmul UDF
+    # (_centroid_topn_pd): the literal-centroid expression alternative
+    # (_nearest_centroid, kept as the pinned spec) is rebuilt with fresh
+    # literals every Lloyd pass, paying driver analysis + janino
+    # compilation that dwarfs the executor work (measured 5.2s -> ~2s for
+    # the full ann_ivf query at sf0.1).
+    for _ in range(iters):
+        nearest = _centroid_topn_pd(cents, 1)
+        sums = (
+            c.select(F.element_at(nearest(F.col("__u")), 1).alias("cid"), "__u")
+            .select("cid", F.posexplode("__u").alias("pos", "x"))
+            # fixed-point: floor(x * 2^30) as long — order-independent
+            # integer sums make the trained centroids reproducible under
+            # ANY partitioning/reduce order (see docstring)
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * F.lit(float(IVF_SCALE))).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for row in sums:
+            means.setdefault(row["cid"], [0.0] * dim)[row["pos"]] = (
+                row["s"] / IVF_SCALE / row["n"]
+            )
+        # empty cells keep their previous centroid
+        cents = [normalize(means.get(j, cents[j])) for j in range(n_centroids)]
+    if own:
+        c.unpersist()
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -399,64 +476,22 @@ def ivf_topk(
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
 
-    def prep(df: DataFrame, id_col: str) -> DataFrame:
-        # unit vector projected BELOW the exchange barrier: the shuffle
-        # materializes __u, so downstream reads (16 centroid dots per row,
-        # repeated across Lloyd jobs) are attribute reads, never
-        # re-evaluations of the normalize expression
-        dn = _with_vec_norm(df.select(id_col, vec_col), vec_col, "__v", "__n")
-        u = dn.select(id_col, _unit_vec(F.col("__v"), F.col("__n")).alias("__u"))
-        return spread(u, F.col(id_col))
-
     # persist: the prepped corpus (id, unit-vec) is consumed iters+1 times
     # (every Lloyd pass + the final assignment); without it each pass
     # re-runs scan -> normalize -> spread. This is also the 100 TB
     # posture: IVF training materializes the normalized corpus once and
     # shares it across iterations (then writes the assignment for reuse
     # across query batches, per the scale notes above).
-    c = prep(corpus, corpus_id).persist()
-
-    seeds = (
-        corpus.select(corpus_id, vec_col)
-        .orderBy(F.xxhash64(F.col(corpus_id).cast("string")), F.col(corpus_id))
-        .limit(n_centroids)
-        .collect()
+    c = _ivf_prep(corpus, corpus_id, vec_col).persist()
+    cents = train_ivf(
+        corpus,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        iters=iters,
+        dim=dim,
+        _prepped=c,
     )
-
-    def normalize(v: list[float]) -> list[float]:
-        n = math.sqrt(sum(x * x for x in v))
-        return [x / n for x in v] if n > 0 else list(v)
-
-    cents = [normalize([float(x) for x in row[1]]) for row in seeds]
-
-    # Assignment/probing runs through the Arrow-batched matmul UDF
-    # (_centroid_topn_pd): the literal-centroid expression alternative
-    # (_nearest_centroid, kept as the pinned spec) is rebuilt with fresh
-    # literals every Lloyd pass, paying driver analysis + janino
-    # compilation that dwarfs the executor work (measured 5.2s -> ~2s for
-    # the full ann_ivf query at sf0.1).
-    for _ in range(iters):
-        nearest = _centroid_topn_pd(cents, 1)
-        sums = (
-            c.select(F.element_at(nearest(F.col("__u")), 1).alias("cid"), "__u")
-            .select("cid", F.posexplode("__u").alias("pos", "x"))
-            # fixed-point: floor(x * 2^30) as long — order-independent
-            # integer sums make the trained centroids reproducible under
-            # ANY partitioning/reduce order (see docstring)
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(F.floor(F.col("x") * F.lit(float(IVF_SCALE))).cast("long")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        means: dict[int, list[float]] = {}
-        for row in sums:
-            means.setdefault(row["cid"], [0.0] * dim)[row["pos"]] = (
-                row["s"] / IVF_SCALE / row["n"]
-            )
-        # empty cells keep their previous centroid
-        cents = [normalize(means.get(j, cents[j])) for j in range(n_centroids)]
 
     # cid must be a GENERATOR output, not a projection over the UDF: when
     # queries share lineage with the corpus (self-search), constraint
@@ -469,7 +504,7 @@ def ivf_topk(
         corpus_id, "__u", F.explode(nearest(F.col("__u"))).alias("cid")
     )
 
-    q = prep(queries, query_id)
+    q = _ivf_prep(queries, query_id, vec_col)
     q_probe = q.select(
         query_id,
         F.col("__u").alias("__qu"),
@@ -498,6 +533,146 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def encode_ivf(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a FROZEN IVF coarse quantizer: (id, __u, cid) rows — the
+    "add" half of the IVF train/add split, and exactly the assignment
+    frame ivf_topk builds internally (explode keeps cid a plain
+    attribute; see ivf_topk's generator note). This is what a batch job
+    runs to (re)build the persisted, cid-partitioned assignment table."""
+    c = _ivf_prep(df, id_col, vec_col)
+    nearest = _centroid_topn_pd(cents, 1)
+    return c.select(id_col, "__u", F.explode(nearest(F.col("__u"))).alias("cid"))
+
+
+def ivf_search(
+    index: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a PREBUILT IVF assignment table: ``index`` is the
+    (corpus_id, __u, cid) frame ``encode_ivf`` (or the persisted
+    ``materialize_ivf_index`` layout) maintains — this path never
+    retrains. Queries are interactive-small by contract (the same
+    collect the IVF-PQ serving path documents): their probes are
+    computed driver-side with the stable-argsort mirror of
+    ``_centroid_topn_pd``, so the probe lands on the index scan BOTH as
+    a broadcast equi-join AND as a literal ``cid IN (...)`` predicate —
+    over the cid-partitioned persisted layout that is a directory-level
+    PartitionFilter (unprobed cells never opened). Scoring is the SAME
+    zip_with/aggregate cosine fold as ivf_topk (identical sequential
+    float-sum order — bit-parity pinned by test)."""
+    qrows = _ivf_prep(queries, query_id, vec_col).collect()
+    spark = queries.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine_sim double, rank long"
+        )
+    C = np.asarray(cents, dtype=np.float64)
+    dim = C.shape[1]
+    probe_rows = []
+    for row in qrows:
+        qu = row["__u"]
+        v = np.zeros(dim)
+        if qu is not None and len(qu) == dim:
+            v = np.asarray([float(x) for x in qu], dtype=np.float64)
+        order = np.argsort(-(v @ C.T), kind="stable")[:n_probe]
+        # __qu passes through VERBATIM (None/ragged included) so the
+        # scoring fold sees exactly what ivf_topk's Spark-side prep
+        # produced — NULL/length-mismatch semantics stay identical
+        qu_out = qu if qu is None else [float(x) for x in qu]
+        for cid in order:
+            probe_rows.append((row[query_id], int(cid), qu_out))
+    q_probe = spark.createDataFrame(
+        probe_rows, f"{query_id} long, cid int, __qu array<double>"
+    )
+    probed_cids = sorted({cid for _, cid, _ in probe_rows})
+    scored = (
+        index.filter(F.col("cid").isin(probed_cids))
+        .join(broadcast(q_probe), "cid")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            corpus_id,
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("__qu"), F.col("__u"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def materialize_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int | None = None,
+) -> None:
+    """Write the IVF tier as a PERSISTED layout: the (id, __u, cid)
+    assignment table directory-partitioned by cid (``ivf_search``'s
+    literal probe predicate prunes to the n_probe probed cells'
+    directories) plus the frozen centroids in ``_meta.json`` (written
+    last). The scale note in ivf_topk's docstring — "the assignment is
+    written once as a bucketed table and reused across query batches" —
+    made concrete; training is a pure function of the corpus, so serving
+    from this layout is bit-identical to ivf_topk (pinned by test)."""
+    import json
+    import os
+
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    cents = train_ivf(
+        corpus, corpus_id=corpus_id, vec_col=vec_col,
+        n_centroids=n_centroids, iters=iters, dim=dim,
+    )
+    os.makedirs(path, exist_ok=True)
+    (
+        encode_ivf(corpus, cents, id_col=corpus_id, vec_col=vec_col)
+        .repartition(n_centroids, "cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(path, "index"))
+    )
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(
+            {"corpus_id": corpus_id, "dim": dim, "n_centroids": n_centroids,
+             "cents": cents},
+            f,
+        )
+
+
+def load_ivf_index(spark, path: str):
+    """Read a ``materialize_ivf_index`` layout: (index, cents, meta)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(path, "index")), meta["cents"], meta
 
 
 def embedding_near_dup_pairs(

@@ -207,3 +207,78 @@ def test_ivfpq_search_probe_prunes_persisted_partitions(spark, tmp_path):
     seg = plan[plan.index("PartitionFilters"):]
     assert "cid" in seg.split("]")[0] + "]"
     assert out.count() == 50
+
+
+def test_flat_pq_is_one_cell_ivfpq(spark, tmp_path):
+    """The identity the graded ann_pq serves through: pq_topk ==
+    ivfpq_topk(n_centroids=1, n_probe=1) bit-for-bit (same hash-ordered
+    seed scan — n_seed = max(1, ksub) = ksub — same integer-rank
+    codebook Lloyd, same int64 ADC/refine), and the persisted one-cell
+    layout serves it identically."""
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat = sorted(
+        tuple(r) for r in similarity.pq_topk(emb, queries, k=5, dim=64).collect()
+    )
+    one_cell = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_topk(
+            emb, queries, k=5, dim=64, n_centroids=1, n_probe=1
+        ).collect()
+    )
+    assert flat == one_cell and len(flat) == 50
+
+    path = str(tmp_path / "flat")
+    similarity.materialize_vector_index(emb, path, dim=64, n_centroids=1)
+    index, coarse, cq, _ = similarity.load_vector_index(spark, path)
+    served = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_search(
+            index, emb, queries, coarse, cq, k=5, dim=64, n_probe=1
+        ).collect()
+    )
+    assert served == flat
+
+
+def test_materialized_ivf_index_serves_bit_identically(spark, tmp_path):
+    """materialize_ivf_index -> load_ivf_index -> ivf_search is
+    bit-identical to the in-query ivf_topk chain (training is a pure
+    function of the corpus; the driver-side probe mirror reproduces
+    _centroid_topn_pd's stable-argsort contract; the scoring fold is
+    the same sequential zip_with/aggregate expression), and the probe's
+    literal cid IN (...) predicate reaches the persisted layout's
+    PartitionFilters."""
+    import contextlib
+    import io
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.materialize_ivf_index(emb, path, dim=64)
+    index, cents, meta = similarity.load_ivf_index(spark, path)
+    assert cents == similarity.train_ivf(emb, dim=64)  # exact JSON round-trip
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = sorted(
+        tuple(r)
+        for r in similarity.ivf_search(index, queries, cents, k=10, n_probe=4).collect()
+    )
+    from_scratch = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, queries, k=10, dim=64, n_centroids=16, n_probe=4
+        ).collect()
+    )
+    assert served == from_scratch and len(served) == 100
+
+    out = similarity.ivf_search(index, queries, cents, k=10, n_probe=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "cid" in seg.split("]")[0] + "]"
