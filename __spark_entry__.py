@@ -3620,8 +3620,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    51+ : r7-green, unchanged (46 queries — they are r9's window).
     # Results-identical plan fixes this round that did NOT re-grade their
     # r7-green queries (stats-broadcast pruning in bm25_search_many /
-    # hybrid_search_many) are pinned by single-query-parity pytest tests;
-    # those queries re-grade next round with the rest of the r7 set.
+    # hybrid_search_many; ann_pq now serving the persisted one-cell index
+    # through ivfpq_search — flat-PQ==one-cell-ivfpq parity pinned;
+    # quality_classifier serving the cached pre-trained model — deploy-
+    # split parity pinned) are each pinned by bit-parity pytest tests AND
+    # locally oracle-verified at sf0.001+sf0.01; those queries re-grade
+    # next round with the rest of the r7 set.
     return {
     # -- changed in r8: production-regime banded near-dup ------------
         "embedding_near_dup": q_embedding_near_dup,
