@@ -2299,7 +2299,7 @@ def q_search_hybrid_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     postings = search.prune_postings_probe(
         postings, _probe_terms(SEARCH_QUERY), nb
-    ).drop("__tb")
+    )
     index, coarse, cq, _meta = similarity.load_vector_index(
         spark, _vector_index_dir(spark, sf_dir)
     )
@@ -2397,7 +2397,7 @@ def q_search_hybrid_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     postings = search.prune_postings_probe(
         postings, _probe_terms(*[t for _, t, _ in HYBRID_ANN_BATCH_QUERIES]), nb
-    ).drop("__tb")
+    )
     index, coarse, cq, _meta = similarity.load_vector_index(
         spark, _vector_index_dir(spark, sf_dir)
     )
@@ -3295,7 +3295,8 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     once offline, score many — the deploy split train_quality_lr /
     score_docs_lr that already gates the streaming ingestion path):
     the 5-iteration GD runs once per corpus generation; the graded plan
-    is one tokenize pass + a broadcast weight join + int-sums. Training
+    is two tokenize passes (weak labels + presence features — down from
+    the trainer's iters+2) with a broadcast weight join + int-sums. Training
     is a pure function of the corpus, and serve-vs-in-one-call parity is
     pinned (tests/test_quality_model.py), so the golden fixture is
     unchanged."""

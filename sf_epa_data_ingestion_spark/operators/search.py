@@ -278,81 +278,45 @@ def hybrid_search_ann(
     (identical IEEE ops in the DuckDB oracle); ``rrf_score`` is rounded
     for display. Ties break by id.
 
+    The implementation IS the batch operator at |Q| = 1: this delegates
+    to ``hybrid_search_ann_many`` with a one-row query frame (qid -1 —
+    outside the corpus id space, so the self-match guard is a no-op) and
+    drops the query_id column — one fusion/rank/filter code path to
+    maintain, and scalar/batch parity holds by construction. The query
+    text tokenizes with the index's OWN normalizer (_norm_tokens), so a
+    punctuated query matches normalized postings tokens the raw-split
+    lexical probe could never hit.
+
     Scale: both legs are the already-scale-shaped plans (pruned postings
     probe; cell-pruned ADC over a cid-bucketed index). The fusion itself
-    touches 2*pool candidate ROWS per query — metadata-sized. Attribute
-    filters apply to the doc join after fusion (same pushdown shape as
-    ``hybrid_search``).
+    touches 2*pool candidate ROWS per query — metadata-sized.
 
     Single-leg degeneracy pinned by test: with an empty semantic leg the
     top-k ordering equals ``lexical_search``'s; with an empty lexical leg
     it equals the ANN ranking.
     """
-    from .similarity import ivfpq_search
-
-    pool = pool if pool is not None else max(k * 10, 100)
-
-    lex = lexical_search(postings, stats, query, k=pool)
-    wl = Window.orderBy(F.desc("score"), F.asc("id"))
-    lexr = lex.select(
-        F.col("id").alias(id_col), F.row_number().over(wl).alias("lex_rank")
-    )
-
     spark = docs.sparkSession
     qdf = spark.createDataFrame(
-        [(-1, [float(x) for x in query_vec])], "query_id long, embedding array<double>"
+        [(-1, query, [float(x) for x in query_vec])],
+        f"query_id long, query_text string, query_vec array<double>",
     )
-    ann = ivfpq_search(
-        index,
-        docs.select(F.col(id_col), F.col(vec_col)),
+    return hybrid_search_ann_many(
+        docs,
+        postings,
+        stats,
         qdf,
+        index,
         coarse,
         cq,
-        k=pool,
-        corpus_id=id_col,
-        query_id="query_id",
+        k=k,
+        pool=pool,
+        rrf_k=rrf_k,
+        id_col=id_col,
         vec_col=vec_col,
         n_probe=n_probe,
         dim=dim,
-    )
-    semr = ann.select(F.col(id_col), F.col("rank").cast("int").alias("sem_rank"))
-
-    fused = lexr.join(semr, id_col, "full_outer").select(
-        id_col,
-        F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
-        F.coalesce(F.col("sem_rank"), F.lit(0)).alias("sem_rank"),
-        (
-            F.when(
-                F.col("lex_rank").isNotNull(),
-                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank")),
-            ).otherwise(F.lit(0.0))
-            + F.when(
-                F.col("sem_rank").isNotNull(),
-                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("sem_rank")),
-            ).otherwise(F.lit(0.0))
-        ).alias("__rrf"),
-    )
-
-    base = docs
-    for attr, val in (attr_filters or {}).items():
-        if isinstance(val, (list, tuple)):
-            base = base.filter(F.arrays_overlap(F.col(attr), F.array(*[F.lit(v) for v in val])))
-        else:
-            base = base.filter(F.col(attr) == F.lit(val))
-    out = fused.join(base.select(id_col), id_col, "inner")
-
-    w = Window.orderBy(F.desc("__rrf"), F.asc(id_col))
-    return (
-        out.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            id_col,
-            "lex_rank",
-            "sem_rank",
-            F.round(F.col("__rrf"), 6).alias("rrf_score"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+        attr_filters=attr_filters,
+    ).drop("query_id")
 
 
 def bm25_search_many(

@@ -386,8 +386,19 @@ def train_ivf(
     own = _prepped is None
     c = _ivf_prep(corpus, corpus_id, vec_col).persist() if own else _prepped
 
+    # seed scan skips invalid vectors (NULL / wrong length / NULL
+    # elements): they can never train a centroid — normalize() has no
+    # value for them — and a corpus of ONLY invalid vectors is the
+    # no-model case. Valid-vector corpora (every graded table) see the
+    # identical seed set as before.
+    valid = (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
     seeds = (
         corpus.select(corpus_id, vec_col)
+        .filter(valid)
         .orderBy(F.xxhash64(F.col(corpus_id).cast("string")), F.col(corpus_id))
         .limit(n_centroids)
         .collect()
@@ -397,6 +408,10 @@ def train_ivf(
         n = math.sqrt(sum(x * x for x in v))
         return [x / n for x in v] if n > 0 else list(v)
 
+    if not seeds:  # empty/all-NULL corpus: no model (train_ivfpq's contract)
+        if own:
+            c.unpersist()
+        return None
     cents = [normalize([float(x) for x in row[1]]) for row in seeds]
 
     # Assignment/probing runs through the Arrow-batched matmul UDF
@@ -492,6 +507,11 @@ def ivf_topk(
         dim=dim,
         _prepped=c,
     )
+    if cents is None:  # empty/all-NULL corpus
+        c.unpersist()
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine_sim double, rank long"
+        )
 
     # cid must be a GENERATOR output, not a projection over the UDF: when
     # queries share lineage with the corpus (self-search), constraint
@@ -540,13 +560,14 @@ def encode_ivf(
     cents: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a FROZEN IVF coarse quantizer: (id, __u, cid) rows — the
     "add" half of the IVF train/add split, and exactly the assignment
     frame ivf_topk builds internally (explode keeps cid a plain
     attribute; see ivf_topk's generator note). This is what a batch job
     runs to (re)build the persisted, cid-partitioned assignment table."""
-    c = _ivf_prep(df, id_col, vec_col)
+    c = _prepped if _prepped is not None else _ivf_prep(df, id_col, vec_col)
     nearest = _centroid_topn_pd(cents, 1)
     return c.select(id_col, "__u", F.explode(nearest(F.col("__u"))).alias("cid"))
 
@@ -573,8 +594,12 @@ def ivf_search(
     PartitionFilter (unprobed cells never opened). Scoring is the SAME
     zip_with/aggregate cosine fold as ivf_topk (identical sequential
     float-sum order — bit-parity pinned by test)."""
-    qrows = _ivf_prep(queries, query_id, vec_col).collect()
     spark = queries.sparkSession
+    if not cents:  # no model (empty/all-NULL corpus at build time)
+        return spark.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine_sim double, rank long"
+        )
+    qrows = _ivf_prep(queries, query_id, vec_col).collect()
     if not qrows:
         return spark.createDataFrame(
             [], f"{query_id} long, {corpus_id} long, cosine_sim double, rank long"
@@ -586,12 +611,16 @@ def ivf_search(
         qu = row["__u"]
         v = np.zeros(dim)
         if qu is not None and len(qu) == dim:
-            v = np.asarray([float(x) for x in qu], dtype=np.float64)
+            # np.asarray(dtype=float64) maps NULL elements (a zero-norm
+            # vector's __u is [NULL]*dim, not a NULL array) to nan —
+            # exactly what _centroid_topn_pd's batch matmul sees, so the
+            # all-nan-dots stable argsort picks the same [0..n_probe-1]
+            v = np.asarray(qu, dtype=np.float64)
         order = np.argsort(-(v @ C.T), kind="stable")[:n_probe]
-        # __qu passes through VERBATIM (None/ragged included) so the
-        # scoring fold sees exactly what ivf_topk's Spark-side prep
-        # produced — NULL/length-mismatch semantics stay identical
-        qu_out = qu if qu is None else [float(x) for x in qu]
+        # __qu passes through VERBATIM (None/NULL-element/ragged
+        # included) so the scoring fold sees exactly what ivf_topk's
+        # Spark-side prep produced — NULL semantics stay identical
+        qu_out = qu if qu is None else list(qu)
         for cid in order:
             probe_rows.append((row[query_id], int(cid), qu_out))
     q_probe = spark.createDataFrame(
@@ -645,18 +674,26 @@ def materialize_ivf_index(
 
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
-    cents = train_ivf(
-        corpus, corpus_id=corpus_id, vec_col=vec_col,
-        n_centroids=n_centroids, iters=iters, dim=dim,
-    )
-    os.makedirs(path, exist_ok=True)
-    (
-        encode_ivf(corpus, cents, id_col=corpus_id, vec_col=vec_col)
-        .repartition(n_centroids, "cid")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(os.path.join(path, "index"))
-    )
+    prepped = _ivf_prep(corpus, corpus_id, vec_col).persist()
+    try:
+        cents = train_ivf(
+            corpus, corpus_id=corpus_id, vec_col=vec_col,
+            n_centroids=n_centroids, iters=iters, dim=dim, _prepped=prepped,
+        )
+        os.makedirs(path, exist_ok=True)
+        if cents is not None:
+            (
+                encode_ivf(
+                    corpus, cents, id_col=corpus_id, vec_col=vec_col,
+                    _prepped=prepped,
+                )
+                .repartition(n_centroids, "cid")
+                .write.mode("overwrite")
+                .partitionBy("cid")
+                .parquet(os.path.join(path, "index"))
+            )
+    finally:
+        prepped.unpersist()
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(
             {"corpus_id": corpus_id, "dim": dim, "n_centroids": n_centroids,
@@ -666,13 +703,22 @@ def materialize_ivf_index(
 
 
 def load_ivf_index(spark, path: str):
-    """Read a ``materialize_ivf_index`` layout: (index, cents, meta)."""
+    """Read a ``materialize_ivf_index`` layout: (index, cents, meta).
+    A no-model layout (empty/all-NULL corpus at build time) loads as an
+    EMPTY index frame + cents None, so downstream searches return empty
+    results instead of dereferencing None."""
     import json
     import os
 
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
-    return spark.read.parquet(os.path.join(path, "index")), meta["cents"], meta
+    if meta["cents"] is None:
+        index = spark.createDataFrame(
+            [], f"{meta['corpus_id']} long, __u array<double>, cid int"
+        )
+    else:
+        index = spark.read.parquet(os.path.join(path, "index"))
+    return index, meta["cents"], meta
 
 
 def embedding_near_dup_pairs(
@@ -1315,6 +1361,7 @@ def encode_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    _prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a FROZEN IVF-PQ model: (id, cid, codes) rows for every valid
     vector — the "add" half of the train/add split. One Arrow pass per
@@ -1325,7 +1372,7 @@ def encode_ivfpq(
     codes quantize ``u - coarse[cid]`` (the cell stays the raw-vector
     assignment — same argsort either way); pass the flag the model was
     trained with."""
-    u = _ivfpq_prep(df, id_col, vec_col, dim)
+    u = _prepped if _prepped is not None else _ivfpq_prep(df, id_col, vec_col, dim)
     nearest = _centroid_topn_pd(coarse, 1)
     codes_udf = _pq_codes_pd(cq, dim)
     assigned = u.select(id_col, "__u", F.explode(nearest(F.col("__u"))).alias("cid"))
@@ -1469,8 +1516,12 @@ def ivfpq_search(
     way."""
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
+    if not coarse or not cq:  # no model (empty/all-NULL corpus at build)
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, score_fp long, rank long"
+        )
     m = len(cq)
-    if m == 0 or dim % m:
+    if dim % m:
         raise ValueError(f"dim {dim} not divisible by {m} codebook subspaces")
     dsub = dim // m
     c = _prepped if _prepped is not None else _ivfpq_prep(corpus, corpus_id, vec_col, dim)
@@ -1647,6 +1698,7 @@ def materialize_vector_index(
             enc = encode_ivfpq(
                 corpus, coarse, cq, dim,
                 id_col=corpus_id, vec_col=vec_col, residual=residual,
+                _prepped=prepped,
             )
             (
                 enc.repartition(n_centroids, "cid")
@@ -1687,9 +1739,11 @@ def load_vector_index(spark, path: str):
         meta = json.load(f)
     coarse = meta["coarse"]
     cq = meta["cq"]
-    index = (
-        spark.read.parquet(os.path.join(path, "index"))
-        if coarse is not None
-        else None
-    )
+    if coarse is None:  # no-model layout: empty index, not None (callers
+        # pass this straight to ivfpq_search — empty results, no crash)
+        index = spark.createDataFrame(
+            [], f"{meta['corpus_id']} long, codes array<int>, cid int"
+        )
+    else:
+        index = spark.read.parquet(os.path.join(path, "index"))
     return index, coarse, cq, meta

@@ -282,3 +282,50 @@ def test_materialized_ivf_index_serves_bit_identically(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan[plan.index("PartitionFilters"):]
     assert "cid" in seg.split("]")[0] + "]"
+
+
+def test_ivf_search_zero_norm_query_matches_topk(spark, tmp_path):
+    """A zero-norm query vector preps to [NULL]*dim (element NULLs, not
+    a NULL array) — the served path must reproduce ivf_topk's semantics
+    (probes [0..n_probe-1] via the all-nan stable argsort, NULL cosine)
+    instead of crashing on the driver-side mirror."""
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    path = str(tmp_path / "ivf0")
+    similarity.materialize_ivf_index(emb, path, dim=64)
+    index, cents, _ = similarity.load_ivf_index(spark, path)
+
+    queries = spark.createDataFrame(
+        [(-1, [0.0] * 64), (-2, [1.0] + [0.0] * 63)],
+        "query_id long, embedding array<double>",
+    )
+    served = sorted(
+        tuple(r)
+        for r in similarity.ivf_search(index, queries, cents, k=5, n_probe=4).collect()
+    )
+    from_scratch = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, dim=64, n_centroids=16, n_probe=4
+        ).collect()
+    )
+    assert served == from_scratch
+
+
+def test_no_model_layouts_serve_empty_not_crash(spark, tmp_path):
+    """Building either index over an all-NULL corpus writes a no-model
+    layout; loading + searching it returns EMPTY results (not None
+    dereferences) — the degenerate contract train_ivfpq established."""
+    empty = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(-1, [1.0] * 64)], "query_id long, embedding array<double>")
+
+    p1 = str(tmp_path / "vi_empty")
+    similarity.materialize_vector_index(empty, p1, dim=64)
+    index, coarse, cq, _ = similarity.load_vector_index(spark, p1)
+    assert coarse is None
+    assert similarity.ivfpq_search(index, empty, q, coarse, cq, k=5, dim=64).count() == 0
+
+    p2 = str(tmp_path / "ivf_empty")
+    similarity.materialize_ivf_index(empty, p2, dim=64)
+    index2, cents, _ = similarity.load_ivf_index(spark, p2)
+    assert cents is None and index2.count() == 0
+    assert similarity.ivf_search(index2, q, cents, k=5).count() == 0
