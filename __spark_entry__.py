@@ -1270,11 +1270,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus WITH planted near-dups deterministically from the driver's own
     table: union the embeddings with fixed-point-perturbed copies
     (cosine >= 1 - ~1e-9 by construction on the unit-norm testdata; ids
-    offset by 1e6), then run banded t=0.95 at the production 8x8 band
-    geometry — per-bit collision for unrelated pairs is ~0.5, so a random
-    pair survives a table with probability ~2^-8 and candidate volume is
-    ~3% of pairs instead of ~64% (production regime measured 2.5x at sf1,
-    SCALE.md). The oracle replays the same signatures from a golden
+    offset by 1e6), then run banded t=0.95 at 8 tables x 16 bits —
+    per-bit collision for unrelated pairs is ~0.5, so a random pair
+    survives a table with probability ~2^-16. Depth matters at scale:
+    at 8 bits the n^2/256 random-collision floor dominated the planted
+    sf1 corpus (40k vectors, ~24x measured); at 16 bits the floor is
+    n^2/65536 while the planted pairs (per-bit collision ~1 at cosine
+    ~1) still collide in EVERY table — identical output, ~256x fewer
+    random candidates. This is the knob a 100 TB deployment turns:
+    band depth tracks corpus size, tables track recall. The oracle replays the same signatures from a golden
     fixture (tools/make_golden_neardup_prod.py) and re-derives candidate
     generation + cosine scoring in SQL, so the graded check is hash-exact
     AND the graded plan is the scale-shaped one. Planted-pair recall is
@@ -1292,14 +1296,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.95,
         exact=False,
         n_tables=8,
-        bits=8,
+        bits=16,
         dim=64,
     )
 
 
 # Content-addressed banded replay (same scheme as ORACLE_ANN_LSH): build
 # the SAME union corpus (originals + the elementwise fixed-point
-# perturbation — bit-identical across engines), join it to the 8x8 golden
+# perturbation — bit-identical across engines), join it to the 8x16 golden
 # signatures on md5 of the %.9e canonical rendering, re-derive candidate
 # generation (any-table bucket collision, id_a < id_b, DISTINCT) in SQL,
 # then score survivors with exact cosine and apply the 0.95 threshold.

@@ -248,7 +248,7 @@ def test_embedding_near_dup_banded_pair_recall(spark):
 def test_embedding_near_dup_production_regime_planted_recall(spark):
     """The r8 GRADED near-dup regime: planted perturbed copies (cosine
     >= 1 - ~1e-9 by construction) on top of the real sf0.01 embeddings,
-    banded t=0.95 at the production 8x8 geometry. Every planted pair
+    banded t=0.95 at the production 8x16 geometry. Every planted pair
     must surface (a miss needs all 8 tables' signatures to differ, i.e.
     8 independent knife-edge hyperplane dots) and NOTHING else may pass
     the 0.95 threshold (max real-pair cosine in the testdata is ~0.51).

@@ -41,7 +41,7 @@ from sf_epa_data_ingestion_spark.functions.refhash import (  # noqa: E402
 FIX = os.path.join(REPO, "tests", "fixtures")
 SFS = ("sf0.001", "sf0.01")
 N_TABLES = 8
-BITS = 8
+BITS = 16
 DIM = 64
 
 
