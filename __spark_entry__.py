@@ -1343,6 +1343,117 @@ WHERE round(list_dot_product(ea.v, eb.v) /
 """
 
 
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-pair union corpus (q_embedding_near_dup's exact
+    construction, shared): driver embeddings + fixed-point-perturbed
+    copies at ids +1e6 — cosine >= 1 - ~1e-9 by construction, so every
+    planted pair is a semantic duplicate any threshold catches."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(NEARDUP_PLANT_OFFSET)).alias("vec_id"),
+        F.transform("embedding", _plant_perturb_expr).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+SEMDEDUP_CENTROIDS = 64  # cluster count ∝ corpus size is SemDeDup's knob:
+                         # ~16 rows/cluster at the graded sf0.01 union
+
+
+def _semdedup_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted cid-partitioned k-means assignment over the PLANTED
+    union corpus (the SemDeDup serving layout — same machinery as
+    _ivf_index_dir, different corpus and a finer quantizer). Content-
+    keyed on the embeddings table: the planted half is a pure function
+    of it."""
+    return _materialized_dir(
+        sf_dir,
+        "embeddings",
+        "semdedup_index_v1",
+        lambda tmp: similarity.materialize_ivf_index(
+            _semdedup_corpus(spark, sf_dir), tmp, corpus_id="vec_id",
+            vec_col="embedding", dim=64, n_centroids=SEMDEDUP_CENTROIDS,
+        ),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication via k-means
+    clusters — candidate pairs only WITHIN a cluster (cluster-bounded
+    pairwise work, the property that lets the method run on LAION/C4-
+    scale corpora), resolved by the paper's keep rule (keep the member
+    with the LOWER centroid cosine; tie-break id). Complements
+    embedding_near_dup: LSH bands find near-identical pairs anywhere;
+    SemDeDup finds same-meaning pairs and prescribes the survivor.
+
+    Serves from the persisted cid-partitioned assignment table over the
+    planted union corpus (train-once/serve-many like every r8 retrieval
+    query); the oracle replays the fixed-point Lloyd from golden
+    fixtures (tools/make_golden_semdedup.py — assignment + frozen
+    centroid vectors, corpus-hash-guarded) and re-derives pair cosines
+    and the keep rule in SQL over the same unit vectors."""
+    index, cents, _meta = similarity.load_ivf_index(
+        spark, _semdedup_index_dir(spark, sf_dir)
+    )
+    return similarity.semantic_dedup_pairs(index, cents, threshold=0.95)
+
+
+# Corpus construction mirrors ORACLE_EMBEDDING_NEAR_DUP (same planted
+# union); assignment + centroids join from the corpus-hash-guarded
+# fixtures; unit vectors re-derive in SQL exactly like ORACLE_ANN_IVF.
+# The keep rule compares (round6(centroid cosine), id) — the engines
+# compute the dots independently (list_dot_product vs numpy), which is
+# safe because planted-pair ccos gaps (~1e-5) dwarf cross-engine float
+# noise (~1e-15); ties fall to the id.
+ORACLE_SEMANTIC_DEDUP = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(v,
+           x -> (CAST(floor(x * 1000000.0) AS BIGINT)
+                 + ((CAST(floor(x * 1000000.0) AS BIGINT) * 2654435761) % 7) - 3)
+                / 1000000.0) AS v
+  FROM base
+), e AS (
+  SELECT vec_id, v,
+         md5(array_to_string(list_transform(v, x -> printf('%.9e', x)), ',')) AS h
+  FROM corpus
+), corp AS (
+  SELECT md5(string_agg(CAST(vec_id AS VARCHAR) || ':' || h, ',' ORDER BY vec_id)) AS ch
+  FROM e
+), assigned AS (
+  SELECT e.vec_id, f.cid,
+         list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS u
+  FROM e
+  JOIN '/root/repo/tests/fixtures/golden_semdedup_assign.parquet' f ON f.emb_md5 = e.h
+  JOIN corp ON f.corpus_md5 = corp.ch
+), withc AS (
+  SELECT a.vec_id, a.cid, a.u,
+         round(list_dot_product(a.u, c.cent), 6) AS ccos
+  FROM assigned a
+  JOIN '/root/repo/tests/fixtures/golden_semdedup_cents.parquet' c
+    ON c.cid = a.cid
+  JOIN corp ON c.corpus_md5 = corp.ch
+), pairs AS (
+  SELECT a.cid,
+         CASE WHEN a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id)
+              THEN a.vec_id ELSE b.vec_id END AS keep_id,
+         CASE WHEN a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id)
+              THEN b.vec_id ELSE a.vec_id END AS drop_id,
+         round(list_dot_product(a.u, b.u), 6) AS cosine_sim
+  FROM withc a
+  JOIN withc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT cid, keep_id, drop_id, cosine_sim
+FROM pairs WHERE cosine_sim >= 0.95
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (north star)
 # ---------------------------------------------------------------------------
@@ -3744,6 +3855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_batch": q_search_bm25_batch,
         "search_hybrid_batch": q_search_hybrid_batch,
         "train_shards": q_train_shards,
+    # -- new late-r8 (tail: first grades at r9 — the window was frozen
+    #    when they landed; both are locally oracle-verified) ----------
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3849,4 +3963,5 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": ORACLE_SCD2_HISTORY,
         "histogram": ORACLE_HISTOGRAM,
         "fuzzy_match": ORACLE_FUZZY_MATCH,
+        "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     }

@@ -444,30 +444,23 @@ def xxh64_long(value: int, seed: int = 42) -> int:
     return xxh64_bytes(struct.pack("<q", value), seed)
 
 
-def ref_ivf_probes(
+def ref_ivf_model(
     rows: list[tuple[int, list[float]]],
     n_centroids: int = 16,
     n_probe: int = 4,
     iters: int = 2,
     dim: int = 64,
-) -> dict[int, list[int]]:
-    """Mirror ``operators.similarity.ivf_topk``'s TRAINING + PROBE
-    selection bit-for-bit: returns {id: [cid ranks 1..n_probe]} for every
-    input row.  Possible only because the operator's Lloyd sums are
-    fixed-point longs (order-independent — see the operator docstring);
-    every float step here repeats the operator's arithmetic exactly:
-
-    - unit vectors via the same sequential square-sum fold,
-    - seeds = n_centroids smallest (signed xxhash64(str(id)), id),
-    - assignment via the same numpy float64 matmul + stable argsort
-      (``_centroid_topn_pd``'s spec),
-    - per-cell means as (int_sum / 2^30) / n in float64,
-    - empty cells keep their previous centroid.
-
-    ``tools/make_golden_ann.py`` asserts an argsort stability margin
-    (adjacent dot gaps exact-zero or > 1e-9) before baking a fixture, so
-    a BLAS blocking difference between executor batches and this
-    full-matrix replay cannot silently flip a rank."""
+):
+    """Mirror ``operators.similarity.train_ivf``'s TRAINING + probe
+    selection bit-for-bit and return the whole model:
+    ``(probes, cents, min_margin)`` where probes is
+    {id: [cid ranks 1..n_probe]}, cents the trained float64 centroid
+    list, and min_margin the smallest nonzero adjacent-dot gap seen in
+    the final probe argsort (the fixture tools' stability guard).
+    ``ref_ivf_probes`` below is the original probe-only wrapper; the
+    model form also feeds tools/make_golden_semdedup.py, whose oracle
+    needs the frozen centroids themselves (the SemDeDup keep rule dots
+    every pair member against its cluster centroid in SQL)."""
     import math as _math
 
     import numpy as np
@@ -528,7 +521,38 @@ def ref_ivf_probes(
 
     margins: list[float] = []
     probes = topn(cents, n_probe, margin_out=margins)
-    ref_ivf_probes.last_margin = min(margins) if margins else float("inf")
+    return probes, cents, (min(margins) if margins else float("inf"))
+
+
+def ref_ivf_probes(
+    rows: list[tuple[int, list[float]]],
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> dict[int, list[int]]:
+    """Probe-only form of ``ref_ivf_model`` (the original fixture-tool
+    surface): returns {id: [cid ranks 1..n_probe]} for every input row.
+    Possible only because the operator's Lloyd sums are fixed-point longs
+    (order-independent — see the operator docstring); every float step
+    repeats the operator's arithmetic exactly:
+
+    - unit vectors via the same sequential square-sum fold,
+    - seeds = n_centroids smallest (signed xxhash64(str(id)), id),
+    - assignment via the same numpy float64 matmul + stable argsort
+      (``_centroid_topn_pd``'s spec),
+    - per-cell means as (int_sum / 2^30) / n in float64,
+    - empty cells keep their previous centroid.
+
+    ``tools/make_golden_ann.py`` asserts an argsort stability margin
+    (adjacent dot gaps exact-zero or > 1e-9, read from ``last_margin``)
+    before baking a fixture, so a BLAS blocking difference between
+    executor batches and this full-matrix replay cannot silently flip a
+    rank."""
+    probes, _cents, margin = ref_ivf_model(
+        rows, n_centroids=n_centroids, n_probe=n_probe, iters=iters, dim=dim
+    )
+    ref_ivf_probes.last_margin = margin
     return probes
 
 

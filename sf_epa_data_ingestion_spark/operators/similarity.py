@@ -721,6 +721,143 @@ def load_ivf_index(spark, path: str):
     return index, meta["cents"], meta
 
 
+def _round6_halfup(x: float) -> float:
+    """Mirror of Spark's ``F.round(col, 6)`` on doubles (BigDecimal of the
+    shortest decimal rendering, HALF_UP) — ``repr`` gives the same shortest
+    round-trip string as Java's ``Double.toString`` for every finite value,
+    so the two roundings agree everywhere Python's banker's ``round`` would
+    not."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def semantic_dedup_pairs(
+    index: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication through a coarse k-means clustering — candidate pairs
+    are generated ONLY within a cluster, so the pairwise work is
+    cluster-bounded (sum of c_i^2, never n^2), and each duplicate pair is
+    resolved by the paper's keep rule: KEEP the member with the LOWER
+    cosine to its cluster centroid (the example least typical of the
+    cluster — preserving diversity), tie-broken by id. This is the
+    embedding-space sibling of ``embedding_near_dup_pairs``: LSH bands
+    answer "which pairs are near-identical anywhere"; SemDeDup answers
+    "which cluster members say the same thing" and prescribes which one
+    survives, which is the form the big LLM-corpus curation pipelines
+    (SemDeDup on LAION/C4) actually run.
+
+    ``index`` is the (corpus_id, __u, cid) assignment frame that
+    ``encode_ivf`` / the persisted ``materialize_ivf_index`` layout
+    maintains — training is NOT repeated here; the frozen ``cents`` are
+    only needed for the keep rule's centroid dots. Plan shape: one
+    shuffle on cid (the groupBy), then per-cluster Arrow-batched numpy
+    matmuls generate candidates (row-blocked so memory stays
+    block x cluster, not cluster^2 at once). At 100 TB the knob is
+    n_centroids ∝ n — cluster sizes stay bounded (the paper runs ~10^5
+    clusters), clusters parallelize perfectly, and nothing corpus-scale
+    ever crosses a partition boundary. Scoring determinism: candidate
+    dots come from float64 BLAS; the emitted cosine is rounded by the
+    JVM (house F.round) and the keep decision compares
+    (round6(ccos), id) — round6 via the HALF_UP mirror — so the DuckDB
+    oracle (which re-derives both dots with list_dot_product over the
+    SAME unit vectors and fixture-frozen centroids) agrees except when a
+    dot sits within ~1e-15 of a 1e-6 rounding boundary, the same
+    accepted boundary class as every cosine oracle in this repo; the
+    planted-pair corpus keeps real decision gaps at ~1e-5.
+
+    Returns (cid, keep_id, drop_id, cosine_sim) — one row per
+    within-cluster pair at or above ``threshold`` (after rounding).
+    Resolve to a deduplicated corpus with ``semantic_dedup_keep``.
+    """
+    spark = index.sparkSession
+    out_schema = f"cid int, keep_id long, drop_id long, cosine_sim double"
+    if not cents:
+        return spark.createDataFrame([], out_schema)
+    C = np.asarray(cents, dtype=np.float64)
+    dim = C.shape[1]
+    # candidate margin: BLAS dots can differ from the oracle's sequential
+    # fold by ~1e-15; generate candidates a hair below the threshold and
+    # let the JVM-side rounded filter make the final call
+    eps = 1e-9
+    thr = float(threshold)
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cid": [], "keep_id": [], "drop_id": [], "cosine_sim": []}
+            )
+        cid = int(pdf["cid"].iloc[0])
+        cvec = C[cid]
+        ids = pdf[corpus_id].to_numpy()
+        M = np.zeros((n, dim), dtype=np.float64)
+        valid = np.zeros(n, dtype=bool)
+        for r, u in enumerate(pdf["__u"]):
+            if u is not None and len(u) == dim:
+                row = np.asarray(u, dtype=np.float64)
+                if not np.isnan(row).any():
+                    M[r] = row
+                    valid[r] = True
+        ccos = M @ cvec
+        out_cid, out_keep, out_drop, out_cos = [], [], [], []
+        # row-blocked pairwise: memory is block x n, never n x n
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            D = M[s:e] @ M.T
+            bi, bj = np.nonzero(D >= thr - eps)
+            for i, j in zip(bi + s, bj):
+                if j <= i or not (valid[i] and valid[j]):
+                    continue
+                ka = (_round6_halfup(float(ccos[i])), int(ids[i]))
+                kb = (_round6_halfup(float(ccos[j])), int(ids[j]))
+                keep, drop = (i, j) if ka <= kb else (j, i)
+                out_cid.append(cid)
+                out_keep.append(int(ids[keep]))
+                out_drop.append(int(ids[drop]))
+                out_cos.append(float(D[i - s, j]))
+        return pd.DataFrame(
+            {
+                "cid": pd.Series(out_cid, dtype="int32"),
+                "keep_id": pd.Series(out_keep, dtype="int64"),
+                "drop_id": pd.Series(out_drop, dtype="int64"),
+                "cosine_sim": pd.Series(out_cos, dtype="float64"),
+            }
+        )
+
+    pairs = index.select(corpus_id, "__u", F.col("cid").cast("int").alias("cid")).groupBy(
+        "cid"
+    ).applyInPandas(per_cluster, out_schema)
+    return pairs.select(
+        "cid", "keep_id", "drop_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def semantic_dedup_keep(
+    index: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """The resolved SemDeDup corpus: every id minus the distinct drop set
+    (a doc is dropped if ANY within-cluster pair votes it out — transitive
+    groups therefore keep exactly their minimum-(ccos, id) member when the
+    group is a clique, the paper's behavior). One left_anti join; the drop
+    side is |pairs|-bounded."""
+    pairs = semantic_dedup_pairs(index, cents, threshold, corpus_id=corpus_id)
+    drops = pairs.select(F.col("drop_id").alias(corpus_id)).distinct()
+    return index.select(corpus_id).join(drops, corpus_id, "left_anti")
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

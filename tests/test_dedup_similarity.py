@@ -613,3 +613,94 @@ def test_shortlist_topn_bounded_path_matches_window(spark):
         for r in similarity._shortlist_topn(scored, "query_id", "vec_id", 25, n_queries=10_000).collect()
     }
     assert a == b and len(a) == 6 * 25
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic_dedup_pairs / semantic_dedup_keep)
+# ---------------------------------------------------------------------------
+
+
+def _sd_index(spark, rows):
+    """(vec_id, __u, cid) frame from handcrafted unit vectors."""
+    return spark.createDataFrame(
+        rows, "vec_id long, __u array<double>, cid int"
+    )
+
+
+def _unit(v):
+    import math as m
+
+    n = m.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_semantic_dedup_pairs_handcrafted_clusters(spark):
+    """Two clusters; one near-dup pair inside cluster 0; a cross-cluster
+    near-identical pair must NOT surface (SemDeDup's documented scope:
+    candidates are cluster-bounded). Keep rule: the member with the
+    LOWER centroid cosine survives."""
+    import numpy as np
+
+    dim = 8
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    cents = [e0, e1]
+    # cluster 0: a and b near-identical; a sits closer to the centroid.
+    a = _unit([0.99, 0.1] + [0.0] * (dim - 2))
+    b = _unit([0.97, 0.14, 0.02] + [0.0] * (dim - 3))
+    far = _unit([0.5, -0.5, 0.5, -0.5] + [0.0] * (dim - 4))
+    # cluster 1: near-identical to a but assigned elsewhere — unreachable
+    c = list(a)
+    idx = _sd_index(
+        spark,
+        [(1, a, 0), (2, b, 0), (3, far, 0), (4, c, 1)],
+    )
+    out = similarity.semantic_dedup_pairs(idx, cents, threshold=0.95).collect()
+    assert len(out) == 1
+    r = out[0]
+    # b has the lower centroid cosine -> b kept, a dropped
+    assert (r["keep_id"], r["drop_id"]) == (2, 1)
+    want = round(float(np.dot(a, b)), 6)
+    assert abs(r["cosine_sim"] - want) < 2e-6
+    assert r["cid"] == 0
+
+
+def test_semantic_dedup_keep_resolves_drop_set(spark):
+    dim = 8
+    e0 = [1.0] + [0.0] * (dim - 1)
+    a = _unit([0.99, 0.1] + [0.0] * (dim - 2))
+    b = _unit([0.97, 0.14, 0.02] + [0.0] * (dim - 3))
+    idx = _sd_index(spark, [(1, a, 0), (2, b, 0), (3, None, 0)])
+    kept = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_keep(idx, [e0], threshold=0.95).collect()
+    }
+    # a dropped (higher ccos), b kept, invalid-vector row 3 passes through
+    assert kept == {2, 3}
+
+
+def test_semantic_dedup_no_model_returns_empty(spark):
+    idx = _sd_index(spark, [])
+    assert similarity.semantic_dedup_pairs(idx, None).count() == 0
+    assert similarity.semantic_dedup_pairs(idx, []).count() == 0
+
+
+def test_semantic_dedup_graded_finds_every_planted_pair(spark):
+    """The graded query (persisted 64-cell assignment over the planted
+    union corpus): every planted (i, i+1e6) pair must surface as a
+    keep/drop decision — a miss requires the perturbed copy to flip its
+    k-means cell, which the fixture tool's margin guard rules out — and
+    nothing else may clear the 0.95 threshold on the isotropic testdata
+    (max real-pair cosine ~0.51). Deterministic end to end, so a pin."""
+    import __spark_entry__ as entry
+    from sf_epa_data_ingestion_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = entry.q_semantic_dedup(spark, sf).collect()
+    pairs = {
+        (min(r["keep_id"], r["drop_id"]), max(r["keep_id"], r["drop_id"]))
+        for r in out
+    }
+    n = load_table(spark, sf, "embeddings").count()
+    assert pairs == {(i, i + entry.NEARDUP_PLANT_OFFSET) for i in range(n)}
+    assert all(r["cosine_sim"] >= 0.999999 for r in out)
