@@ -3681,6 +3681,66 @@ SELECT doc_id, source, n_tokens FROM c WHERE cum_before < 500
 """
 
 
+# Mixture spec for the graded query: deliberately non-uniform so both
+# regimes run — src0 needs MULTIPLE full epochs (upsampling) at every SF
+# while src2/src3 mostly subsample. Targets are interpolated into the
+# oracle from the operator's own float math (sampling.mixture_targets)
+# so both engines share one truncation.
+MIXTURE_WEIGHTS = {"src0": 8.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+MIXTURE_TOTAL = 400
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing at explicit domain weights (the DoReMi / Llama-recipe
+    materialization step): floor(total*w/Σw) rows per source, small
+    domains up-sampled by whole-epoch repetition plus a deterministic
+    hash-order partial epoch, large domains down-sampled the same way.
+    The one sampling op that REPLICATES rather than filters — see
+    operators/sampling.mixture_sample for the scale argument (replication
+    is scan-side posexplode after the filter; the partial epoch reuses
+    sample_to_budget's two-pass bucket plan)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        d, MIXTURE_WEIGHTS, MIXTURE_TOTAL, key_col="doc_id", domain_col="source"
+    )
+
+
+_MIX_TGT = ", ".join(
+    f"('{d}', {t})"
+    for d, t in sorted(sampling.mixture_targets(MIXTURE_WEIGHTS, MIXTURE_TOTAL).items())
+)
+
+# The naive mirror: per-domain counts -> full/partial epoch split ->
+# whole-epoch expansion via lateral range() + rank-based partial epoch
+# (the operator's bucketed budget walk selects exactly the first
+# (target mod n) rows in (u, key) order — pinned equal by the
+# sample_to_budget parity test).
+ORACLE_MIXTURE_SAMPLE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+           / 4503599627370496.0 AS u
+  FROM documents
+), targets(source, tgt) AS (
+  VALUES {MIX_TGT}
+), plan AS (
+  SELECT c.source, CAST(floor(tgt / n) AS BIGINT) AS full_e, tgt % n AS rem
+  FROM (SELECT source, COUNT(*) AS n FROM t GROUP BY source) c
+  JOIN targets USING (source)
+), fulls AS (
+  SELECT t.doc_id, t.source, CAST(e.epoch AS BIGINT) AS epoch
+  FROM t JOIN plan USING (source), unnest(range(plan.full_e)) AS e(epoch)
+), ranked AS (
+  SELECT t.doc_id, t.source, plan.full_e, plan.rem,
+         row_number() OVER (PARTITION BY t.source ORDER BY t.u, t.doc_id) AS rn
+  FROM t JOIN plan USING (source)
+)
+SELECT doc_id, source, epoch FROM fulls
+UNION ALL
+SELECT doc_id, source, full_e AS epoch FROM ranked WHERE rn <= rem
+""".replace("{MIX_TGT}", _MIX_TGT)
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 4-gram novelty fraction (first-carrier attribution;
     operators/cleaning.py ngram_novelty)."""
@@ -3858,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- new late-r8 (tail: first grades at r9 — the window was frozen
     #    when they landed; both are locally oracle-verified) ----------
         "semantic_dedup": q_semantic_dedup,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -3964,4 +4025,5 @@ def oracle_sql() -> dict[str, str]:
         "histogram": ORACLE_HISTOGRAM,
         "fuzzy_match": ORACLE_FUZZY_MATCH,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+        "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     }

@@ -284,6 +284,90 @@ def sample_to_budget(
     return inside.unionByName(boundary)
 
 
+def mixture_targets(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Per-domain row targets for ``mixture_sample``: floor(total * w/Σw)
+    in float64 — exposed separately so the DuckDB oracle can interpolate
+    the SAME integers the operator derives (one float expression, one
+    truncation, no cross-engine boundary risk)."""
+    norm = float(sum(weights.values()))
+    return {d: int(total * w / norm) for d, w in weights.items()}
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    key_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Materialize a training MIXTURE at explicit domain weights — the
+    DoReMi / Llama-recipe data-mixing step: each domain d contributes
+    floor(total * w_d/Σw) rows, with domains SMALLER than their target
+    up-sampled by whole-epoch repetition (every row re-appears once per
+    full epoch) plus a deterministic partial epoch, and larger domains
+    down-sampled the same way (0 full epochs + a partial). This is the
+    one sampling op the rest of the family cannot express: everything
+    else only FILTERS; a mixture at fixed weights must also REPLICATE
+    (the small-domain-multiple-epochs case every published pretraining
+    recipe has).
+
+    Determinism: the partial epoch takes the domain's first
+    (target mod n_d) rows in content-hash order — exactly the
+    ``sample_to_budget`` walk with unit weights, reused verbatim so the
+    selection is the proven scale-safe two-pass bucket plan (no
+    per-domain global window). A row's epoch set is a pure function of
+    (weights, total, corpus), reproducible on any partitioning/engine.
+
+    Scale notes (100 TB): domain counts are one low-cardinality
+    aggregate (broadcast back); full-epoch replication is a scan-side
+    ``array_repeat`` + ``posexplode`` — rows multiply AFTER the filter,
+    never shuffle; the partial epoch pays only the budget op's boundary-
+    bucket window. Output (key, domain, epoch) — epoch numbers full
+    passes 0..e-1, the partial epoch is e.
+
+    Domains absent from ``weights`` are excluded (stratified semantics);
+    targets may undershoot ``total`` by at most one row per domain
+    (floor), the standard convention.
+    """
+    spark = df.sparkSession
+    tgt = sorted(mixture_targets(weights, total).items())
+    targets = spark.createDataFrame(tgt, f"{domain_col} string, __target long")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    plan = (
+        counts.join(F.broadcast(targets), domain_col)
+        .select(
+            domain_col,
+            F.floor(F.col("__target") / F.col("__n")).cast("long").alias("__full"),
+            (F.col("__target") % F.col("__n")).alias("__rem"),
+        )
+    )
+    base = df.select(key_col, domain_col).join(F.broadcast(plan), domain_col)
+    fulls = (
+        base.filter(F.col("__full") > 0)
+        .select(
+            key_col,
+            domain_col,
+            F.posexplode(
+                F.array_repeat(F.lit(1), F.col("__full").cast("int"))
+            ).alias("epoch", "__one"),
+        )
+        .select(key_col, domain_col, F.col("epoch").cast("long").alias("epoch"))
+    )
+    partial = sample_to_budget(
+        df.select(key_col, domain_col, F.lit(1).cast("long").alias("__w1")),
+        plan.select(F.col(domain_col).alias("source"), F.col("__rem").alias("budget")),
+        "__w1",
+        key_col=key_col,
+        source_col=domain_col,
+    )
+    partials = (
+        partial.select(F.col("key").alias(key_col), F.col("source").alias(domain_col))
+        .join(F.broadcast(plan), domain_col)
+        .select(key_col, domain_col, F.col("__full").alias("epoch"))
+    )
+    return fulls.unionByName(partials)
+
+
 def shard_for_training(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -282,3 +282,75 @@ def test_shard_for_training_balanced_and_epoch_independent(spark):
     assert moved_order == n  # 52-bit hashes: collision probability ~0
     moved_shard = sum(1 for k, s_, o in a if e1[k][0] != s_)
     assert moved_shard > 0.7 * n  # expect ~7/8 to change cells
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample (epoch-aware mixture materialization)
+# ---------------------------------------------------------------------------
+
+
+def _mix_corpus(spark, sizes: dict[str, int]):
+    rows = []
+    i = 0
+    for d, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, d))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_sample_hits_exact_targets(spark):
+    df = _mix_corpus(spark, {"a": 10, "b": 40, "c": 5})
+    weights = {"a": 2.0, "b": 1.0, "c": 1.0}  # norm 4 -> a 50, b 25, c 25
+    out = sampling.mixture_sample(df, weights, 100).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    targets = sampling.mixture_targets(weights, 100)
+    assert {d: len(v) for d, v in by_dom.items()} == targets
+    # a (10 rows, target 50): 5 full epochs, no partial — every row
+    # appears at epochs 0..4 exactly once
+    a_epochs: dict = {}
+    for r in by_dom["a"]:
+        a_epochs.setdefault(r["doc_id"], set()).add(r["epoch"])
+    assert all(v == {0, 1, 2, 3, 4} for v in a_epochs.values())
+    # c (5 rows, target 25): 5 full epochs as well
+    assert {r["epoch"] for r in by_dom["c"]} == {0, 1, 2, 3, 4}
+    # b (40 rows, target 25): 0 full epochs + 25-row partial at epoch 0,
+    # no row twice
+    b_ids = [r["doc_id"] for r in by_dom["b"]]
+    assert len(b_ids) == len(set(b_ids)) == 25
+    assert {r["epoch"] for r in by_dom["b"]} == {0}
+
+
+def test_mixture_sample_partial_epoch_is_hash_prefix(spark):
+    """The partial epoch must take exactly the first (target mod n) rows
+    in (hash_unit, key) order — the sample_to_budget walk."""
+    df = _mix_corpus(spark, {"a": 20})
+    out = {r["doc_id"] for r in sampling.mixture_sample(df, {"a": 1.0}, 7).collect()}
+    ranked = (
+        df.withColumn("u", sampling._hash_unit(F.col("doc_id")))
+        .orderBy("u", "doc_id")
+        .collect()
+    )
+    assert out == {r["doc_id"] for r in ranked[:7]}
+
+
+def test_mixture_sample_partition_invariant(spark):
+    df = _mix_corpus(spark, {"a": 30, "b": 30})
+    w = {"a": 3.0, "b": 1.0}
+    one = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in sampling.mixture_sample(df.coalesce(1), w, 50).collect()
+    )
+    many = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in sampling.mixture_sample(df.repartition(13), w, 50).collect()
+    )
+    assert one == many and len(one) == sum(sampling.mixture_targets(w, 50).values())
+
+
+def test_mixture_sample_excludes_unweighted_domains(spark):
+    df = _mix_corpus(spark, {"a": 10, "zz": 10})
+    out = sampling.mixture_sample(df, {"a": 1.0}, 5).collect()
+    assert {r["source"] for r in out} == {"a"} and len(out) == 5
