@@ -2011,26 +2011,25 @@ QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 10
 
 def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 retrieval, Okapi BM25 ranker (Lucene-default scoring) over the
-    same postings/stats index as search_lexical."""
-    d = _t(spark, sf_dir, "documents")
-    n = d.count()  # one count job, shared by stats and the ranker
-    # The index tables are MATERIALIZED in the real design (the streaming
-    # freshness job keeps them fresh); persisting here models that. As a
-    # live subplan, every ranker branch (stats, doclen, hits) would
-    # re-tokenize the whole corpus — the regex+explode pass dominated the
-    # old 6.1x sf1 scaling (SCALE.md r6); cached, the corpus is tokenized
-    # once and the branches read narrow (token, id, tf) rows.
-    # Cache lifecycle: the returned frame is lazy and REFERENCES this
-    # cache, so the query function cannot unpersist it (an eager
-    # checkpoint would also truncate the plan the explain-audit tests
-    # pin). The driver and bench clear the cache after consuming each
-    # query; a library caller who keeps the session should do the same
-    # (spark.catalog.clearCache() or unpersist the index explicitly).
-    postings = search.build_postings(d, id_col="doc_id", text_col="text").persist()
-    stats = search.build_token_stats(postings, n_docs=n)
-    return search.bm25_search(postings, stats, SEARCH_QUERY, n_docs=n, k=10).select(
-        F.col("id").alias("doc_id"), "score"
-    )
+    same PERSISTED token-bucketed index as search_postings/search_lexical
+    (late r8 — the last search query still paying a live index build per
+    query; the r7 in-query persist amortized the tokenize pass within ONE
+    query's branches, but rebuilt it for every query and scaled 3.65x at
+    sf1). The literal terms' buckets prune the postings scan
+    (PartitionFilters via prune_postings_probe), the (id, dl) doclens
+    table replaces the postings-derived doc-length aggregate, and n_docs
+    comes from the index metadata — nothing corpus-wide but pruned linear
+    scans remains at query time. Values identical to the live build
+    (same build plan writes the layout; oracle unchanged, parity
+    pinned by tests/test_search_ops.py)."""
+    root = _search_index_dir(spark, sf_dir)
+    postings, stats, doclens, n, nb = search.load_search_index(spark, root)
+    pruned = search.prune_postings_probe(
+        postings, _probe_terms(SEARCH_QUERY), nb
+    ).drop("__tb")
+    return search.bm25_search(
+        pruned, stats, SEARCH_QUERY, n_docs=n, k=10, doclens=doclens
+    ).select(F.col("id").alias("doc_id"), "score")
 
 
 ORACLE_SEARCH_BM25 = rf"""
@@ -3799,9 +3798,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hybrid_search_many; ann_pq now serving the persisted one-cell index
     # through ivfpq_search — flat-PQ==one-cell-ivfpq parity pinned;
     # quality_classifier serving the cached pre-trained model — deploy-
-    # split parity pinned) are each pinned by bit-parity pytest tests AND
-    # locally oracle-verified at sf0.001+sf0.01; those queries re-grade
-    # next round with the rest of the r7 set.
+    # split parity pinned; search_bm25 serving the persisted token-
+    # bucketed index + doclens table — bm25 persisted-vs-live parity
+    # pinned in test_search_ops) are each pinned by bit-parity pytest
+    # tests AND locally oracle-verified at sf0.001+sf0.01; those queries
+    # re-grade next round with the rest of the r7 set.
     return {
     # -- changed in r8: production-regime banded near-dup ------------
         "embedding_near_dup": q_embedding_near_dup,

@@ -356,6 +356,20 @@ def test_persisted_index_layout_prunes_partitions_and_matches_live(spark, tmp_pa
         for r in search.lexical_search(postings, stats, QUERY, k=25).collect()
     )
     assert a == b and len(a) > 0
+    # BM25 parity over the same routes (q_search_bm25's late-r8 serving
+    # path: pruned persisted postings + index doclens vs live postings
+    # with the postings-derived fallback doc lengths)
+    c = sorted(
+        (r["id"], r["score"])
+        for r in search.bm25_search(
+            pruned.drop("__tb"), s2, QUERY, n_docs=n2, k=25, doclens=dl2
+        ).collect()
+    )
+    d_ = sorted(
+        (r["id"], r["score"])
+        for r in search.bm25_search(postings, stats, QUERY, n_docs=n, k=25).collect()
+    )
+    assert c == d_ and len(c) > 0
     postings.unpersist()
 
 
