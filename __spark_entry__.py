@@ -3810,16 +3810,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_ann": q_search_hybrid_ann,
     # -- new in r8: max-score pruned batch BM25 ----------------------
         "search_bm25_wand": q_search_bm25_wand,
-    # -- changed in r8: Arrow-fronted ADC/refine ---------------------
-        "ann_ivfpq": q_ann_ivfpq,
     # -- new in r8: batch true hybrid over the persisted indexes -----
     #    (takes search_postings' window slot: the persisted layout's
-    #    row-parity with the live build is test-pinned AND the in-window
-    #    search_lexical row drives the same persisted index through the
+    #    row-parity with the live build is test-pinned AND the graded
+    #    semantic_dedup row drives the same machinery through the
     #    driver gate; search_postings re-grades at r9, age 2, in-window)
         "search_hybrid_ann_batch": q_search_hybrid_ann_batch,
-    # -- changed in r8: persisted token-bucketed index ---------------
-        "search_lexical": q_search_lexical,
+    # -- new late-r8: SemDeDup + mixture materialization -------------
+    #    (brand-new queries must grade the round they land; they take
+    #    the window slots of ann_ivfpq and search_lexical, whose r8
+    #    changes are RESULTS-IDENTICAL serving-layer swaps — the same
+    #    precedented class as ann_pq/quality_classifier/search_bm25
+    #    below: bit-parity pytest-pinned + locally oracle-verified,
+    #    r7-green, re-grading first thing at r9)
+        "semantic_dedup": q_semantic_dedup,
+        "mixture_sample": q_mixture_sample,
     # -- newest green row is r6 (age 2): renew all 44 ----------------
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -3865,10 +3870,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "approx_profile": q_approx_profile,
-    # -- past the 50-entry window: r7-green (r9's window), plus
-    #    search_postings (r8-changed but displaced by the new batch
-    #    query — its persisted layout is driver-driven via
-    #    search_lexical this round and re-grades first at r9) ---------
+    # -- past the 50-entry window: r7-green (r9's window), plus the
+    #    r8 results-identical serving-layer changes displaced by new
+    #    queries (ann_ivfpq, search_lexical, search_postings — each
+    #    parity-pinned; ALL tail queries must head the r9 window) ----
+        "ann_ivfpq": q_ann_ivfpq,
+        "search_lexical": q_search_lexical,
         "search_postings": q_search_postings,
         "search_bm25": q_search_bm25,
         "window_analytics": q_window_analytics,
@@ -3916,10 +3923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_batch": q_search_bm25_batch,
         "search_hybrid_batch": q_search_hybrid_batch,
         "train_shards": q_train_shards,
-    # -- new late-r8 (tail: first grades at r9 — the window was frozen
-    #    when they landed; both are locally oracle-verified) ----------
-        "semantic_dedup": q_semantic_dedup,
-        "mixture_sample": q_mixture_sample,
     }
 
 
