@@ -36,6 +36,8 @@ HEAVY = [
     # r8: WAND-pruned batch BM25 + true-hybrid (both served from the
     # persisted indexes; first run per corpus pays the one-time build)
     "search_bm25_wand", "search_hybrid_ann",
+    # late r8: SemDeDup (persisted 64-cell assignment) + mixture
+    "semantic_dedup", "mixture_sample",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scaledata", "sf1")
