@@ -1,0 +1,154 @@
+"""Incremental SemDeDup over an embedding stream.
+
+Batch SemDeDup (operators/similarity.semantic_dedup_pairs) answers
+"which cluster members of THIS corpus say the same thing"; a
+continuously-ingesting corpus needs the incremental question: "is this
+NEW embedding a semantic duplicate of anything seen so far — and under
+the SemDeDup policy, which of the two survives?" — asked once per
+micro-batch, without re-clustering or re-scoring history.
+
+Design (the streaming face of the same frozen k-means assignment —
+streaming/vectorindex.py's train/add split applied to dedup):
+
+- MODEL = the frozen coarse centroids (``similarity.train_ivf`` on a
+  historical sample, offline). Assignment of arriving vectors is
+  ``encode_ivf`` with the frozen model: one Arrow pass, broadcast
+  centroids, no shuffle.
+- STATE = a txlog table of (id, cid, u, ccos): one assignment row per
+  vector ever seen — the unit vector is the pair-scoring statistic, the
+  centroid cosine the keep-rule statistic, both computed ONCE at
+  arrival.
+- per micro-batch: assign the batch, probe the state ONLY in the
+  batch's assigned cells (an equi-join on cid behind a literal
+  ``cid IN (...)`` filter — over a cid-partitioned state layout that is
+  directory pruning, exactly ``ivf_search``'s probe shape), score
+  candidate pairs with the same cosine fold, apply the same keep rule
+  (drop the member with the GREATER (round6(ccos), id)), append
+  decisions, then append the batch's assignments to state. Decisions
+  commit BEFORE state — a crash between the two replays into "skip
+  decisions (marker), redo state"; neither table double-counts.
+- stream-accumulated decisions over any batch split equal the batch
+  operator's output over the union corpus under the same frozen model
+  (every unordered within-cluster pair is scored exactly once: when its
+  later member arrives, or in-batch) — pinned by test.
+
+Scale notes (100 TB): per batch the probe touches |batch| x (cells hit
+by the batch) state rows — with cluster count ∝ corpus size that is
+|batch| x bounded-cluster work, and the cid partition filter keeps the
+scan to the probed directories. Periodic re-clustering (centroid drift)
+is a batch job writing a fresh state generation, exactly like the
+vector index's re-train cutover. Single-writer discipline as
+streaming/ingest.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators.similarity import encode_ivf
+from sf_epa_data_ingestion_spark.storage.txlog import TxTable
+from sf_epa_data_ingestion_spark.streaming.txsink import append_once
+
+
+def _ccos_expr(cents: list[list[float]]):
+    """dot(u, cents[cid]) as the sequential zip_with/aggregate fold —
+    the same float order as the batch operator's per-cluster numpy dot
+    up to the ~1e-15 BLAS-vs-fold noise the round6 decision absorbs."""
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    cvec = F.element_at(cents_lit, F.col("cid") + 1)
+    return F.aggregate(
+        F.zip_with(F.col("u"), cvec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pair_cos(ua, ub):
+    return F.aggregate(
+        F.zip_with(ua, ub, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def semantic_dedup_monitor(
+    state: TxTable,
+    decisions_out: TxTable,
+    app_id: str,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_retries: int = 5,
+):
+    """Build a ``foreachBatch`` callable applying the SemDeDup policy to
+    every arriving embedding against the full ingestion history.
+
+    ``state`` schema: (id long, cid int, u array<double>, ccos double);
+    ``decisions_out`` schema: (cid int, keep_id long, drop_id long,
+    cosine_sim double) — same row shape as the batch operator.
+    """
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        if (last := state.last_txn(app_id)) is not None and batch_id <= last:
+            return  # fully processed (state commits LAST)
+        seen = state.read().select("id", "cid", "u", "ccos")
+        # re-delivery guard (at-least-once upstream): one row per id in
+        # the batch, and ids already in state never re-enter
+        batch_df = batch_df.dropDuplicates([id_col]).join(
+            seen.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+        enc = (
+            encode_ivf(batch_df, cents, id_col=id_col, vec_col=vec_col)
+            .select(
+                F.col(id_col).alias("id"),
+                F.col("cid").cast("int").alias("cid"),
+                F.col("__u").alias("u"),
+            )
+            .withColumn("ccos", _ccos_expr(cents))
+            .persist()
+        )
+        # probe only the batch's assigned cells: n_centroids-bounded
+        # literal list -> a partition/data filter on the state scan
+        hit_cells = [r["cid"] for r in enc.select("cid").distinct().collect()]
+        old = seen.filter(F.col("cid").isin(hit_cells))
+        a, b = enc.alias("a"), old.alias("b")
+        cross = a.join(b, F.col("a.cid") == F.col("b.cid")).select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.id").alias("id_x"), F.col("a.u").alias("u_x"),
+            F.col("a.ccos").alias("ccos_x"),
+            F.col("b.id").alias("id_y"), F.col("b.u").alias("u_y"),
+            F.col("b.ccos").alias("ccos_y"),
+        )
+        a2, b2 = enc.alias("a"), enc.alias("b")
+        internal = a2.join(
+            b2,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.id").alias("id_x"), F.col("a.u").alias("u_x"),
+            F.col("a.ccos").alias("ccos_x"),
+            F.col("b.id").alias("id_y"), F.col("b.u").alias("u_y"),
+            F.col("b.ccos").alias("ccos_y"),
+        )
+        cand = cross.unionByName(internal).withColumn(
+            "cosine_sim", F.round(_pair_cos(F.col("u_x"), F.col("u_y")), 6)
+        ).filter(F.col("cosine_sim") >= threshold)
+        # SemDeDup keep rule, identical to the batch operator: keep the
+        # member with the LOWER (round6(ccos), id)
+        rx, ry = F.round("ccos_x", 6), F.round("ccos_y", 6)
+        x_keeps = (rx < ry) | ((rx == ry) & (F.col("id_x") < F.col("id_y")))
+        decisions = cand.select(
+            "cid",
+            F.when(x_keeps, F.col("id_x")).otherwise(F.col("id_y")).alias("keep_id"),
+            F.when(x_keeps, F.col("id_y")).otherwise(F.col("id_x")).alias("drop_id"),
+            "cosine_sim",
+        )
+        # decisions FIRST, state LAST (replay safety — module docstring)
+        append_once(decisions_out, decisions, app_id, batch_id, max_retries)
+        append_once(
+            state, enc.select("id", "cid", "u", "ccos"), app_id, batch_id, max_retries
+        )
+        enc.unpersist()
+
+    return write_batch

@@ -1,0 +1,106 @@
+"""Streaming SemDeDup monitor: cross-batch + in-batch decisions,
+replay idempotence, and stream == batch under the same frozen model."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from sf_epa_data_ingestion_spark.operators import similarity
+from sf_epa_data_ingestion_spark.storage.txlog import TxTable
+from sf_epa_data_ingestion_spark.streaming.semdedup import semantic_dedup_monitor
+
+DIM = 8
+E0 = [1.0] + [0.0] * (DIM - 1)
+E1 = [0.0, 1.0] + [0.0] * (DIM - 2)
+CENTS = [E0, E1]
+
+
+def _u(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+# cell 0: a/b/d mutually near-identical, c far; cell 1: e alone
+VECS = {
+    1: _u([0.99, 0.10] + [0.0] * (DIM - 2)),          # a
+    2: _u([0.97, 0.14, 0.02] + [0.0] * (DIM - 3)),    # b
+    3: _u([0.60, -0.40, 0.60, -0.30] + [0.0] * (DIM - 4)),  # c
+    4: _u([0.98, 0.12, 0.01] + [0.0] * (DIM - 3)),    # d
+    5: _u([0.10, 0.99] + [0.0] * (DIM - 2)),          # e
+}
+
+
+def _emb(spark, ids):
+    return spark.createDataFrame(
+        [(i, VECS[i]) for i in ids], "vec_id long, embedding array<double>"
+    )
+
+
+def _tables(spark, tmp_path):
+    state = TxTable(spark, str(tmp_path / "state")).create(
+        spark.createDataFrame([], "id long, cid int, u array<double>, ccos double")
+    )
+    out = TxTable(spark, str(tmp_path / "decisions")).create(
+        spark.createDataFrame(
+            [], "cid int, keep_id long, drop_id long, cosine_sim double"
+        )
+    )
+    return state, out
+
+
+def test_semdedup_monitor_cross_batch_in_batch_and_replay(spark, tmp_path):
+    state, out = _tables(spark, tmp_path)
+    sink = semantic_dedup_monitor(state, out, "sd-test", CENTS, threshold=0.95)
+
+    # batch 0: a and c (same cell, far apart) -> no decisions
+    sink(_emb(spark, [1, 3]), 0)
+    assert out.read().count() == 0
+    assert state.read().count() == 2
+
+    # batch 1: b (cross-batch dup of a), d (dup of a AND b — cross-batch
+    # and in-batch), e (novel, other cell); d re-delivered in-batch
+    batch = _emb(spark, [2, 4, 5]).unionByName(_emb(spark, [4]))
+    sink(batch, 1)
+    rows = out.read().collect()
+    pairs = {
+        (min(r["keep_id"], r["drop_id"]), max(r["keep_id"], r["drop_id"]))
+        for r in rows
+    }
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+    assert len(rows) == 3, "duplicate decision rows after in-batch re-delivery"
+    assert state.read().count() == 5
+
+    # replay batch 1: both tables unchanged (per-table txn markers)
+    sink(batch, 1)
+    assert out.read().count() == 3
+    assert state.read().count() == 5
+
+    # re-delivery of id 2 in a later batch: no new state row, no rematch
+    sink(_emb(spark, [2]), 2)
+    assert out.read().count() == 3
+    assert state.read().count() == 5
+
+
+def test_semdedup_stream_equals_batch_operator(spark, tmp_path):
+    """Accumulated stream decisions over any batch split == the batch
+    operator over the union corpus under the same frozen centroids
+    (every unordered within-cluster pair is scored exactly once)."""
+    state, out = _tables(spark, tmp_path)
+    sink = semantic_dedup_monitor(state, out, "sd-parity", CENTS, threshold=0.95)
+    sink(_emb(spark, [1, 3]), 0)
+    sink(_emb(spark, [2, 4, 5]), 1)
+
+    streamed = {
+        (r["cid"], r["keep_id"], r["drop_id"], r["cosine_sim"])
+        for r in out.read().collect()
+    }
+    index = similarity.encode_ivf(
+        _emb(spark, sorted(VECS)), CENTS, id_col="vec_id", vec_col="embedding"
+    )
+    batch = {
+        (r["cid"], r["keep_id"], r["drop_id"], r["cosine_sim"])
+        for r in similarity.semantic_dedup_pairs(index, CENTS, threshold=0.95).collect()
+    }
+    assert streamed == batch and len(batch) == 3
