@@ -884,6 +884,7 @@ def ref_ivfpq_topk(
     dim: int = 64,
     rerank: int = PQ_RERANK,
     queries: list[tuple[int, list[float]]] | None = None,
+    residual: bool = False,
 ) -> list[tuple[int, int, int, int]]:
     """Mirror of ``operators.similarity.ivfpq_topk``. Default shape is
     the benched query's (queries = corpus rows with vec_id < n_queries,
@@ -896,6 +897,14 @@ def ref_ivfpq_topk(
     gap across EVERY argsort this replay makes, and the fixture
     generator refuses to bake below 1e-9); the codebooks/ADC/refine are
     ref_pq_topk's all-integer chain. PQ validity rules throughout.
+
+    ``residual=True`` mirrors the engine's FAISS-default residual mode
+    (r8): PQ trains/encodes ``u - coarse[cell(u)]`` under the frozen
+    coarse quantizer (the cell assignment is one more margin-tracked
+    argsort), and each probe row carries the extra int64 cell term
+    ``dot(qx, floor(coarse[cid] * 2^15))`` added to the ADC sum —
+    everything else (LUT on the raw query, exact refine) is unchanged,
+    so residual retrieval is replayable bit-for-bit too.
     Returns sorted [(query_id, vec_id, score_fp, rank)]."""
     import math as _math
 
@@ -955,9 +964,22 @@ def ref_ivfpq_topk(
             means.setdefault(cid, [0.0] * dim)[pos] = s / scale / counts[cid]
         coarse = [normalize(means.get(j, coarse[j])) for j in range(len(coarse))]
 
-    # ---- PQ codebooks (pq spec) ----
+    # ---- final coarse assignment (frozen; residual mode needs it now) ----
+    cell = {i: a[0] for i, a in topn(coarse, 1).items()}
+    if residual:
+        # PQ explains u - coarse[cell(u)] under the frozen quantizer
+        # (engine: _residual_pd); Python-float subtraction is the same
+        # float64 op numpy applies elementwise, so bit-identical
+        pvecs = {
+            i: [u[p] - coarse[cell[i]][p] for p in range(dim)]
+            for i, u in units.items()
+        }
+    else:
+        pvecs = units
+
+    # ---- PQ codebooks (pq spec, over raw units or cell residuals) ----
     pq_seed_ids = seed_ids[:ksub]
-    cents = [[list(units[i][s * dsub : (s + 1) * dsub]) for i in pq_seed_ids]
+    cents = [[list(pvecs[i][s * dsub : (s + 1) * dsub]) for i in pq_seed_ids]
              for s in range(m)]
     n_cents = len(pq_seed_ids)
 
@@ -980,7 +1002,7 @@ def ref_ivfpq_topk(
     for _ in range(pq_iters):
         psums: dict[tuple[int, int, int], int] = {}
         pcounts: dict[tuple[int, int], int] = {}
-        for i, u in units.items():
+        for i, u in pvecs.items():
             codes = assign_pq(u)
             for s in range(m):
                 j = codes[s]
@@ -999,9 +1021,8 @@ def ref_ivfpq_topk(
                         for pos in range(dsub)
                     ]
 
-    # ---- encode + final coarse assignment ----
-    codes = {i: assign_pq(u) for i, u in units.items()}
-    cell = {i: a[0] for i, a in topn(coarse, 1).items()}
+    # ---- encode (cell was frozen above; codes quantize pvecs) ----
+    codes = {i: assign_pq(pvecs[i]) for i in units}
     xq_full = {i: [_pq_q(x) for x in u] for i, u in units.items()}
 
     # ---- query side: probes, LUT, ADC over probed cells, refine ----
@@ -1032,13 +1053,22 @@ def ref_ivfpq_topk(
             ]
             for s in range(m)
         ]
+        qx = [_pq_q(x) for x in qu]  # == xq_full[qid] when qid is a corpus row
+        if residual:
+            # engine: per-(query, probed-cell) int64 term added to the
+            # LUT sum — dot(qx, floor(coarse[cid] * 2^15))
+            cfp = {
+                cid: sum(a * b for a, b in zip(qx, (_pq_q(c) for c in coarse[cid])))
+                for cid in probed
+            }
+        else:
+            cfp = dict.fromkeys(probed, 0)
         scored = [
-            (sum(lut[s][cv[s]] for s in range(m)), i)
+            (sum(lut[s][cv[s]] for s in range(m)) + cfp[cell[i]], i)
             for i, cv in codes.items()
             if i != qid and cell[i] in probed
         ]
         scored.sort(key=lambda t: (-t[0], t[1]))
-        qx = [_pq_q(x) for x in qu]  # == xq_full[qid] when qid is a corpus row
         refined = [
             (sum(a * b for a, b in zip(qx, xq_full[i])), i)
             for _, i in scored[:shortlist_n]
