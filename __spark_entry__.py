@@ -3791,14 +3791,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #          embedding_near_dup (production t=0.95 regime w/ planted
     #          pairs), search_hybrid_ann (NEW: lexical UNION ANN + RRF),
     #          search_bm25_wand (NEW: max-score pruned batch BM25),
-    #          ann_ivfpq (Arrow-fronted ADC/refine, served from the
-    #          persisted vector index), search_hybrid_ann_batch (NEW:
-    #          batch true hybrid — displaced search_postings to 51, see
-    #          the inline note), search_lexical (persisted
-    #          token-bucketed index read);
+    #          search_hybrid_ann_batch (NEW: batch true hybrid —
+    #          displaced search_postings to 51, see the inline note),
+    #          semantic_dedup and mixture_sample (NEW late-r8 — they
+    #          took the slots of ann_ivfpq and search_lexical, whose r8
+    #          serving-layer swaps are results-identical and
+    #          parity-pinned; see the inline note);
     #   7-50 : ALL 44 queries whose newest green row is r6 (age 2 at r8
     #          — they must grade now or stale out at r9);
-    #    51+ : r7-green, unchanged (46 queries — they are r9's window).
+    #    51+ : r7-green, unchanged (49 queries — they are r9's window,
+    #          the parity-pinned plan-changed ones FIRST: ann_ivfpq,
+    #          search_lexical, search_postings, ann_pq,
+    #          quality_classifier, search_bm25, search_hybrid).
     # Results-identical plan fixes this round that did NOT re-grade their
     # r7-green queries (stats-broadcast pruning in bm25_search_many /
     # hybrid_search_many; ann_pq now serving the persisted one-cell index
