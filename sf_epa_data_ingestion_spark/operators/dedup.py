@@ -854,6 +854,9 @@ def ngram_jaccard_pairs(
             "id",
             F.transform("ord", lambda s: s["sh"]).alias("shs"),
             F.size("ord").alias("n_sh"),
+            # how many of the doc's shingles appear in NO other doc:
+            # df-ascending sort puts them at positions [0, n_u) exactly
+            F.size(F.filter("ord", lambda s: s["df"] == F.lit(1))).alias("n_u"),
         )
     )
     ordered = spread(ordered, "id").persist()
@@ -863,8 +866,19 @@ def ngram_jaccard_pairs(
     # shared), the index side is the whole thing. factor=4
     # oversubscription keeps join build sides cache-resident and bounds
     # skew on hot prefix shingles.
-    full = ordered.select("id", "n_sh", F.posexplode("shs").alias("pos", "sh"))
-    full = spread(full, "sh", factor=4).persist()
+    # df=1 rows never join (a globally-unique shingle's only partner is
+    # its own row, killed by the tie-break) yet would shuffle through
+    # BOTH sides — drop them by position (they are exactly the first n_u
+    # slots of the df-ascending array, so no df column rides the explode).
+    # Exactness is untouched: common shingles have df>=2 so every counted
+    # match survives, and positions stay the ORIGINAL array positions so
+    # the prefix window, pa/pb_last and the slot-count bounds are
+    # unchanged. On this synthetic corpus df=1 is ~2% of rows (and ~0% at
+    # sf1, where make_sf1's 10x replication multiplies every df); on a
+    # real web corpus unique shingles are the MAJORITY of rows, which
+    # makes this the cheapest shuffle cut in the plan at 100 TB.
+    full = ordered.select("id", "n_sh", "n_u", F.posexplode("shs").alias("pos", "sh"))
+    full = spread(full.filter(F.col("pos") >= F.col("n_u")).drop("n_u"), "sh", factor=4).persist()
     # PROBE prefix (valid for the larger record x of any qualifying pair:
     # overlap o >= t*|x|, so the smallest common shingle sits within the
     # first n - ceil(t*n) + 1 positions).
