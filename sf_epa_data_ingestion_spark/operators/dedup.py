@@ -849,14 +849,21 @@ def ngram_jaccard_pairs(
     ordered = (
         sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ord"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ord"),
+            # how many of the doc's shingles appear in NO other doc:
+            # df-ascending sort puts them at positions [0, n_u) exactly.
+            # Counted as a codegen'd conditional sum in THIS aggregate —
+            # an F.filter over the built array would be one interpreted
+            # lambda eval per shingle per doc (the session-aging HOF
+            # class), for a count the map side already knows.
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("int").alias("n_u"),
+        )
         .select(
             "id",
             F.transform("ord", lambda s: s["sh"]).alias("shs"),
             F.size("ord").alias("n_sh"),
-            # how many of the doc's shingles appear in NO other doc:
-            # df-ascending sort puts them at positions [0, n_u) exactly
-            F.size(F.filter("ord", lambda s: s["df"] == F.lit(1))).alias("n_u"),
+            "n_u",
         )
     )
     ordered = spread(ordered, "id").persist()
