@@ -861,7 +861,9 @@ def ngram_jaccard_pairs(
         )
         .select(
             "id",
-            F.transform("ord", lambda s: s["sh"]).alias("shs"),
+            # native GetArrayStructFields — NOT an F.transform lambda
+            # (interpreted, one eval per shingle per doc)
+            F.col("ord.sh").alias("shs"),
             F.size("ord").alias("n_sh"),
             "n_u",
         )
