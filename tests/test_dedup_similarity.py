@@ -118,6 +118,32 @@ def test_ngram_jaccard_exact_values(spark):
     assert (r["id_a"], r["id_b"], r["jaccard"]) == (0, 1, 1.0)
 
 
+def test_ngram_jaccard_unique_shingles_prune_without_loss(spark):
+    """Deterministic pin for the late-r8 df=1 position cut: the join
+    inputs are filtered by ``pos >= n_u``, which is lossless ONLY while
+    the per-doc array sorts df-ASCENDING (unique shingles first) and n_u
+    counts exactly the df=1 entries. A sort-order or count drift would
+    silently drop COMMON shingles from the index and lose true pairs —
+    this corpus makes that loud: two docs share a common core but each
+    also carries a long unique tail, so the qualifying pair survives
+    only if every common shingle outlives the pruning."""
+    core = "the quick brown fox jumps over the lazy dog again and again"
+    a = core + " unique-tail-alpha-alpha-alpha-alpha-alpha-alpha"
+    b = core + " unique-tail-omega-omega-omega-omega-omega-omega"
+    df = _docs(spark, [a, b, "entirely disjoint filler text zzz qqq vvv"])
+    out = dedup.ngram_jaccard_pairs(df, k=8, threshold=0.30).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in got, out
+    # exact values too: replay the Jaccard in plain Python
+    def sh(s):
+        s = " ".join(s.lower().split())
+        return {s[i:i + 8] for i in range(max(len(s) - 7, 1))}
+    inter = len(sh(a) & sh(b))
+    (r,) = [r for r in out if (r["id_a"], r["id_b"]) == (0, 1)]
+    assert r["n_common"] == inter
+    assert abs(r["jaccard"] - inter / len(sh(a) | sh(b))) < 1e-9
+
+
 def test_brute_force_topk_matches_numpy(spark):
     import numpy as np
 
