@@ -152,23 +152,30 @@ def main() -> None:
                 pass
 
     total = round(sum(timings.values()), 3)
-    # Like-for-like anchor: the suite GROWS round over round (76 queries in
-    # r3, 87+ in r4), so the headline total is not comparable across
-    # rounds by itself. `r3_subset_total` sums only the queries that
-    # existed in round 3's suite.
-    r4_new = {
-        "merge_upsert_tx", "search_bm25", "bpe_pair_counts", "dup_spans",
-        "c4_filter", "embed_quantize", "lm_perplexity", "dsir_weights",
-        "strip_dup_spans", "tokens_by_source", "ngram_novelty",
-        "sample_to_budget",  # r5
-    }
-    subset = round(sum(v for k, v in timings.items() if k not in r4_new), 3)
+    # Like-for-like anchor: the suite GROWS round over round (76 queries
+    # in r3, 99 by r8), so the headline total is not comparable across
+    # rounds by itself. `r3_subset_total` sums only the queries that were
+    # actually timed in round 3's suite — derived from BENCH_r03.json's
+    # recorded query map, NOT a hand-maintained exclusion list (the frozen
+    # list drifted by r8: 11 post-r3 queries leaked 21.9 s into the
+    # "r3-comparable" number and masked a real 0.74x->0.60x improvement).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r03.json")) as f:
+            r3_queries = set(json.load(f)["parsed"]["queries"])
+    except (OSError, KeyError, TypeError, json.JSONDecodeError):
+        r3_queries = None
+    subset = (round(sum(v for k, v in timings.items() if k in r3_queries), 3)
+              if r3_queries else None)
+    r3_missing = sorted(r3_queries - set(timings)) if r3_queries else []
     full = {
         "metric": "suite_wall_clock",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
         "r3_subset_total": subset,
+        "r3_subset_n": len(r3_queries & set(timings)) if r3_queries else 0,
+        "r3_missing_from_suite": r3_missing,
         "queries": timings,
         "sf": sf,
         "noise_suspects": noise,
