@@ -1813,12 +1813,14 @@ def _materialized_dir(sf_dir: str, table, tag: str, build) -> str:
 
 def _search_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Persisted token-bucketed search index (search.materialize_search_index)
-    over the documents table — see _materialized_dir. ``search_index_v2``
-    keys the current layout generation (v2 added bounds/)."""
+    over the documents table — see _materialized_dir. ``search_index_v3``
+    keys the current layout generation (v2 added bounds/; v3 widened
+    bounds/ to (token, df, max_part, ub) for CDC maintenance — ub values
+    unchanged, so every reader of ub is bit-identical)."""
     return _materialized_dir(
         sf_dir,
         "documents",
-        "search_index_v2",
+        "search_index_v3",
         lambda tmp: search.materialize_search_index(
             _t(spark, sf_dir, "documents"), tmp, id_col="doc_id", text_col="text"
         ),

@@ -12,8 +12,10 @@ the production regime: the query UNIONS the driver's embeddings with
 deterministically perturbed copies (refhash.ref_plant_perturb — a pure
 elementwise fixed-point function, cosine >= 1 - ~1e-9 by construction
 on the unit-norm testdata) and runs banded t=0.95 with the production
-8x8 band geometry, where per-bit collision for unrelated pairs is ~0.5
-and a random pair survives a table with probability ~(1/2)^8.
+8x16 band geometry (N_TABLES=8, BITS=16 — deepened from 8x8 when the
+planted sf1 corpus exposed the n^2/256 random-collision floor), where
+per-bit collision for unrelated pairs is ~0.5 and a random pair
+survives a table with probability ~(1/2)^16.
 
 Signatures are baked for BOTH legs (originals + perturbed) at sf0.001
 and sf0.01, content-addressed by md5 of the %.9e canonical rendering —
