@@ -730,3 +730,52 @@ def test_semantic_dedup_graded_finds_every_planted_pair(spark):
     n = load_table(spark, sf, "embeddings").count()
     assert pairs == {(i, i + entry.NEARDUP_PLANT_OFFSET) for i in range(n)}
     assert all(r["cosine_sim"] >= 0.999999 for r in out)
+
+
+def test_semantic_dedup_cluster_count_is_a_cost_knob(spark, tmp_path):
+    """The 100 TB posture's knob, pinned (r8 VERDICT next-round #6):
+    n_centroids ∝ n keeps per-cluster work flat. On the sf0.001 planted
+    corpus an 8x finer clustering must (a) cut the pairwise candidate
+    work — sum over clusters of size^2, what the applyInPandas stage
+    actually does — several-fold, (b) shrink the max cluster (the
+    per-task memory/straggler bound), and (c) still detect EVERY planted
+    pair with the identical decision count: near-identical twins share a
+    cell at either granularity here, so granularity buys cost, not
+    recall. (At sf1/640 cells tools/semdedup_scale.py measures the
+    margin where that stops being exactly true — 99.6% detection, the
+    Abbas et al. granularity/recall trade — recorded in SCALE.md.)"""
+    import __spark_entry__ as entry
+
+    corpus = entry._semdedup_corpus(spark, "/root/testdata/sf0.001").persist()
+    stats = {}
+    try:
+        for cells in (8, 64):
+            d = str(tmp_path / f"cells{cells}")
+            similarity.materialize_ivf_index(
+                corpus, d, corpus_id="vec_id", vec_col="embedding",
+                dim=64, n_centroids=cells,
+            )
+            index, cents, _meta = similarity.load_ivf_index(spark, d)
+            pairs = similarity.semantic_dedup_pairs(index, cents, threshold=0.95)
+            planted = (
+                pairs.withColumn("lo", F.least("keep_id", "drop_id"))
+                .withColumn("hi", F.greatest("keep_id", "drop_id"))
+                .filter(F.col("hi") - F.col("lo") == 1_000_000)
+                .select("lo", "hi").distinct().count()
+            )
+            agg = index.groupBy("cid").count().agg(
+                F.sum(F.col("count") * F.col("count")).alias("sum_sq"),
+                F.max("count").alias("max_size"),
+            ).first()
+            stats[cells] = {
+                "planted": planted,
+                "total": pairs.count(),
+                "sum_sq": int(agg["sum_sq"]),
+                "max_size": int(agg["max_size"]),
+            }
+    finally:
+        corpus.unpersist()
+    assert stats[8]["planted"] == stats[64]["planted"] == 500
+    assert stats[8]["total"] == stats[64]["total"] == 500
+    assert stats[64]["sum_sq"] * 4 < stats[8]["sum_sq"], stats
+    assert stats[64]["max_size"] < stats[8]["max_size"], stats
