@@ -280,6 +280,7 @@ def refresh_search_index(
     change_col: str = "_change_type",
     k1: float = 1.2,
     b: float = 0.75,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Apply a txlog change feed to a PERSISTED
     ``materialize_search_index`` layout in place — all four pieces
@@ -287,6 +288,17 @@ def refresh_search_index(
     count, without a full rebuild. This is what the 60 s freshness job
     runs per micro-batch to honor the reference's whole-service
     TARGET_LAG (epa_ingestion.py:844-854), not just its postings half.
+
+    ``txn=(app_id, batch_id)`` makes micro-batch replay a no-op: the
+    marker is recorded in ``_meta.json`` at the end of a completed
+    refresh, and a batch at or below the recorded id is acknowledged
+    without touching the layout (streaming/freshness.index_refresh_sink
+    passes it). Crash-consistency caveat, stated rather than papered
+    over: the marker commits LAST, so a crash MID-refresh leaves a torn
+    layout whose recovery is a full ``materialize_search_index`` rebuild
+    — the standard story for a non-transactional multi-directory layout;
+    hosting the four pieces in a txlog table for an atomic cutover is
+    the documented next increment if torn-refresh recovery ever matters.
 
     Postings are maintained bucket-incrementally: only the ``__tb``
     partitions containing a touched token are read, maintained, and
@@ -307,6 +319,11 @@ def refresh_search_index(
 
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
+    if txn is not None:
+        app_id, batch_id = txn
+        last = meta.get("txn", {}).get(app_id)
+        if last is not None and int(batch_id) <= int(last):
+            return  # replayed micro-batch: already applied, acknowledge
     n_buckets = int(meta["n_buckets"])
     postings = spark.read.parquet(os.path.join(path, "postings"))
     stats = spark.read.parquet(os.path.join(path, "stats"))
@@ -397,6 +414,8 @@ def refresh_search_index(
         shutil.rmtree(stage, ignore_errors=True)
 
     meta.update({"n_docs": n_after})
+    if txn is not None:
+        meta.setdefault("txn", {})[txn[0]] = int(txn[1])
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump(meta, f)
 

@@ -64,3 +64,72 @@ def start_freshness_job(
     else:
         writer = writer.trigger(processingTime=f"{lag_seconds} seconds")
     return writer.start()
+
+
+def index_refresh_sink(
+    spark: SparkSession,
+    index_path: str,
+    app_id: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    change_col: str = "_change_type",
+):
+    """``foreachBatch`` callable maintaining a WHOLE persisted
+    ``materialize_search_index`` layout from a stream of tagged change
+    rows — postings, doclens, stats, AND the WAND ``bounds`` table, so
+    max-score-pruned serving stays correct between full rebuilds (the r8
+    gap: the old postings-only appender left dl/avgdl and the term
+    bounds stale after any change). Each micro-batch is one
+    ``search.refresh_search_index`` application; the ``(app_id,
+    batch_id)`` marker in the layout's ``_meta.json`` makes a replayed
+    batch a no-op (foreachBatch is at-least-once after a crash), with
+    refresh_search_index's documented torn-refresh caveat."""
+    from ..operators.search import refresh_search_index
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        refresh_search_index(
+            spark,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            change_col=change_col,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return write_batch
+
+
+def start_index_maintainer(
+    changes_stream: DataFrame,
+    spark: SparkSession,
+    index_path: str,
+    checkpoint: str,
+    app_id: str = "search-index-maintainer",
+    id_col: str = "id",
+    text_col: str = "text",
+    change_col: str = "_change_type",
+    lag_seconds: int = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Run the whole-layout index maintainer with the 1-minute freshness
+    budget (the reference's TARGET_LAG covered the entire search
+    service, epa_ingestion.py:844-854 — this is that contract for all
+    four persisted pieces, not just postings). ``changes_stream`` is a
+    streaming frame of row images tagged insert/delete in
+    ``change_col`` — the txlog change-feed shape."""
+    writer = (
+        changes_stream.writeStream.outputMode("update")
+        .foreachBatch(
+            index_refresh_sink(
+                spark, index_path, app_id,
+                id_col=id_col, text_col=text_col, change_col=change_col,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{lag_seconds} seconds")
+    return writer.start()

@@ -563,3 +563,119 @@ def test_refresh_search_index_maintains_persisted_layout(spark, tmp_path):
         ).collect()
     )
     assert served == naive
+
+
+def test_index_maintainer_stream_keeps_wand_serving_correct(spark, tmp_path):
+    """The whole-service TARGET_LAG contract, end-to-end: a streaming
+    change feed (2 micro-batches, file-sourced, maxFilesPerTrigger=1)
+    drives start_index_maintainer over a persisted layout; afterwards
+    every piece matches a from-scratch materialization of the final
+    corpus (bounds: sound + equal vocabulary), a REPLAY of the feed is a
+    no-op (the _meta txn marker), and WAND served from the maintained
+    directory returns the naive scorer's exact top-k."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sf_epa_data_ingestion_spark.streaming.freshness import start_index_maintainer
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string"))
+        )
+    )
+    idx = str(tmp_path / "idx")
+    search.materialize_search_index(docs, idx, id_col="doc_id", text_col="text")
+
+    # two change files -> two micro-batches: an update pair, then inserts
+    lo = docs.agg(F.min("doc_id")).first()[0]
+    feed_dir = str(tmp_path / "feed")
+    upd_old = docs.filter(F.col("doc_id") == lo).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    upd_new = docs.filter(F.col("doc_id") == lo).withColumn(
+        "text", F.concat(F.lit("zebra quokka "), F.col("text"))
+    ).withColumn("_change_type", F.lit("insert"))
+    upd_old.unionByName(upd_new).coalesce(1).write.mode("append").parquet(feed_dir)
+    ins = docs.limit(2).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.lit("wombat axolotl "), F.col("text")).alias("text"),
+    ).withColumn("_change_type", F.lit("insert"))
+    ins.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("_change_type", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    q = start_index_maintainer(
+        stream, spark, idx, str(tmp_path / "ckpt"),
+        id_col="doc_id", text_col="text", available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # final corpus: update applied, two inserts added
+    final = (
+        docs.filter(F.col("doc_id") != lo)
+        .unionByName(upd_new.drop("_change_type"))
+        .unionByName(ins.drop("_change_type"))
+    )
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    search.materialize_search_index(final, rebuilt_dir, id_col="doc_id", text_col="text")
+
+    mp, mst, mdl, mn, _ = search.load_search_index(spark, idx)
+    rp, rst, rdl, rn, _ = search.load_search_index(spark, rebuilt_dir)
+    assert mn == rn
+    _assert_same_rows(mp, rp, ["token", "id", "tf"])
+    _assert_same_rows(mdl, rdl, ["id", "dl"])
+    mb = {r["token"]: r["ub"] for r in
+          spark.read.parquet(os.path.join(idx, "bounds")).collect()}
+    rb = {r["token"]: r["ub"] for r in
+          spark.read.parquet(os.path.join(rebuilt_dir, "bounds")).collect()}
+    assert set(mb) == set(rb)
+    assert all(mb[k] >= rb[k] - 1e-12 for k in rb)
+
+    # replay the same feed from a FRESH checkpoint: batch ids repeat, the
+    # layout's txn marker must make both batches no-ops
+    import json as _json
+
+    meta_before = open(os.path.join(idx, "_meta.json")).read()
+    q2 = start_index_maintainer(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed_dir),
+        spark, idx, str(tmp_path / "ckpt2"),
+        id_col="doc_id", text_col="text", available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert _json.loads(open(os.path.join(idx, "_meta.json")).read()) == _json.loads(meta_before)
+    mp2, _, mdl2, mn2, _ = search.load_search_index(spark, idx)
+    assert mn2 == mn
+    _assert_same_rows(mp2, mp, ["token", "id", "tf"])
+
+    # WAND from the maintained layout == naive full scoring on the rebuild
+    queries = spark.createDataFrame(
+        [(0, "zebra quokka data"), (1, "wombat the water")],
+        "query_id long, query_text string",
+    )
+    served = sorted(
+        (r["query_id"], r["id"], r["score"])
+        for r in search.bm25_search_many_maxscore(
+            mp.drop("__tb"), mst,
+            spark.read.parquet(os.path.join(idx, "bounds")),
+            queries, n_docs=mn, doclens=mdl, k=5,
+        ).collect()
+    )
+    naive = sorted(
+        (r["query_id"], r["id"], r["score"])
+        for r in search.bm25_search_many(
+            rp.drop("__tb"), rst, queries, n_docs=rn, k=5, doclens=rdl
+        ).collect()
+    )
+    assert served == naive and len(served) > 0
