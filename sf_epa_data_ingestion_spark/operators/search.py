@@ -300,17 +300,16 @@ def refresh_search_index(
     hosting the four pieces in a txlog table for an atomic cutover is
     the documented next increment if torn-refresh recovery ever matters.
 
-    Postings are maintained bucket-incrementally: only the ``__tb``
-    partitions containing a touched token are read, maintained, and
-    dynamically overwritten (``partitionOverwriteMode=dynamic``) — at
-    100 TB an O(change) update touches O(touched-buckets) of the index,
-    never the untouched directories. Maintained rows are staged to a
-    sibling directory first because Spark cannot overwrite a path it is
-    reading in the same job. stats and bounds are vocabulary-sized and
-    rewritten whole; doclens is narrow (id, dl) and rewritten whole —
-    partitioning it by an id-bucket and dynamically overwriting, the
-    same trick postings use, is the next increment if doclens rewrite
-    ever dominates (documented trade-off, not a correctness gap)."""
+    Postings AND doclens are maintained bucket-incrementally: only the
+    ``__tb`` partitions containing a touched token (respectively the
+    ``__ib`` id-buckets containing a changed doc id) are read,
+    maintained, and dynamically overwritten
+    (``partitionOverwriteMode=dynamic``) — at 100 TB an O(change) update
+    touches O(touched-buckets) of either table, never the untouched
+    directories (pinned by an untouched-files-unmodified test).
+    Maintained rows are staged to a sibling directory first because
+    Spark cannot overwrite a path it is reading in the same job. stats
+    and bounds are vocabulary-sized and rewritten whole."""
     import json
     import os
     import shutil
@@ -327,14 +326,28 @@ def refresh_search_index(
     n_buckets = int(meta["n_buckets"])
     postings = spark.read.parquet(os.path.join(path, "postings"))
     stats = spark.read.parquet(os.path.join(path, "stats"))
-    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    doclens_raw = spark.read.parquet(os.path.join(path, "doclens"))
+    doclens = doclens_raw.drop("__ib")
     bounds = spark.read.parquet(os.path.join(path, "bounds"))
 
-    # --- corpus count: change-feed-sized arithmetic ---
+    # --- changed ids and their id-buckets (change-set-sized collect) ---
     deleted_ids = (
         changes.filter(F.col(change_col) == "delete").select(F.col(id_col).alias("id")).distinct()
     )
-    n_deleted = doclens.join(broadcast(deleted_ids), "id", "left_semi").count()
+    changed_ids = changes.select(F.col(id_col).alias("id")).distinct()
+    touched_ibs = sorted(
+        r["__ib"]
+        for r in changed_ids.select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).alias("__ib")
+        ).distinct().collect()
+    )
+
+    # --- corpus count: change-feed-sized arithmetic, id-bucket-pruned ---
+    n_deleted = (
+        doclens_raw.filter(F.col("__ib").isin(touched_ibs))
+        .join(broadcast(deleted_ids), "id", "left_semi")
+        .count()
+    )
     n_inserted = changes.filter(F.col(change_col) == "insert").count()
     n_after = int(meta["n_docs"]) - n_deleted + n_inserted
 
@@ -381,24 +394,38 @@ def refresh_search_index(
     shutil.rmtree(staging, ignore_errors=True)
     postings_after = spark.read.parquet(os.path.join(path, "postings"))
 
-    # --- doclens / stats / bounds: stage ALL before swapping ANY, because
-    # apply_changes_bounds needs the PRE-change doclens (for avgdl_before)
-    # while the other maintained frames must not read a path mid-overwrite.
-    new_doclens = apply_changes_doclens(
-        doclens, changes, id_col=id_col, text_col=text_col, change_col=change_col
-    )
+    # --- doclens: touched id-buckets only (same discipline as postings).
+    # A deleted/updated doc's (id, dl) row lives exactly in its id's
+    # bucket, so maintaining the touched buckets alone is complete.
+    doclens_stage = os.path.join(path, "_staging_doclens")
+    new_doclens_touched = apply_changes_doclens(
+        doclens_raw.filter(F.col("__ib").isin(touched_ibs)).drop("__ib"),
+        changes, id_col=id_col, text_col=text_col, change_col=change_col,
+    ).withColumn("__ib", F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)))
+    new_doclens_touched.repartition(max(1, len(touched_ibs)), "__ib").write.mode(
+        "overwrite"
+    ).parquet(doclens_stage)
+    staged_doclens = spark.read.parquet(doclens_stage)
+
+    # --- stats / bounds: stage BEFORE swapping doclens, because
+    # apply_changes_bounds needs the PRE-change doclens for avgdl_before;
+    # its doclens_after is composed lazily from the untouched buckets
+    # (still on disk) + the staged touched buckets.
     new_stats = apply_changes_stats(
         stats, changes, n_after, id_col=id_col, text_col=text_col, change_col=change_col
     )
-    stages = {}
-    for name, df in (("doclens", new_doclens), ("stats", new_stats)):
-        stages[name] = os.path.join(path, f"_staging_{name}")
-        df.write.mode("overwrite").parquet(stages[name])
+    stats_stage = os.path.join(path, "_staging_stats")
+    new_stats.write.mode("overwrite").parquet(stats_stage)
+    doclens_after = (
+        doclens_raw.filter(~F.col("__ib").isin(touched_ibs))
+        .drop("__ib")
+        .unionByName(staged_doclens.drop("__ib"))
+    )
     new_bounds = apply_changes_bounds(
         bounds,
         postings_after,
         doclens,  # the doclens path is still pre-change here
-        spark.read.parquet(stages["doclens"]),
+        doclens_after,
         changes,
         n_after,
         id_col=id_col,
@@ -407,9 +434,25 @@ def refresh_search_index(
         k1=k1,
         b=b,
     )
-    stages["bounds"] = os.path.join(path, "_staging_bounds")
-    new_bounds.write.mode("overwrite").parquet(stages["bounds"])
-    for name, stage in stages.items():
+    bounds_stage = os.path.join(path, "_staging_bounds")
+    new_bounds.write.mode("overwrite").parquet(bounds_stage)
+
+    # --- swap: doclens touched buckets (dynamic overwrite + emptied-
+    # bucket removal, as postings), stats/bounds whole.
+    (
+        staged_doclens.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__ib")
+        .parquet(os.path.join(path, "doclens"))
+    )
+    kept_ibs = {r["__ib"] for r in staged_doclens.select("__ib").distinct().collect()}
+    for ib in touched_ibs:
+        if ib not in kept_ibs:
+            shutil.rmtree(
+                os.path.join(path, "doclens", f"__ib={ib}"), ignore_errors=True
+            )
+    shutil.rmtree(doclens_stage, ignore_errors=True)
+    for name, stage in (("stats", stats_stage), ("bounds", bounds_stage)):
         spark.read.parquet(stage).write.mode("overwrite").parquet(os.path.join(path, name))
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -948,11 +991,24 @@ def materialize_search_index(
         os.path.join(path, "stats")
     )
     dl = doc_lengths(docs, id_col=id_col, text_col=text_col)
-    dl.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    # id-bucketed like postings (same n_buckets): refresh_search_index
+    # rewrites only the buckets containing changed ids instead of the
+    # whole per-doc table — at 100 TB that turns a ~n_docs-row rewrite
+    # per refresh into a change-set-sized one. Readers never see the
+    # bucket column (load_search_index drops it).
+    (
+        dl.withColumn("__ib", F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)))
+        .repartition(n_buckets, "__ib")
+        .write.mode("overwrite")
+        .partitionBy("__ib")
+        .parquet(os.path.join(path, "doclens"))
+    )
     # max-score bounds (token, ub) — the WAND-style candidate-pruning
     # statistic bm25_search_many_maxscore consumes (vocabulary-sized)
     build_term_bounds(
-        persisted, docs.sparkSession.read.parquet(os.path.join(path, "doclens")), n
+        persisted,
+        docs.sparkSession.read.parquet(os.path.join(path, "doclens")).drop("__ib"),
+        n,
     ).write.mode("overwrite").parquet(os.path.join(path, "bounds"))
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump({"n_docs": n, "n_buckets": n_buckets}, f)
@@ -973,7 +1029,9 @@ def load_search_index(spark, path: str):
     return (
         spark.read.parquet(os.path.join(path, "postings")),
         spark.read.parquet(os.path.join(path, "stats")),
-        spark.read.parquet(os.path.join(path, "doclens")),
+        # __ib is maintenance-internal (refresh_search_index's id-bucket
+        # partitioning); scorers see exactly (id, dl)
+        spark.read.parquet(os.path.join(path, "doclens")).drop("__ib"),
         int(meta["n_docs"]),
         int(meta["n_buckets"]),
     )

@@ -518,17 +518,74 @@ def test_refresh_search_index_maintains_persisted_layout(spark, tmp_path):
     (touched-bucket dynamic overwrite), doclens, stats, the meta corpus
     count; bounds must be sound (>= rebuilt) with touched tokens exact,
     and WAND served FROM THE REFRESHED DIRECTORY must equal naive
-    scoring over the rebuilt index."""
+    scoring over the rebuilt index. Incrementality itself is pinned:
+    every data file in an UNTOUCHED postings token-bucket or doclens
+    id-bucket must be byte-identical (same path, size, mtime) after the
+    refresh — the directories the 100 TB claim says are never rewritten
+    really are not."""
     t, changes = _tx_with_changes(spark, tmp_path, same_length_update=False)
     idx = str(tmp_path / "idx")
+    # 64 buckets: with ~42 touched tokens, 16 buckets would ALL be hit on
+    # this small-vocabulary corpus and the untouched-bucket pin would be
+    # vacuous
     search.materialize_search_index(
-        t.read(0), idx, id_col="doc_id", text_col="text"
+        t.read(0), idx, id_col="doc_id", text_col="text", n_buckets=64
     )
+
+    def _bucket_files(sub):
+        out = {}
+        root = os.path.join(idx, sub)
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    import pyspark.sql.functions as _F
+
+    n_buckets = search.load_search_index(spark, idx)[4]
+    touched_tokens = {
+        r["token"]
+        for r in changes.select(
+            F.explode(search._norm_tokens(F.col("text"))).alias("token")
+        ).distinct().collect()
+    }
+    from sf_epa_data_ingestion_spark.functions.refhash import xxh64_string
+
+    touched_tbs = {xxh64_string(tok) % n_buckets for tok in touched_tokens}
+    touched_ibs = {
+        r["__ib"]
+        for r in changes.select(
+            _F.pmod(_F.xxhash64(F.col("doc_id")), _F.lit(n_buckets)).alias("__ib")
+        ).distinct().collect()
+    }
+    # separator-delimited match: "__tb=1" must not exclude "__tb=12"
+    before_postings = {
+        p: v for p, v in _bucket_files("postings").items()
+        if all(f"{os.sep}__tb={tb}{os.sep}" not in p for tb in touched_tbs)
+    }
+    before_doclens = {
+        p: v for p, v in _bucket_files("doclens").items()
+        if all(f"{os.sep}__ib={ib}{os.sep}" not in p for ib in touched_ibs)
+    }
+
     search.refresh_search_index(
         spark, idx, changes, id_col="doc_id", text_col="text"
     )
+
+    after_postings = _bucket_files("postings")
+    after_doclens = _bucket_files("doclens")
+    assert before_postings and before_doclens  # untouched buckets exist
+    for p, v in before_postings.items():
+        assert after_postings.get(p) == v, f"untouched postings file rewritten: {p}"
+    for p, v in before_doclens.items():
+        assert after_doclens.get(p) == v, f"untouched doclens file rewritten: {p}"
     rebuilt_dir = str(tmp_path / "rebuilt")
-    search.materialize_search_index(t.read(), rebuilt_dir, id_col="doc_id", text_col="text")
+    search.materialize_search_index(
+        t.read(), rebuilt_dir, id_col="doc_id", text_col="text", n_buckets=64
+    )
 
     mp, mst, mdl, mn, mb = search.load_search_index(spark, idx)
     rp, rst, rdl, rn, rb = search.load_search_index(spark, rebuilt_dir)
