@@ -38,6 +38,9 @@ HEAVY = [
     "search_bm25_wand", "search_hybrid_ann",
     # late r8: SemDeDup (persisted 64-cell assignment) + mixture
     "semantic_dedup", "mixture_sample",
+    # r9: exactly-once streaming replay (micro-batch fixed costs dominate;
+    # the data-dependent term is the cell-pruned state probe)
+    "semdedup_stream_replay",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scaledata", "sf1")
