@@ -19,14 +19,17 @@ streaming/vectorindex.py's train/add split applied to dedup):
   centroid cosine the keep-rule statistic, both computed ONCE at
   arrival.
 - per micro-batch: assign the batch, probe the state ONLY in the
-  batch's assigned cells (an equi-join on cid behind a literal
-  ``cid IN (...)`` filter — over a cid-partitioned state layout that is
-  directory pruning, exactly ``ivf_search``'s probe shape), score
-  candidate pairs with the same cosine fold, apply the same keep rule
-  (drop the member with the GREATER (round6(ccos), id)), append
-  decisions, then append the batch's assignments to state. Decisions
-  commit BEFORE state — a crash between the two replays into "skip
-  decisions (marker), redo state"; neither table double-counts.
+  batch's assigned cells (a literal ``cid IN (...)`` filter — over a
+  cid-partitioned state layout that is directory pruning, exactly
+  ``ivf_search``'s probe shape), then score candidate pairs in a
+  per-cell COGROUP with the batch operator's row-blocked numpy matmuls
+  — pair rows are never materialized, so a BULK batch (an availableNow
+  catch-up draining a backlog) costs blocked matmul FLOPs, not
+  pair-row-count x vector-width bytes. Same keep rule (drop the member
+  with the GREATER (round6(ccos), id)); append decisions, then append
+  the batch's assignments to state. Decisions commit BEFORE state — a
+  crash between the two replays into "skip decisions (marker), redo
+  state"; neither table double-counts.
 - stream-accumulated decisions over any batch split equal the batch
   operator's output over the union corpus under the same frozen model
   (every unordered within-cluster pair is scored exactly once: when its
@@ -72,10 +75,10 @@ def semantic_dedup_monitor(
     inheriting the session's shuffle parallelism would append ~32 tiny
     files PER BATCH per table — the classic streaming small-file problem
     (state listing cost grows linearly with batches processed). It is a
-    repartition, not a coalesce: with broadcast joins upstream there is
-    no shuffle boundary for coalesce to stop at, so coalesce(1) would
-    serialize the whole scoring pipeline into one task. Raise it for
-    genuinely large micro-batches.
+    repartition, not a coalesce: coalesce(1) propagates up to the nearest
+    shuffle boundary and serializes whatever sits above it (measured 2x
+    worse on the pre-cogroup shape). Raise it for genuinely large
+    micro-batches.
     """
     import numpy as np
     import pandas as pd
@@ -128,81 +131,98 @@ def semantic_dedup_monitor(
         # literal list -> a partition/data filter on the state scan
         hit_cells = [r["cid"] for r in enc.select("cid").distinct().collect()]
         old = seen.filter(F.col("cid").isin(hit_cells))
-        # the micro-batch is the SMALL side by construction (seconds of
-        # arrivals vs the full history): broadcast it against the
-        # cell-pruned state scan — no shuffle of either frame, and the
-        # same plan shape survives a 100 TB state table
-        a, b = F.broadcast(enc).alias("a"), old.alias("b")
-        cross = a.join(b, F.col("a.cid") == F.col("b.cid")).select(
-            F.col("a.cid").alias("cid"),
-            F.col("a.id").alias("id_x"), F.col("a.u").alias("u_x"),
-            F.col("a.ccos").alias("ccos_x"),
-            F.col("b.id").alias("id_y"), F.col("b.u").alias("u_y"),
-            F.col("b.ccos").alias("ccos_y"),
-        )
-        a2, b2 = enc.alias("a"), F.broadcast(enc).alias("b")
-        internal = a2.join(
-            b2,
-            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
-        ).select(
-            F.col("a.cid").alias("cid"),
-            F.col("a.id").alias("id_x"), F.col("a.u").alias("u_x"),
-            F.col("a.ccos").alias("ccos_x"),
-            F.col("b.id").alias("id_y"), F.col("b.u").alias("u_y"),
-            F.col("b.ccos").alias("ccos_y"),
-        )
-        # Pair cosines in ONE Arrow stage (vectorized row-wise dot over
-        # the stacked unit vectors) instead of a per-pair interpreted
-        # zip_with/aggregate fold: |pairs| x dim interpreted expression
-        # evals dominated the graded replay's wall-clock, and interpreted
-        # HOFs additionally degrade as a session ages (PLANS.md "the
-        # session is part of the plan"). Exactly the batch operator's
-        # float contract (similarity.semantic_dedup_pairs): raw float64
-        # dots leave the Arrow stage filtered a hair BELOW threshold
-        # (eps candidate margin for the ~1e-15 BLAS-vs-fold noise), and
-        # the JVM-side HALF_UP F.round makes the final call — np.round's
-        # half-even would disagree with the oracle on exact boundaries.
+
+        # Pair scoring is a per-cell COGROUP with the batch operator's
+        # row-blocked numpy matmuls — candidate pairs are NEVER
+        # materialized as join rows. The earlier broadcast-join +
+        # row-wise-dot shape carried two dim-sized arrays per candidate
+        # pair (~1 KB each) through the plan, which is fine for
+        # seconds-of-arrivals micro-batches but melts down on BULK
+        # batches — and bulk batches are real: an availableNow catch-up
+        # after downtime drains the whole backlog as one batch (measured:
+        # a half-corpus batch at sf1 took 46 s vs ~3 s in this shape).
+        # Per cell: cross = batch x state, internal = batch x batch
+        # (i < j); both are D = B @ M.T row-blocks (memory = block x
+        # |cell|, never |cell|²). Float contract identical to
+        # semantic_dedup_pairs: raw float64 BLAS dots, candidates kept a
+        # hair below threshold (eps margin), JVM HALF_UP F.round makes
+        # the final call; the keep rule compares (_round6_halfup(ccos),
+        # id) exactly like the batch operator.
+        from ..operators.similarity import _round6_halfup
+
         eps = 1e-9
         thr = float(threshold)
-        pair_schema = (
-            "cid int, id_x long, ccos_x double, id_y long, ccos_y double, "
-            "cosine_sim double"
-        )
+        dim = len(cents[0]) if cents else 0
+        pair_schema = "cid int, keep_id long, drop_id long, cosine_sim double"
 
-        def score_pairs(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                ux = np.stack(pdf["u_x"].to_numpy())
-                uy = np.stack(pdf["u_y"].to_numpy())
-                cos = np.einsum("ij,ij->i", ux, uy)
-                msk = cos >= thr - eps
-                yield pd.DataFrame(
-                    {
-                        "cid": pdf["cid"].to_numpy()[msk],
-                        "id_x": pdf["id_x"].to_numpy()[msk],
-                        "ccos_x": pdf["ccos_x"].to_numpy()[msk],
-                        "id_y": pdf["id_y"].to_numpy()[msk],
-                        "ccos_y": pdf["ccos_y"].to_numpy()[msk],
-                        "cosine_sim": cos[msk],
-                    }
+        def _stack(pdf):
+            n = len(pdf)
+            m = np.zeros((n, dim), dtype=np.float64)
+            valid = np.zeros(n, dtype=bool)
+            for r, u in enumerate(pdf["u"]):
+                if u is not None and len(u) == dim:
+                    row = np.asarray(u, dtype=np.float64)
+                    if not np.isnan(row).any():
+                        m[r] = row
+                        valid[r] = True
+            return m, valid
+
+        def per_cell(key, batch_pdf, state_pdf):
+            nb = len(batch_pdf)
+            empty = pd.DataFrame(
+                {"cid": [], "keep_id": [], "drop_id": [], "cosine_sim": []}
+            )
+            if nb == 0:
+                return empty  # state-only cell: no new pairs
+            cid = int(key[0])
+            B, bvalid = _stack(batch_pdf)
+            ids_b = batch_pdf["id"].to_numpy()
+            ccos_b = batch_pdf["ccos"].to_numpy()
+            sides = [(B, bvalid, ids_b, ccos_b, True)]
+            if len(state_pdf):
+                S, svalid = _stack(state_pdf)
+                sides.append(
+                    (S, svalid, state_pdf["id"].to_numpy(),
+                     state_pdf["ccos"].to_numpy(), False)
                 )
+            out_keep, out_drop, out_cos = [], [], []
+            block = 1024
+            for M, mvalid, ids_m, ccos_m, internal in sides:
+                for s in range(0, nb, block):
+                    e = min(s + block, nb)
+                    D = B[s:e] @ M.T
+                    bi, bj = np.nonzero(D >= thr - eps)
+                    for i, j in zip(bi + s, bj):
+                        if internal and j <= i:
+                            continue  # batch x batch: each unordered pair once
+                        if not (bvalid[i] and mvalid[j]):
+                            continue
+                        ka = (_round6_halfup(float(ccos_b[i])), int(ids_b[i]))
+                        kb = (_round6_halfup(float(ccos_m[j])), int(ids_m[j]))
+                        keep, drop = (ka, kb) if ka <= kb else (kb, ka)
+                        out_keep.append(keep[1])
+                        out_drop.append(drop[1])
+                        out_cos.append(float(D[i - s, j]))
+            if not out_keep:
+                return empty
+            return pd.DataFrame(
+                {
+                    "cid": pd.Series([cid] * len(out_keep), dtype="int32"),
+                    "keep_id": pd.Series(out_keep, dtype="int64"),
+                    "drop_id": pd.Series(out_drop, dtype="int64"),
+                    "cosine_sim": pd.Series(out_cos, dtype="float64"),
+                }
+            )
 
-        cand = (
-            cross.unionByName(internal)
-            .mapInPandas(score_pairs, pair_schema)
-            .withColumn("cosine_sim", F.round("cosine_sim", 6))
+        decisions = (
+            enc.groupBy("cid")
+            .cogroup(old.groupBy("cid"))
+            .applyInPandas(per_cell, pair_schema)
+            .select(
+                "cid", "keep_id", "drop_id",
+                F.round("cosine_sim", 6).alias("cosine_sim"),
+            )
             .filter(F.col("cosine_sim") >= threshold)
-        )
-        # SemDeDup keep rule, identical to the batch operator: keep the
-        # member with the LOWER (round6(ccos), id)
-        rx, ry = F.round("ccos_x", 6), F.round("ccos_y", 6)
-        x_keeps = (rx < ry) | ((rx == ry) & (F.col("id_x") < F.col("id_y")))
-        decisions = cand.select(
-            "cid",
-            F.when(x_keeps, F.col("id_x")).otherwise(F.col("id_y")).alias("keep_id"),
-            F.when(x_keeps, F.col("id_y")).otherwise(F.col("id_x")).alias("drop_id"),
-            "cosine_sim",
         )
         # decisions FIRST, state LAST (replay safety — module docstring)
         append_once(
