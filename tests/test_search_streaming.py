@@ -736,3 +736,87 @@ def test_index_maintainer_stream_keeps_wand_serving_correct(spark, tmp_path):
         ).collect()
     )
     assert served == naive and len(served) > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["data", "spark", "water", "label", "toxic", "scan", "merge", "row"]
+
+
+@st.composite
+def _corpus_and_changes(draw):
+    """Random small corpus + a random change set in the txlog feed shape:
+    some ids updated (delete old image + insert new), some deleted, some
+    inserted fresh — with every row image carrying its text."""
+    n = draw(st.integers(4, 12))
+    docs = []
+    for i in range(n):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8))
+        docs.append((i, " ".join(words) + f" uniq{i}"))
+    upd = draw(st.lists(st.integers(0, n - 1), max_size=3, unique=True))
+    dels = draw(
+        st.lists(
+            st.integers(0, n - 1).filter(lambda i: i not in upd),
+            max_size=2, unique=True,
+        )
+    )
+    n_ins = draw(st.integers(0, 2))
+    changes = []
+    for i in upd:
+        changes.append((i, docs[i][1], "delete"))
+        new_words = draw(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8))
+        changes.append((i, " ".join(new_words) + f" uniq{i}", "insert"))
+    for i in dels:
+        changes.append((i, docs[i][1], "delete"))
+    for j in range(n_ins):
+        words = draw(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8))
+        changes.append((1000 + j, " ".join(words) + f" uniq{1000 + j}", "insert"))
+    return docs, changes, set(upd), set(dels)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_corpus_and_changes())
+def test_apply_changes_bounds_soundness_property(spark, case):
+    """Property pin for the r9 bounds-maintenance math: for ANY corpus
+    and ANY change set, the maintained bounds table has (a) exactly the
+    rebuilt vocabulary, (b) exact df everywhere, and (c) ub >= the
+    rebuilt exact bound element-wise — the invariant that keeps
+    max-score pruning result-invisible between full rebuilds (an
+    underestimate could wrongly prune a true top-k document)."""
+    docs_rows, change_rows, upd, dels = case
+    docs = spark.createDataFrame(docs_rows, "id long, text string")
+    changes = spark.createDataFrame(change_rows, "id long, text string, _change_type string")
+    survivors = {i for i, _ in docs_rows if i not in dels}
+    n0 = len(docs_rows)
+    final_rows = (
+        [(i, t) for i, t in docs_rows if i in survivors and i not in upd]
+        + [(i, t) for i, t, c in change_rows if c == "insert"]
+    )
+    n1 = len(final_rows)
+    final = spark.createDataFrame(final_rows, "id long, text string")
+
+    p0 = search.build_postings(docs, id_col="id", text_col="text")
+    dl0 = search.doc_lengths(docs, id_col="id", text_col="text")
+    b0 = search.build_term_bounds(p0, dl0, n0)
+    p1 = search.apply_changes(p0, changes, id_col="id", text_col="text")
+    dl1 = search.apply_changes_doclens(dl0, changes, id_col="id", text_col="text")
+    maintained = {
+        r["token"]: (r["df"], r["ub"])
+        for r in search.apply_changes_bounds(
+            b0, p1, dl0, dl1, changes, n1, id_col="id", text_col="text"
+        ).collect()
+    }
+    rebuilt = {
+        r["token"]: (r["df"], r["ub"])
+        for r in search.build_term_bounds(
+            search.build_postings(final, id_col="id", text_col="text"),
+            search.doc_lengths(final, id_col="id", text_col="text"),
+            n1,
+        ).collect()
+    }
+    assert set(maintained) == set(rebuilt)
+    for tok, (df_r, ub_r) in rebuilt.items():
+        df_m, ub_m = maintained[tok]
+        assert df_m == df_r, tok
+        assert ub_m >= ub_r - 1e-12, (tok, ub_m, ub_r)
