@@ -778,11 +778,12 @@ def _corpus_and_changes(draw):
 @settings(max_examples=6, deadline=None)
 @given(_corpus_and_changes())
 def test_apply_changes_bounds_soundness_property(spark, case):
-    """Property pin for the r9 bounds-maintenance math: for ANY corpus
-    and ANY change set, the maintained bounds table has (a) exactly the
-    rebuilt vocabulary, (b) exact df everywhere, and (c) ub >= the
-    rebuilt exact bound element-wise — the invariant that keeps
-    max-score pruning result-invisible between full rebuilds (an
+    """Property pin for the r9 maintenance math: for ANY corpus and ANY
+    change set, (1) maintained doclens == rebuilt exactly, (2) maintained
+    stats == rebuilt exactly (df-delta merge + idf recompute), and for
+    bounds (3) exactly the rebuilt vocabulary, (4) exact df everywhere,
+    (5) ub >= the rebuilt exact bound element-wise — the invariant that
+    keeps max-score pruning result-invisible between full rebuilds (an
     underestimate could wrongly prune a true top-k document)."""
     docs_rows, change_rows, upd, dels = case
     docs = spark.createDataFrame(docs_rows, "id long, text string")
@@ -801,6 +802,30 @@ def test_apply_changes_bounds_soundness_property(spark, case):
     b0 = search.build_term_bounds(p0, dl0, n0)
     p1 = search.apply_changes(p0, changes, id_col="id", text_col="text")
     dl1 = search.apply_changes_doclens(dl0, changes, id_col="id", text_col="text")
+
+    # (1) doclens exact
+    dl_m = sorted((r["id"], r["dl"]) for r in dl1.collect())
+    dl_r = sorted(
+        (r["id"], r["dl"])
+        for r in search.doc_lengths(final, id_col="id", text_col="text").collect()
+    )
+    assert dl_m == dl_r
+    # (2) stats exact
+    st_m = {
+        (r["token"], r["df"], round(r["idf"], 12))
+        for r in search.apply_changes_stats(
+            search.build_token_stats(p0, n_docs=n0), changes, n1,
+            id_col="id", text_col="text",
+        ).collect()
+    }
+    st_r = {
+        (r["token"], r["df"], round(r["idf"], 12))
+        for r in search.build_token_stats(
+            search.build_postings(final, id_col="id", text_col="text"), n_docs=n1
+        ).collect()
+    }
+    assert st_m == st_r
+
     maintained = {
         r["token"]: (r["df"], r["ub"])
         for r in search.apply_changes_bounds(
