@@ -93,3 +93,77 @@ def vector_index_appender(
         append_once(table, fresh, app_id, batch_id, max_retries)
 
     return write_batch
+
+
+def vector_index_maintainer(
+    table: TxTable,
+    app_id: str,
+    coarse: list[list[float]],
+    cq: list[list[list[int]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    change_col: str = "_change_type",
+    max_retries: int = 5,
+    residual: bool = False,
+):
+    """Build a ``foreachBatch`` callable maintaining an IVF-PQ index
+    table from a CHANGE FEED — the delete-capable sibling of
+    ``vector_index_appender`` (r9: the appender handled arrivals only,
+    so a deleted or updated document's stale codes kept serving until a
+    full re-encode; the reference's TARGET_LAG covers changes of every
+    kind, epa_ingestion.py:844-854). Micro-batch rows are full row
+    images tagged insert/delete in ``change_col`` (storage/txlog.changes'
+    shape; an update is the usual delete+insert pair).
+
+    Per batch: deletes first, as a file-granular CoW ``delete_where`` on
+    the changed ids — IDEMPOTENT, so it needs no marker of its own —
+    then the inserts encode under the frozen model and append with the
+    batch's txn marker, exactly like the appender. Replay protocol: a
+    marker at or below the recorded one skips the whole batch; a crash
+    BETWEEN delete and append replays into "re-delete (no-op) + append"
+    — neither table state double-counts, the same decisions-before-state
+    reasoning streaming/semdedup.py documents.
+
+    Scale: the delete's touched-file discovery is a broadcast semi-join
+    of the change-set-sized id list against the index; over a
+    cid-clustered layout with txlog min/max skipping only files holding
+    a changed id rewrite. maintained == (rebuild of the final corpus
+    under the same frozen model) row-for-row, pinned by test — encoding
+    is a pure per-row function, so the equality is exact, not
+    approximate."""
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        last = table.last_txn(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already durable
+        deleted_ids = {
+            r["id"]
+            for r in batch_df.filter(F.col(change_col) == "delete")
+            .select(F.col(id_col).alias("id")).distinct().collect()
+        }
+        if deleted_ids:
+            table.delete_where(F.col(id_col).isin(sorted(deleted_ids)))
+        inserts = batch_df.filter(F.col(change_col) == "insert")
+        enc = encode_ivfpq(
+            inserts, coarse, cq, dim, id_col=id_col, vec_col=vec_col,
+            residual=residual,
+        )
+        one = Window.partitionBy(id_col).orderBy(F.asc("cid"), F.asc("codes"))
+        enc = (
+            enc.withColumn("__rn", F.row_number().over(one))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # cross-batch id guard: an id re-delivered WITHOUT a delete must
+        # not duplicate its row. Ids deleted THIS batch are gone from the
+        # table already, so the anti-join naturally admits their fresh
+        # encodings (the update path).
+        existing = table.read().select(id_col).distinct()
+        fresh = enc.join(existing, id_col, "left_anti")
+        append_once(table, fresh, app_id, batch_id, max_retries)
+
+    return write_batch

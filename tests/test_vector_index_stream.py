@@ -329,3 +329,68 @@ def test_no_model_layouts_serve_empty_not_crash(spark, tmp_path):
     index2, cents, _ = similarity.load_ivf_index(spark, p2)
     assert cents is None and index2.count() == 0
     assert similarity.ivf_search(index2, q, cents, k=5).count() == 0
+
+
+def test_vector_index_maintainer_applies_change_feed(spark, tmp_path):
+    """The delete-capable maintainer (r9): updates (delete+insert of an
+    id with a NEW vector), pure deletes, and fresh inserts applied from
+    a tagged change feed leave the index row-for-row equal to a frozen-
+    model encode of the final corpus; a replayed batch (marker) and a
+    crash-window replay (delete already applied, append not) are both
+    absorbed."""
+    from sf_epa_data_ingestion_spark.streaming.vectorindex import (
+        vector_index_maintainer,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse, cq = similarity.train_ivfpq(emb, dim=64)
+    t = TxTable(spark, str(tmp_path / "tbl")).create(
+        similarity.encode_ivfpq(emb, coarse, cq, 64)
+    )
+    sink = vector_index_maintainer(t, "vec-maint", coarse, cq, 64)
+
+    # change feed: update ids 0..4 (negated vectors — real new encodings),
+    # delete ids 10..12, insert fresh ids +1e6 copies of 20..24
+    upd_ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(5).collect()]
+    updated = (
+        emb.filter(F.col("vec_id").isin(upd_ids))
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+    )
+    del_ids = [r["vec_id"] for r in emb.orderBy(F.desc("vec_id")).limit(3).collect()]
+    ins = emb.orderBy("vec_id").limit(25).filter(F.col("vec_id") >= 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    feed = (
+        emb.filter(F.col("vec_id").isin(upd_ids)).withColumn("_change_type", F.lit("delete"))
+        .unionByName(updated.withColumn("_change_type", F.lit("insert")))
+        .unionByName(
+            emb.filter(F.col("vec_id").isin(del_ids)).withColumn("_change_type", F.lit("delete"))
+        )
+        .unionByName(ins.withColumn("_change_type", F.lit("insert")))
+    )
+    sink(feed, 1)
+
+    final = (
+        emb.filter(~F.col("vec_id").isin(upd_ids + del_ids))
+        .unionByName(updated)
+        .unionByName(ins)
+    )
+    got = _rows(t.read())
+    want = _rows(similarity.encode_ivfpq(final, coarse, cq, 64))
+    assert got == want and len(got) == emb.count() - 3 + 5
+
+    # replayed batch id: acknowledged, nothing changes
+    sink(feed, 1)
+    assert _rows(t.read()) == want
+
+    # crash-window replay: the delete half applied but the append (and
+    # marker) did not — re-running the batch must converge, not diverge
+    t2 = TxTable(spark, str(tmp_path / "tbl2")).create(
+        similarity.encode_ivfpq(emb, coarse, cq, 64)
+    )
+    t2.delete_where(F.col("vec_id").isin(upd_ids + del_ids))  # simulated partial
+    sink2 = vector_index_maintainer(t2, "vec-maint-2", coarse, cq, 64)
+    sink2(feed, 1)
+    assert _rows(t2.read()) == want
