@@ -69,6 +69,9 @@ _OPS = {
     "<=": lambda c, v: c <= v,
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
+    # v is a collection; the probe shape of every cell/bucket-pruned
+    # read (IVF cells, token buckets, SemDeDup hit cells)
+    "in": lambda c, v: c.isin(list(v)),
 }
 
 
@@ -105,6 +108,8 @@ def _may_match(stats: dict | None, filters) -> bool:
             if op == ">" and mx <= v:
                 return False
             if op == ">=" and mx < v:
+                return False
+            if op == "in" and not any(mn <= x <= mx for x in v):
                 return False
         except TypeError:
             continue  # incomparable (schema drift): keep the file
@@ -378,7 +383,9 @@ class TxTable:
         filters: Sequence[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally with data skipping: ``filters`` is a
-        conjunction of ``(col, op, value)`` with op in = == < <= > >=.
+        conjunction of ``(col, op, value)`` with op in = == < <= > >= in
+        (``in`` takes a collection — the cell/bucket probe shape; a file
+        is kept unless every probed value falls outside its [min, max]).
         Files whose committed min/max prove no row can match are dropped
         from the scan before Spark ever lists them; the residual predicate
         is still applied, so pruning is transparent to results."""
@@ -394,7 +401,9 @@ class TxTable:
             # file generations
             df = self.spark.read.schema(schema).parquet(*paths)
         for c, op, v in filters or []:
-            df = df.filter(_OPS[op](F.col(c), F.lit(v)))
+            # raw value, not F.lit(v): comparisons auto-lit scalars, and
+            # the ``in`` op needs the collection itself for isin
+            df = df.filter(_OPS[op](F.col(c), v))
         return df
 
     def read_files(

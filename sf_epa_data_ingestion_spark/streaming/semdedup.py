@@ -128,9 +128,17 @@ def semantic_dedup_monitor(
             .persist()
         )
         # probe only the batch's assigned cells: n_centroids-bounded
-        # literal list -> a partition/data filter on the state scan
+        # literal list, served through the txlog skipping read — files
+        # whose committed cid [min, max] excludes every hit cell are
+        # never listed into the scan. Skipping effectiveness follows the
+        # state table's clustering: per-batch appends span a batch's
+        # cells, so run a periodic ``state.compact(zorder=["cid"])`` to
+        # keep the file bounds tight (the same maintenance trade the
+        # lexical index's bucket layout makes structurally).
         hit_cells = [r["cid"] for r in enc.select("cid").distinct().collect()]
-        old = seen.filter(F.col("cid").isin(hit_cells))
+        old = state.read(filters=[("cid", "in", hit_cells)]).select(
+            "id", "cid", "u", "ccos"
+        )
 
         # Pair scoring is a per-cell COGROUP with the batch operator's
         # row-blocked numpy matmuls — candidate pairs are NEVER

@@ -173,3 +173,32 @@ def test_zorder_handles_temporal_columns(spark, tmp_path, orders):
     assert len(t.read_files(filters=filt)) < len(t.read_files())
     got = t.read(filters=filt).count()
     assert got == orders.filter(F.col("o_orderdate") == d).count()
+
+
+def test_in_filter_skips_files_and_preserves_results(spark, tmp_path):
+    """r9: the ``in`` op — the cell/bucket probe shape (IVF cells,
+    SemDeDup hit cells) — must prune every file whose [min, max] excludes
+    all probed values, keep files any value could hit, and stay
+    result-transparent (the residual isin still applies)."""
+    from sf_epa_data_ingestion_spark.storage import TxTable
+    import pyspark.sql.functions as F
+
+    rows = [(i, i % 16) for i in range(1600)]
+    df = spark.createDataFrame(rows, "id long, cid int").repartitionByRange(8, "cid")
+    t = TxTable(spark, str(tmp_path / "t")).create(df)
+    all_files = t.read_files()
+    assert len(all_files) == 8
+
+    probe = [0, 1]  # lives in the first range files only
+    pruned = t.read_files(filters=[("cid", "in", probe)])
+    assert 0 < len(pruned) < len(all_files)
+
+    got = sorted(r["id"] for r in t.read(filters=[("cid", "in", probe)]).collect())
+    want = sorted(
+        r["id"] for r in t.read().filter(F.col("cid").isin(probe)).collect()
+    )
+    assert got == want and len(got) == 200
+
+    # empty probe: proves-empty everywhere -> zero files, zero rows
+    assert t.read_files(filters=[("cid", "in", [])]) == []
+    assert t.read(filters=[("cid", "in", [])]).count() == 0
