@@ -132,7 +132,7 @@ def semantic_dedup_monitor(
         # whose committed cid [min, max] excludes every hit cell are
         # never listed into the scan. Skipping effectiveness follows the
         # state table's clustering: per-batch appends span a batch's
-        # cells, so run a periodic ``state.compact(zorder=["cid"])`` to
+        # cells, so run a periodic ``state.compact(cluster_by=["cid"], zorder=True)`` to
         # keep the file bounds tight (the same maintenance trade the
         # lexical index's bucket layout makes structurally).
         hit_cells = [r["cid"] for r in enc.select("cid").distinct().collect()]

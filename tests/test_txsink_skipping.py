@@ -202,3 +202,33 @@ def test_in_filter_skips_files_and_preserves_results(spark, tmp_path):
     # empty probe: proves-empty everywhere -> zero files, zero rows
     assert t.read_files(filters=[("cid", "in", [])]) == []
     assert t.read(filters=[("cid", "in", [])]).count() == 0
+
+
+def test_zorder_compaction_tightens_in_probe_skipping(spark, tmp_path):
+    """The maintenance the SemDeDup monitor's docstring prescribes,
+    end-to-end: per-batch appends span many cells (wide per-file cid
+    bounds -> the in-probe keeps every file), and a
+    ``compact(zorder=["cid"])`` re-clusters so the same probe skips most
+    files — with identical results before and after."""
+    from sf_epa_data_ingestion_spark.storage import TxTable
+    import pyspark.sql.functions as F
+
+    t = TxTable(spark, str(tmp_path / "state")).create(
+        spark.createDataFrame([], "id long, cid int")
+    )
+    # 6 "micro-batch" appends, each spanning all 16 cells (the monitor's
+    # repartition(1) append shape)
+    for b in range(6):
+        rows = [(b * 1000 + i, i % 16) for i in range(160)]
+        t.append(spark.createDataFrame(rows, "id long, cid int").coalesce(1))
+    probe = [3, 7]
+    filt = [("cid", "in", probe)]
+    before_files = t.read_files(filters=filt)
+    assert len(before_files) == len(t.read_files())  # wide bounds: no skip
+    want = sorted(r["id"] for r in t.read(filters=filt).collect())
+
+    t.compact(cluster_by=["cid"], zorder=True, target_files=8)
+    after_files = t.read_files(filters=filt)
+    assert len(after_files) < len(t.read_files())  # clustered: probe skips
+    got = sorted(r["id"] for r in t.read(filters=filt).collect())
+    assert got == want and len(got) == 6 * 160 * 2 // 16
