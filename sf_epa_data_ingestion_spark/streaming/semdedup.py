@@ -19,9 +19,10 @@ streaming/vectorindex.py's train/add split applied to dedup):
   centroid cosine the keep-rule statistic, both computed ONCE at
   arrival.
 - per micro-batch: assign the batch, probe the state ONLY in the
-  batch's assigned cells (a literal ``cid IN (...)`` filter — over a
-  cid-partitioned state layout that is directory pruning, exactly
-  ``ivf_search``'s probe shape), then score candidate pairs in a
+  batch's assigned cells (the txlog skipping read with a
+  ``("cid", "in", hit_cells)`` filter — files whose committed cid
+  bounds exclude every hit cell never enter the scan; keep bounds tight
+  with periodic zorder compaction), then score candidate pairs in a
   per-cell COGROUP with the batch operator's row-blocked numpy matmuls
   — pair rows are never materialized, so a BULK batch (an availableNow
   catch-up draining a backlog) costs blocked matmul FLOPs, not
