@@ -3851,84 +3851,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (r9): the driver's correctness harness checks only
+    # Ordering note (r10): the driver's correctness harness checks only
     # the FIRST 50 entries; tools/check_freshness.py enforces that every
-    # query's newest green row is <=2 rounds old. The registry has
-    # settled into a clean two-phase rotation: 99 queries, 50-wide
-    # window, so the r7-green 49 and the r8-green 50 alternate. This
-    # window:
-    #    1-49: ALL 49 queries whose newest green row is r7 (age 2 — they
-    #          must grade now or stale out at r10). The seven whose
-    #          PLANS changed in r8 (results-identical serving-layer
-    #          swaps, bit-parity pytest-pinned + locally oracle-verified)
-    #          lead, exactly as the r8 note promised: ann_ivfpq,
-    #          search_lexical, search_postings, ann_pq,
-    #          quality_classifier, search_bm25, search_hybrid.
-    #     50 : semantic_dedup — borrowed from the r8-green set so the
-    #          window is full; it shares the frozen-centroid fixture
-    #          with this round's new streaming-replay coverage.
-    #    51+ : r8-green (they are r10's window — all 50 of them fit it
-    #          exactly, keeping the alternation stable).
-    # Any NEW query added this round must take a window slot (displacing
-    # the borrowed semantic_dedup back to the tail, where it stays
-    # age<=2 for the r10 window).
+    # query's newest green row is <=2 rounds old. The registry runs a
+    # two-phase rotation: 100 queries, 50-wide window, the r8-green 50
+    # and the r9-green 50 alternate. This window:
+    #    1-50: ALL 50 queries whose newest green row is r8 (age 2 — they
+    #          must grade now or stale out at r11).
+    #    51+ : r9-green (they are r11's window — all 50 fit it exactly,
+    #          keeping the alternation stable).
+    # Any NEW query added this round must take a window slot, displacing
+    # an r8-green query only if that query is simultaneously retired or
+    # merged (the registry is at the 100-query capacity of a 50-window /
+    # max-stale-2 two-phase rotation — see tools/check_freshness.py).
     return {
-    # -- r7-green, plan changed in r8 (parity-pinned): re-grade first --
-        "ann_ivfpq": q_ann_ivfpq,
-        "search_lexical": q_search_lexical,
-        "search_postings": q_search_postings,
-        "ann_pq": q_ann_pq,
-        "quality_classifier": q_quality_classifier,
-        "search_bm25": q_search_bm25,
-        "search_hybrid": q_search_hybrid,
-    # -- r7-green, unchanged: renew the remaining 42 -------------------
-        "window_analytics": q_window_analytics,
-        "ngram_jaccard": q_ngram_jaccard,
-        "group_collect": q_group_collect,
-        "merge_upsert": q_merge_upsert,
-        "update_from_join": q_update_from_join,
-        "delete_using": q_delete_using,
-        "sample_hash": q_sample_hash,
-        "percentiles": q_percentiles,
-        "heavy_hitters": q_heavy_hitters,
-        "semi_join": q_semi_join,
-        "join_computed_key": q_join_computed_key,
-        "filter_project": q_filter_project,
-        "like_suffix": q_like_suffix,
-        "regexp_substr": q_regexp_substr,
-        "clean_filename": q_clean_filename,
-        "scalar_suite": q_scalar_suite,
-        "top_k": q_top_k,
-        "set_except": q_set_except,
-        "set_intersect": q_set_intersect,
-        "lateral_tokenize": q_lateral_tokenize,
-        "json_extract": q_json_extract,
-        "window_tumbling": q_window_tumbling,
-        "window_sliding": q_window_sliding,
-        "session_windows": q_session_windows,
-        "quality_score": q_quality_score,
-        "stratified_sample": q_stratified_sample,
-        "priority_sample": q_priority_sample,
-        "temperature_resample": q_temperature_resample,
-        "line_dedup": q_line_dedup,
-        "train_val_test": q_train_val_test,
-        "lang_id": q_lang_id,
-        "token_count": q_token_count,
-        "pdf_to_download": q_pdf_to_download,
-        "pricing_summary": q_pricing_summary,
-        "join_dims_rollup": q_join_dims_rollup,
-        "window_dedup_latest": q_window_dedup_latest,
-        "dedup_exact": q_dedup_exact,
-        "chunk_documents": q_chunk_documents,
-        "anti_join": q_anti_join,
-        "search_bm25_batch": q_search_bm25_batch,
-        "search_hybrid_batch": q_search_hybrid_batch,
-        "train_shards": q_train_shards,
-    # -- slot 50: NEW this round — streaming SemDeDup behind the oracle
-    #    gate (it displaced the borrowed semantic_dedup back to the tail,
-    #    where it stays age<=2 for the r10 window) ---------------------
-        "semdedup_stream_replay": q_semdedup_stream_replay,
-    # -- past the 50-entry window: r8-green (r10's window) -------------
+    # -- r8-green: re-grade now (r10 window) ---------------------------
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "search_hybrid_ann": q_search_hybrid_ann,
@@ -3979,6 +3916,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "approx_profile": q_approx_profile,
+    # -- past the 50-entry window: r9-green (r11's window) -------------
+        "ann_ivfpq": q_ann_ivfpq,
+        "search_lexical": q_search_lexical,
+        "search_postings": q_search_postings,
+        "ann_pq": q_ann_pq,
+        "quality_classifier": q_quality_classifier,
+        "search_bm25": q_search_bm25,
+        "search_hybrid": q_search_hybrid,
+        "window_analytics": q_window_analytics,
+        "ngram_jaccard": q_ngram_jaccard,
+        "group_collect": q_group_collect,
+        "merge_upsert": q_merge_upsert,
+        "update_from_join": q_update_from_join,
+        "delete_using": q_delete_using,
+        "sample_hash": q_sample_hash,
+        "percentiles": q_percentiles,
+        "heavy_hitters": q_heavy_hitters,
+        "semi_join": q_semi_join,
+        "join_computed_key": q_join_computed_key,
+        "filter_project": q_filter_project,
+        "like_suffix": q_like_suffix,
+        "regexp_substr": q_regexp_substr,
+        "clean_filename": q_clean_filename,
+        "scalar_suite": q_scalar_suite,
+        "top_k": q_top_k,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "lateral_tokenize": q_lateral_tokenize,
+        "json_extract": q_json_extract,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "session_windows": q_session_windows,
+        "quality_score": q_quality_score,
+        "stratified_sample": q_stratified_sample,
+        "priority_sample": q_priority_sample,
+        "temperature_resample": q_temperature_resample,
+        "line_dedup": q_line_dedup,
+        "train_val_test": q_train_val_test,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "pdf_to_download": q_pdf_to_download,
+        "pricing_summary": q_pricing_summary,
+        "join_dims_rollup": q_join_dims_rollup,
+        "window_dedup_latest": q_window_dedup_latest,
+        "dedup_exact": q_dedup_exact,
+        "chunk_documents": q_chunk_documents,
+        "anti_join": q_anti_join,
+        "search_bm25_batch": q_search_bm25_batch,
+        "search_hybrid_batch": q_search_hybrid_batch,
+        "train_shards": q_train_shards,
+        "semdedup_stream_replay": q_semdedup_stream_replay,
     }
 
 
