@@ -125,8 +125,10 @@ def _values_equal(a, b, rel=1e-6, abs_tol=1e-9):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--no-write"]
+    no_write = "--no-write" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -197,7 +199,7 @@ def main():
     n_ro = sum(1 for r in results.values() if r["err"] == "no_oracle")
     n_bad = len(results) - n_ok - n_ro
     print(f"\n{n_ok} ok / {n_ro} rows-only / {n_bad} FAIL of {len(results)}")
-    if not only:
+    if not only and not no_write:
         with open(os.path.join(REPO, "CORRECTNESS_LOCAL.json"), "w") as f:
             json.dump({"sf_dir": sf_dir, "ok": n_ok, "rows_only": n_ro,
                        "fail": n_bad, "results": results}, f, indent=1)
