@@ -299,6 +299,15 @@ def refresh_search_index(
     — the standard story for a non-transactional multi-directory layout;
     hosting the four pieces in a txlog table for an atomic cutover is
     the documented next increment if torn-refresh recovery ever matters.
+    The same caveat applies to CONCURRENT READERS, not just crashes: the
+    refresh mutates the live directories non-atomically (dynamic
+    partition overwrite, removal of emptied bucket dirs, stats/bounds
+    rewritten in place), so a query serving from ``load_search_index``
+    while a refresh runs can observe mixed-generation pieces or hit a
+    FileNotFound on a just-removed bucket directory. Serving reads must
+    be fenced off a refresh window (the single-writer + quiesced-reader
+    discipline of streaming/freshness.index_refresh_sink); the
+    txlog-hosted atomic cutover is the fix for overlapped readers too.
 
     Postings AND doclens are maintained bucket-incrementally: only the
     ``__tb`` partitions containing a touched token (respectively the
@@ -341,6 +350,35 @@ def refresh_search_index(
             F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).alias("__ib")
         ).distinct().collect()
     )
+
+    # Fail fast on delete rows that violate the full-row-image contract:
+    # a delete whose image carries no tokens touches no postings bucket,
+    # so the doc's postings would survive in the layout while n_docs and
+    # doclens are decremented — a silent inconsistency nothing downstream
+    # detects. A zero-token image is legitimate only when the doc truly
+    # had no tokens (its doclens dl == 0), so probe doclens (already
+    # id-bucket-pruned to the change set) instead of rejecting blanket.
+    empty_deletes = (
+        changes.filter(F.col(change_col) == "delete")
+        .filter(
+            F.coalesce(F.size(_norm_tokens(F.col(text_col))), F.lit(0)) <= 0
+        )
+        .select(F.col(id_col).alias("id"))
+        .distinct()
+    )
+    n_bad = (
+        doclens_raw.filter(F.col("__ib").isin(touched_ibs))
+        .join(broadcast(empty_deletes), "id", "left_semi")
+        .filter(F.col("dl") > 0)
+        .count()
+    )
+    if n_bad:
+        raise ValueError(
+            f"refresh_search_index: {n_bad} delete row(s) carry a "
+            "null/empty text image for docs whose indexed dl > 0 — the "
+            "change feed must supply the full pre-image (the deleted "
+            "text) or the doc's postings would be stranded"
+        )
 
     # --- corpus count: change-feed-sized arithmetic, id-bucket-pruned ---
     n_deleted = (

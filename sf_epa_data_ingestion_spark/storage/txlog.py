@@ -71,8 +71,18 @@ _OPS = {
     ">=": lambda c, v: c >= v,
     # v is a collection; the probe shape of every cell/bucket-pruned
     # read (IVF cells, token buckets, SemDeDup hit cells)
-    "in": lambda c, v: c.isin(list(v)),
+    "in": lambda c, v: c.isin(_in_probe(v)),
 }
+
+
+def _in_probe(v) -> list:
+    """Normalize an 'in' probe value. A bare str/bytes would silently
+    explode into per-character membership (list("abc") == ['a','b','c'])
+    both here and in _may_match's bound check — wrong results with no
+    error — so treat it as a single-element probe instead."""
+    if isinstance(v, (str, bytes)):
+        return [v]
+    return list(v)
 
 
 def _may_match(stats: dict | None, filters) -> bool:
@@ -109,7 +119,7 @@ def _may_match(stats: dict | None, filters) -> bool:
                 return False
             if op == ">=" and mx < v:
                 return False
-            if op == "in" and not any(mn <= x <= mx for x in v):
+            if op == "in" and not any(mn <= x <= mx for x in _in_probe(v)):
                 return False
         except TypeError:
             continue  # incomparable (schema drift): keep the file

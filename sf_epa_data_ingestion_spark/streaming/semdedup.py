@@ -92,20 +92,40 @@ def semantic_dedup_monitor(
     # float contract as the batch operator's per-cluster numpy dot; the
     # keep rule rounds to 6 dp before comparing either way.
     C = np.asarray(cents, dtype=np.float64)
+    dim = int(C.shape[1]) if C.ndim == 2 and C.size else 0
     enc_schema = "id long, cid int, u array<double>, ccos double"
+
+    def _stack(series):
+        """Zeroed (n, dim) matrix + validity mask: None, wrong-length and
+        NaN-carrying embeddings are masked out rather than raised on —
+        the batch operator's per_cluster admits exactly these rows, so a
+        bad vector reaching the monitor must not fail the micro-batch
+        (and with it the streaming query)."""
+        n = len(series)
+        m = np.zeros((n, dim), dtype=np.float64)
+        valid = np.zeros(n, dtype=bool)
+        for r, u in enumerate(series):
+            if u is not None and len(u) == dim:
+                row = np.asarray(u, dtype=np.float64)
+                if not np.isnan(row).any():
+                    m[r] = row
+                    valid[r] = True
+        return m, valid
 
     def with_ccos(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cids = pdf["cid"].to_numpy()
-            U = np.stack(pdf["u"].to_numpy())
+            U, valid = _stack(pdf["u"])
+            ccos = np.einsum("ij,ij->i", U, C[cids])
+            ccos[~valid] = np.nan  # invalid rows never win a keep rule
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
                     "cid": cids,
                     "u": pdf["u"],
-                    "ccos": np.einsum("ij,ij->i", U, C[cids]),
+                    "ccos": ccos,
                 }
             )
 
@@ -161,20 +181,7 @@ def semantic_dedup_monitor(
 
         eps = 1e-9
         thr = float(threshold)
-        dim = len(cents[0]) if cents else 0
         pair_schema = "cid int, keep_id long, drop_id long, cosine_sim double"
-
-        def _stack(pdf):
-            n = len(pdf)
-            m = np.zeros((n, dim), dtype=np.float64)
-            valid = np.zeros(n, dtype=bool)
-            for r, u in enumerate(pdf["u"]):
-                if u is not None and len(u) == dim:
-                    row = np.asarray(u, dtype=np.float64)
-                    if not np.isnan(row).any():
-                        m[r] = row
-                        valid[r] = True
-            return m, valid
 
         def per_cell(key, batch_pdf, state_pdf):
             nb = len(batch_pdf)
@@ -184,12 +191,12 @@ def semantic_dedup_monitor(
             if nb == 0:
                 return empty  # state-only cell: no new pairs
             cid = int(key[0])
-            B, bvalid = _stack(batch_pdf)
+            B, bvalid = _stack(batch_pdf["u"])
             ids_b = batch_pdf["id"].to_numpy()
             ccos_b = batch_pdf["ccos"].to_numpy()
             sides = [(B, bvalid, ids_b, ccos_b, True)]
             if len(state_pdf):
-                S, svalid = _stack(state_pdf)
+                S, svalid = _stack(state_pdf["u"])
                 sides.append(
                     (S, svalid, state_pdf["id"].to_numpy(),
                      state_pdf["ccos"].to_numpy(), False)

@@ -511,6 +511,41 @@ def test_apply_changes_bounds_sound_under_avgdl_drift(spark, tmp_path):
     assert pruned == naive
 
 
+def test_refresh_search_index_rejects_tokenless_delete_image(spark, tmp_path):
+    """r9 ADVICE: a delete row whose image carries no tokens for a doc
+    whose indexed dl > 0 would leave the doc's postings stranded while
+    n_docs/doclens decrement — the refresh must fail fast instead of
+    silently corrupting the layout. Deleting a genuinely token-free doc
+    (dl == 0) with an empty image stays legal."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta"), (3, "")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    search.materialize_search_index(
+        docs, idx, id_col="doc_id", text_col="text", n_buckets=8
+    )
+
+    bad_feed = spark.createDataFrame(
+        [(1, None, "delete")], "doc_id long, text string, _change_type string"
+    )
+    with pytest.raises(ValueError, match="full pre-image"):
+        search.refresh_search_index(
+            spark, idx, bad_feed, id_col="doc_id", text_col="text"
+        )
+
+    ok_feed = spark.createDataFrame(
+        [(3, "", "delete")], "doc_id long, text string, _change_type string"
+    )
+    search.refresh_search_index(
+        spark, idx, ok_feed, id_col="doc_id", text_col="text"
+    )
+    _p, _st, _dl, n_docs, _nb = search.load_search_index(spark, idx)
+    assert n_docs == 2
+
+
 def test_refresh_search_index_maintains_persisted_layout(spark, tmp_path):
     """The persisted-layout maintainer: apply a txlog change feed to a
     materialize_search_index directory and every piece must match a

@@ -83,6 +83,37 @@ def test_semdedup_monitor_cross_batch_in_batch_and_replay(spark, tmp_path):
     assert state.read().count() == 5
 
 
+def test_semdedup_monitor_tolerates_invalid_embeddings(spark, tmp_path):
+    """r9 ADVICE: a NULL, wrong-dimension, or NaN-carrying embedding
+    reaching the monitor must not fail the micro-batch (the batch
+    operator's contract admits these rows) — it is masked out of pair
+    scoring, and valid rows in the same batch still get their decisions."""
+    state, out = _tables(spark, tmp_path)
+    sink = semantic_dedup_monitor(state, out, "sd-invalid", CENTS, threshold=0.95)
+
+    bad = spark.createDataFrame(
+        [
+            (101, None),                                  # NULL embedding
+            (102, [1.0, 0.0]),                            # wrong dimension
+            (103, [float("nan")] + [0.0] * (DIM - 1)),    # NaN component
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    sink(_emb(spark, [1]).unionByName(bad), 0)      # must not raise
+    sink(_emb(spark, [2]).unionByName(bad.filter(F.col("vec_id") == 101)), 1)
+
+    rows = out.read().collect()
+    assert {
+        (min(r["keep_id"], r["drop_id"]), max(r["keep_id"], r["drop_id"]))
+        for r in rows
+    } == {(1, 2)}
+    ids = {r["id"] for r in state.read().collect()}
+    assert {1, 2}.issubset(ids)
+    # invalid rows land in state masked (ccos NaN) and never pair
+    assert not {101, 102, 103} & {r["keep_id"] for r in rows}
+    assert not {101, 102, 103} & {r["drop_id"] for r in rows}
+
+
 def test_semdedup_stream_equals_batch_operator(spark, tmp_path):
     """Accumulated stream decisions over any batch split == the batch
     operator over the union corpus under the same frozen centroids

@@ -204,6 +204,21 @@ def test_in_filter_skips_files_and_preserves_results(spark, tmp_path):
     assert t.read(filters=[("cid", "in", [])]).count() == 0
 
 
+def test_in_filter_string_probe_is_single_element(spark, tmp_path):
+    """r9 ADVICE: a bare string probe must mean {that string}, not its
+    characters (list("abc") == ['a','b','c'] would silently match wrong
+    rows in both the residual isin and the bounds check)."""
+    from sf_epa_data_ingestion_spark.storage import TxTable
+
+    rows = [(1, "ab"), (2, "a"), (3, "b"), (4, "abc")]
+    df = spark.createDataFrame(rows, "id long, k string")
+    t = TxTable(spark, str(tmp_path / "t")).create(df.coalesce(1))
+    got = sorted(r["id"] for r in t.read(filters=[("k", "in", "ab")]).collect())
+    assert got == [1]  # NOT [2, 3] (per-character explosion)
+    got = sorted(r["id"] for r in t.read(filters=[("k", "in", ["a", "b"])]).collect())
+    assert got == [2, 3]
+
+
 def test_zorder_compaction_tightens_in_probe_skipping(spark, tmp_path):
     """The maintenance the SemDeDup monitor's docstring prescribes,
     end-to-end: per-batch appends span many cells (wide per-file cid
