@@ -247,29 +247,88 @@ GROUP BY n_name
 """
 
 
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-hierarchical GROUPING SETS — per-status totals and per-priority
-    totals in one pass (not expressible as ROLLUP/CUBE). SQL surface:
-    Catalyst expands the sets into a single Expand + aggregate."""
+def q_multi_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multi-dimensional grouping operators in one graded row
+    (r10: merged from the former grouping_sets / rollup_agg / cube_agg
+    queries to free two rotation-window slots for the newly graded
+    streaming surfaces — the registry sits at the 100-query capacity of
+    the 50-window two-phase rotation; see the queries() ordering note).
+    Each branch keeps its own API surface so all three code paths stay
+    exercised: SQL GROUPING SETS (non-hierarchical — per-status and
+    per-priority totals, not expressible as ROLLUP/CUBE; Catalyst
+    expands the sets into one Expand + aggregate), DataFrame .rollup()
+    (hierarchy totals status -> status+priority -> grand total), and
+    DataFrame .cube() over (status, order year). Group columns are
+    non-null in the data, so the NULL-coalesce sentinels unambiguously
+    mark subtotal rows on both engines; the ``gset`` tag keeps the three
+    branches' rows disjoint in the union."""
     o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("__orders_gs")
-    return spark.sql(
+    o.createOrReplaceTempView("__orders_mg")
+    total = F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+    sets = spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
-               COUNT(*) AS n_orders
-        FROM __orders_gs
+        SELECT 'sets' AS gset,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(-1 AS BIGINT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        FROM __orders_mg
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+    roll = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), total.alias("total_price"))
+        .select(
+            F.lit("rollup").alias("gset"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.lit(-1).cast("long").alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+    )
+    cube = (
+        o.cube("o_orderstatus", F.year("o_orderdate").alias("order_year"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), total.alias("total_price"))
+        .select(
+            F.lit("cube").alias("gset"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.lit("ALL").alias("priority"),
+            F.coalesce(F.col("order_year").cast("long"), F.lit(-1)).alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+    )
+    return sets.unionByName(roll).unionByName(cube)
 
 
-ORACLE_GROUPING_SETS = """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
-       COUNT(*) AS n_orders
+ORACLE_MULTI_GROUPING = """
+SELECT 'sets' AS gset,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(-1 AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+UNION ALL
+SELECT 'rollup' AS gset,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(-1 AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'cube' AS gset,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       'ALL' AS priority,
+       COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
 """
 
 
@@ -909,6 +968,91 @@ GROUP BY c.id_a, c.id_b
 """
 
 
+def q_neardup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection graded end-to-end (r9 VERDICT
+    next-round #5, the semdedup_stream_replay template applied to
+    streaming/neardup.near_dup_monitor): replay the documents corpus
+    through the exactly-once monitor as TWO deterministic micro-batches
+    — split by pmod(xxhash64(doc_id), 2), so near-dup pairs routinely
+    straddle batches and the cross-batch state-probe (batch bands vs
+    history bands) is genuinely exercised — and return the accumulated
+    pairs txlog table.
+
+    The monitor's contract (every unordered banded candidate pair
+    verified exactly once, by signature agreement under the SAME
+    murmur3 permutations as the batch operator) means the accumulated
+    pairs EQUAL minhash_lsh_pairs over the whole corpus filtered to
+    est_jaccard >= threshold — so the oracle is ORACLE_MINHASH_LSH's
+    derivation over the golden murmur3 signature fixtures with the
+    threshold applied. The monitor orients pairs by ARRIVAL (id_a =
+    earlier doc), which under a hash split is a batch-boundary artifact,
+    so the graded output canonicalizes to (least, greatest) — the pair
+    identity and its estimate are the invariants, not the arrival
+    order. Batch 1 is additionally replayed (same batch_id) before
+    reading: the per-table txn markers must make the re-delivery a
+    no-op for the graded row set to match."""
+    import shutil
+    import tempfile
+
+    from sf_epa_data_ingestion_spark.storage import TxTable
+    from sf_epa_data_ingestion_spark.streaming.neardup import near_dup_monitor
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = os.path.join(tempfile.gettempdir(), f"neardup_replay_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    state = TxTable(spark, os.path.join(root, "state")).create(
+        spark.createDataFrame([], "id long, sig array<long>").repartition(1)
+    )
+    out = TxTable(spark, os.path.join(root, "pairs")).create(
+        spark.createDataFrame(
+            [], "id_a long, id_b long, est_jaccard double"
+        ).repartition(1)
+    )
+    sink = near_dup_monitor(state, out, "nd-replay", threshold=0.7)
+    docs = docs.persist()
+    try:
+        for i in range(2):
+            sink(docs.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(2)) == i), i)
+        sink(docs.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(2)) == 1), 1)
+    finally:
+        docs.unpersist()
+    return out.read().select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "est_jaccard",
+    )
+
+
+ORACLE_NEARDUP_STREAM_REPLAY = """
+WITH docs AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+), bands AS (
+  SELECT d.doc_id AS id, f.band_id, f.band_hash
+  FROM docs d
+  JOIN '/root/repo/tests/fixtures/golden_minhash_bands.parquet' f
+    ON d.h = f.text_md5
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+), sigs AS (
+  SELECT d.doc_id AS id, f.i, f.v
+  FROM docs d
+  JOIN '/root/repo/tests/fixtures/golden_minhash_sig.parquet' f
+    ON d.h = f.text_md5
+)
+SELECT c.id_a, c.id_b,
+       CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64
+         AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.id = c.id_a
+JOIN sigs sb ON sb.id = c.id_b AND sb.i = sa.i
+GROUP BY c.id_a, c.id_b
+HAVING CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64 >= 0.7
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-near pairs.
 
@@ -1515,6 +1659,114 @@ WITH base AS (
 )
 SELECT cid, keep_id, drop_id, cosine_sim
 FROM pairs WHERE cosine_sim >= 0.95
+"""
+
+
+def q_training_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed streaming training-data ingestion pipeline graded
+    end-to-end (r9 VERDICT next-round #5;
+    streaming/ingest.training_doc_appender): C4 rule gate -> pre-trained
+    quality-LR model gate -> in-batch exact dedup -> cross-batch exact
+    dedup against the already-admitted table -> exactly-once append.
+
+    The synthetic documents corpus contains NO exact-duplicate texts, so
+    the stream PLANTS them: batch 0 carries the low-id half (doc_id <=
+    pivot, the min/max midpoint); batch 1 carries the high-id half PLUS
+    copies of every doc_id % 7 == 0 doc at +1_000_000 (cross-batch dups
+    of batch-0 docs, in-batch dups of batch-1 docs) PLUS +2_000_000
+    copies of every doc_id % 14 == 0 doc (multi-copy in-batch
+    collisions). Copies share the original's text, hence its digest and
+    its gate outcomes — so the batch-side derivation "lowest gate-passing
+    doc_id per digest over the union" is exactly the original admitted
+    set, and the oracle needs only the raw corpus. If cross-batch or
+    in-batch dedup leaked, planted +1M/+2M ids would appear in the
+    admitted table and fail the graded row-set equality; if the gates
+    mis-ordered, originals would be missing. The id-RANGE split (not a
+    hash split) makes arrival order == id order, so the stream's
+    first-arrival-wins dedup equals the batch keep-lowest-id contract.
+    Batch 1 is additionally replayed (same batch_id): the txn marker
+    must make the re-delivery a no-op for the graded row set to match."""
+    import shutil
+    import tempfile
+
+    from sf_epa_data_ingestion_spark.storage import TxTable
+    from sf_epa_data_ingestion_spark.streaming.ingest import training_doc_appender
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights, bias = _qlr_model(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"ingest_replay_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxTable(spark, os.path.join(root, "corpus")).create(
+        spark.createDataFrame(
+            [], "doc_id long, text string, text_hash string"
+        ).repartition(1)
+    )
+    sink = training_doc_appender(
+        table, "ingest-replay", quality_model=(weights, bias)
+    )
+    docs = docs.persist()
+    try:
+        lohi = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        pivot = (int(lohi["lo"]) + int(lohi["hi"])) // 2
+        copies7 = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+        copies14 = docs.filter(F.col("doc_id") % 14 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(2_000_000)
+        )
+        batch1 = (
+            docs.filter(F.col("doc_id") > pivot)
+            .unionByName(copies7)
+            .unionByName(copies14)
+        )
+        sink(docs.filter(F.col("doc_id") <= pivot), 0)
+        sink(batch1, 1)
+        sink(batch1, 1)  # replay: must be a no-op
+    finally:
+        docs.unpersist()
+    return table.read().select("doc_id", "text_hash")
+
+
+# The batch-side derivation of the admitted set: C4 gate (the
+# ORACLE_C4_FILTER keep rule) AND model gate (score_fp from the
+# corpus-hash-guarded golden_qlr fixture, threshold = the hard sigmoid's
+# 0.5 point = 2^20 / 2) -> keep the lowest gate-passing doc_id per
+# normalized-text digest. Planted +1M/+2M copies (Spark side only) can
+# never be that minimum, so the raw corpus suffices here.
+ORACLE_TRAINING_INGEST_REPLAY = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT doc_id, text, len(words) AS n_words,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
+         END AS mean_word_len
+  FROM w
+), keepers AS (
+  SELECT doc_id, text FROM m
+  WHERE (n_words BETWEEN 50 AND 100000)
+    AND COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+    AND NOT contains(text, '{')
+    AND NOT contains(lower(text), 'lorem ipsum')
+), corp AS (
+  SELECT md5(string_agg(doc_id || ':' || md5(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         ), ',' ORDER BY doc_id)) AS ch
+  FROM documents WHERE text IS NOT NULL
+), scored AS (
+  SELECT g.doc_id FROM '/root/repo/tests/fixtures/golden_qlr.parquet' g
+  JOIN corp ON g.corpus_md5 = corp.ch
+  WHERE g.score_fp >= 524288
+), kept AS (
+  SELECT k.doc_id,
+         md5(trim(regexp_replace(lower(k.text), '\s+', ' ', 'g'))) AS text_hash
+  FROM keepers k JOIN scored s USING (doc_id)
+)
+SELECT MIN(doc_id) AS doc_id, text_hash FROM kept GROUP BY text_hash
 """
 
 
@@ -3022,57 +3274,6 @@ ORACLE_PROMO_OVERLAP = (
 )
 
 
-def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (status -> status+priority -> grand total).
-    Group columns are non-null in the data, so the NULL-coalesce sentinel
-    unambiguously marks subtotal rows on both engines."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
-        )
-        .select(
-            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
-            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
-            "n_orders",
-            "total_price",
-        )
-    )
-
-
-ORACLE_ROLLUP_AGG = """
-SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       COALESCE(o_orderpriority, 'ALL') AS priority,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
-FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-"""
-
-
-def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, order year): all 4 grouping-set combinations."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", F.year("o_orderdate").alias("order_year"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .select(
-            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
-            F.coalesce(F.col("order_year").cast("long"), F.lit(-1)).alias("order_year"),
-            "n_orders",
-        )
-    )
-
-
-ORACLE_CUBE_AGG = """
-SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
-       COUNT(*) AS n_orders
-FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
-"""
-
-
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order totals to one column per status (explicit value list so
     the output schema is static — required for a plannable wide table and
@@ -3877,9 +4078,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_lsh": q_minhash_lsh,
         "dup_spans": q_dup_spans,
-        "grouping_sets": q_grouping_sets,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
+    # -- r10 merge: grouping_sets + rollup_agg + cube_agg became ONE
+    #    graded row (all three operator surfaces still exercised inside
+    #    it), freeing two window slots for the newly graded streaming
+    #    replays below ------------------------------------------------
+        "multi_grouping": q_multi_grouping,
+        "neardup_stream_replay": q_neardup_stream_replay,
+        "training_ingest_replay": q_training_ingest_replay,
         "pivot_status": q_pivot_status,
         "above_customer_avg": q_above_customer_avg,
         "scd2_history": q_scd2_history,
@@ -4063,9 +4268,9 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": ORACLE_RETENTION_COHORTS,
         "shipping_priority": ORACLE_SHIPPING_PRIORITY,
         "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
-        "grouping_sets": ORACLE_GROUPING_SETS,
-        "rollup_agg": ORACLE_ROLLUP_AGG,
-        "cube_agg": ORACLE_CUBE_AGG,
+        "multi_grouping": ORACLE_MULTI_GROUPING,
+        "neardup_stream_replay": ORACLE_NEARDUP_STREAM_REPLAY,
+        "training_ingest_replay": ORACLE_TRAINING_INGEST_REPLAY,
         "pivot_status": ORACLE_PIVOT_STATUS,
         "window_analytics": ORACLE_WINDOW_ANALYTICS,
         "above_customer_avg": ORACLE_ABOVE_CUSTOMER_AVG,

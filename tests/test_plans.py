@@ -115,12 +115,13 @@ def test_local_supplier_volume_broadcasts_all_dims(spark):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
 
 
-def test_grouping_sets_is_one_expand(spark):
-    p = plan_of(spark, "grouping_sets")
-    # GROUPING SETS compiles to a single Expand feeding one aggregate pair
-    # (formatted output names each node twice: tree line + detail header)
-    assert p.count(") Expand") == 1
-    assert p.count("HashAggregate") >= 2
+def test_multi_grouping_is_three_expands(spark):
+    p = plan_of(spark, "multi_grouping")
+    # each branch (GROUPING SETS / rollup / cube) compiles to its own
+    # single Expand feeding one aggregate pair; the union adds no extra
+    # Expand (formatted output names each node twice: tree + detail)
+    assert p.count(") Expand") == 3
+    assert p.count("HashAggregate") >= 6
 
 
 def test_bm25_broadcasts_stats_and_avgdl(spark):
