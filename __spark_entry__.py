@@ -1000,13 +1000,11 @@ def q_neardup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     root = os.path.join(tempfile.gettempdir(), f"neardup_replay_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
-    state = TxTable(spark, os.path.join(root, "state")).create(
-        spark.createDataFrame([], "id long, sig array<long>").repartition(1)
+    state = TxTable(spark, os.path.join(root, "state")).create_empty(
+        "id long, sig array<long>"
     )
-    out = TxTable(spark, os.path.join(root, "pairs")).create(
-        spark.createDataFrame(
-            [], "id_a long, id_b long, est_jaccard double"
-        ).repartition(1)
+    out = TxTable(spark, os.path.join(root, "pairs")).create_empty(
+        "id_a long, id_b long, est_jaccard double"
     )
     sink = near_dup_monitor(state, out, "nd-replay", threshold=0.7)
     docs = docs.persist()
@@ -1578,18 +1576,14 @@ def q_semdedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed per-process dir, wiped on entry (see q_merge_upsert_tx)
     root = os.path.join(tempfile.gettempdir(), f"semdedup_replay_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
-    # repartition(1): an empty frame otherwise inherits default
-    # parallelism and the create writes 32 empty files x 2 tables (~3.5 s
-    # of pure task scheduling at sf0.1)
-    state = TxTable(spark, os.path.join(root, "state")).create(
-        spark.createDataFrame(
-            [], "id long, cid int, u array<double>, ccos double"
-        ).repartition(1)
+    # create_empty: zero data files, zero Spark jobs (an empty-frame
+    # create still paid a stage write + stats job per table — ~2 s of
+    # pure task scheduling at sf0.1 for two tables)
+    state = TxTable(spark, os.path.join(root, "state")).create_empty(
+        "id long, cid int, u array<double>, ccos double"
     )
-    out = TxTable(spark, os.path.join(root, "decisions")).create(
-        spark.createDataFrame(
-            [], "cid int, keep_id long, drop_id long, cosine_sim double"
-        ).repartition(1)
+    out = TxTable(spark, os.path.join(root, "decisions")).create_empty(
+        "cid int, keep_id long, drop_id long, cosine_sim double"
     )
     sink = semantic_dedup_monitor(
         state, out, "sd-replay", cents, threshold=0.95
@@ -1696,10 +1690,8 @@ def q_training_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, bias = _qlr_model(spark, sf_dir)
     root = os.path.join(tempfile.gettempdir(), f"ingest_replay_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
-    table = TxTable(spark, os.path.join(root, "corpus")).create(
-        spark.createDataFrame(
-            [], "doc_id long, text string, text_hash string"
-        ).repartition(1)
+    table = TxTable(spark, os.path.join(root, "corpus")).create_empty(
+        "doc_id long, text string, text_hash string"
     )
     sink = training_doc_appender(
         table, "ingest-replay", quality_model=(weights, bias)

@@ -331,6 +331,50 @@ class TxTable:
         os.rmdir(tmp)
         return names
 
+    _SKIPPABLE = (
+        "byte", "short", "integer", "long", "float", "double",
+        "string", "boolean", "date", "timestamp", "timestamp_ntz",
+    )
+
+    @staticmethod
+    def _sanitize_bound(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    def _stage_with_stats(self, df: DataFrame) -> tuple[list[str], dict]:
+        """Stage ``df`` and gather its skipping stats in ONE Spark job:
+        an ``Observation`` rides the stage write's action and yields
+        global min/max per skippable column, so the common streaming
+        append (repartition(1) -> exactly one staged file, where global
+        bounds ARE the file's bounds) never pays the separate
+        ``_file_stats`` job — that job was half the fixed per-commit cost
+        of every micro-batch sink invocation. Multi-file stages fall back
+        to the per-file stats job: stamping every file with the global
+        bounds would be sound (wider-than-true bounds never mis-prune)
+        but would erase intra-commit skipping precision for exactly the
+        large appends where it matters."""
+        from pyspark.sql import Observation
+
+        cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() in self._SKIPPABLE]
+        obs = Observation() if cols else None
+        if obs is not None:
+            aggs = []
+            for c in cols:
+                aggs.append(F.min(c).alias(f"mn__{c}"))
+                aggs.append(F.max(c).alias(f"mx__{c}"))
+            df = df.observe(obs, *aggs)
+        names = self._stage(df)
+        if obs is None or len(names) != 1:
+            return names, self._file_stats(names)
+        row = obs.get
+        ent = {}
+        for c in cols:
+            mn, mx = row[f"mn__{c}"], row[f"mx__{c}"]
+            if mn is None:
+                continue  # all-null column (or empty file): no bounds
+            ent[c] = [self._sanitize_bound(mn), self._sanitize_bound(mx)]
+        return names, {names[0]: ent}
+
     def _file_stats(self, names: list[str]) -> dict[str, dict]:
         """Per-file min/max for skippable columns (numeric/string/bool),
         gathered with ONE distributed job grouped on the file-path
@@ -341,14 +385,10 @@ class TxTable:
         skipping is an optimization, absence is always safe."""
         if not names:
             return {}
-        skippable = (
-            "byte", "short", "integer", "long", "float", "double",
-            "string", "boolean", "date", "timestamp", "timestamp_ntz",
-        )
         paths = [os.path.join(self.root, n) for n in names]
         df = self.spark.read.parquet(*paths)
         cols = [f.name for f in df.schema.fields
-                if f.dataType.typeName() in skippable]
+                if f.dataType.typeName() in self._SKIPPABLE]
         if not cols:
             return {}
         aggs = []
@@ -367,9 +407,7 @@ class TxTable:
                 mn, mx = r[f"mn__{c}"], r[f"mx__{c}"]
                 if mn is None:
                     continue  # all-null column in this file: no bounds
-                if hasattr(mn, "isoformat"):
-                    mn, mx = mn.isoformat(), mx.isoformat()
-                ent[c] = [mn, mx]
+                ent[c] = [self._sanitize_bound(mn), self._sanitize_bound(mx)]
             out[os.path.basename(r["__fp"])] = ent
         return out
 
@@ -379,12 +417,28 @@ class TxTable:
         if self.exists():
             raise FileExistsError(f"txlog table already exists at {self.root}")
         os.makedirs(self.root, exist_ok=True)
-        files = self._stage(df)
+        files, stats = self._stage_with_stats(df)
         self._publish(
             0,
-            {"add": files, "remove": [], "stats": self._file_stats(files)},
+            {"add": files, "remove": [], "stats": stats},
             df.schema.json(),
         )
+        return self
+
+    def create_empty(self, schema: StructType | str) -> "TxTable":
+        """Create a table with ZERO data files — no Spark job at all.
+        ``create(spark.createDataFrame([], schema))`` runs a stage write
+        plus a stats job just to produce one empty parquet file (~2 s of
+        pure task scheduling on a 32-thread session); an empty table is
+        metadata, so publish it as metadata. ``read()`` of a fileless
+        snapshot already returns an empty DataFrame of the logged schema.
+        ``schema`` is a StructType or a DDL string ("id long, ...")."""
+        if self.exists():
+            raise FileExistsError(f"txlog table already exists at {self.root}")
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        os.makedirs(self.root, exist_ok=True)
+        self._publish(0, {"add": [], "remove": [], "stats": {}}, schema.json())
         return self
 
     def read(
@@ -458,11 +512,49 @@ class TxTable:
             )
             df = df.select(*[f.name for f in schema.fields])
         self._check_constraints(df)
-        files = self._stage(df)
+        files, stats = self._stage_with_stats(df)
         self._publish(
             v + 1,
-            {"add": files, "remove": [], "stats": self._file_stats(files)},
+            {"add": files, "remove": [], "stats": stats},
             schema.json(),
+            txn=txn,
+        )
+        return v + 1
+
+    def stage_for_append(self, df: DataFrame) -> dict:
+        """Run an append's DISTRIBUTED work (validation, stage write,
+        stats) without publishing; pair with ``commit_staged``. Lets a
+        streaming monitor overlap the state write's Spark job with other
+        driver-side work (e.g. reading an Observation attached to ``df``)
+        while still committing the state table LAST in its exactly-once
+        ordering. A crash between stage and commit leaks orphaned staged
+        files — the same window ``append`` itself has inside ``_stage`` —
+        which never become visible (reads list only logged files)."""
+        _, _, schema = self._snapshot()
+        self._reject_type_drift(df, schema)
+        if set(df.schema.names) != set(schema.names):
+            raise ValueError(
+                f"append schema mismatch ({sorted(df.schema.names)} vs "
+                f"{sorted(schema.names)}); staged appends do not evolve schema"
+            )
+        self._check_constraints(df)
+        files, stats = self._stage_with_stats(df)
+        return {"add": files, "stats": stats, "schema_json": schema.json()}
+
+    def commit_staged(self, staged: dict, txn: dict | None = None) -> int:
+        """Publish files from ``stage_for_append``. The version is
+        resolved at COMMIT time (pure appends compose with any
+        interleaved commit), but a schema change since staging is a real
+        conflict and raises."""
+        v, _, schema = self._snapshot()
+        if schema.json() != staged["schema_json"]:
+            raise ConcurrentCommitError(
+                f"table schema changed between stage and commit at {self.root}"
+            )
+        self._publish(
+            v + 1,
+            {"add": staged["add"], "remove": [], "stats": staged["stats"]},
+            staged["schema_json"],
             txn=txn,
         )
         return v + 1

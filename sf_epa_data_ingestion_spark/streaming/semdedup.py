@@ -51,7 +51,10 @@ import pyspark.sql.functions as F
 
 from sf_epa_data_ingestion_spark.operators.similarity import encode_ivf
 from sf_epa_data_ingestion_spark.storage.txlog import TxTable
-from sf_epa_data_ingestion_spark.streaming.txsink import append_once
+from sf_epa_data_ingestion_spark.streaming.txsink import (
+    append_once,
+    commit_staged_once,
+)
 
 
 def semantic_dedup_monitor(
@@ -148,6 +151,19 @@ def semantic_dedup_monitor(
             .mapInPandas(with_ccos, enc_schema)
             .persist()
         )
+        # STAGE the state append up front (commit still happens LAST —
+        # staging publishes nothing): this one Spark job materializes
+        # ``enc`` into the cache for the decisions cogroup AND carries an
+        # Observation yielding the batch's distinct cells — replacing
+        # the separate hit-cells collect job this monitor paid per batch.
+        from pyspark.sql import Observation
+
+        cells_obs = Observation()
+        staged_state = state.stage_for_append(
+            enc.select("id", "cid", "u", "ccos")
+            .observe(cells_obs, F.collect_set("cid").alias("cells"))
+            .repartition(write_partitions)
+        )
         # probe only the batch's assigned cells: n_centroids-bounded
         # literal list, served through the txlog skipping read — files
         # whose committed cid [min, max] excludes every hit cell are
@@ -156,7 +172,7 @@ def semantic_dedup_monitor(
         # cells, so run a periodic ``state.compact(cluster_by=["cid"], zorder=True)`` to
         # keep the file bounds tight (the same maintenance trade the
         # lexical index's bucket layout makes structurally).
-        hit_cells = [r["cid"] for r in enc.select("cid").distinct().collect()]
+        hit_cells = sorted(cells_obs.get["cells"] or [])
         old = state.read(filters=[("cid", "in", hit_cells)]).select(
             "id", "cid", "u", "ccos"
         )
@@ -240,16 +256,14 @@ def semantic_dedup_monitor(
             )
             .filter(F.col("cosine_sim") >= threshold)
         )
-        # decisions FIRST, state LAST (replay safety — module docstring)
+        # decisions FIRST, state LAST (replay safety — module docstring);
+        # the state data files are already staged, so its commit is pure
+        # metadata (no second distributed write of the batch).
         append_once(
             decisions_out, decisions.repartition(write_partitions), app_id,
             batch_id, max_retries,
         )
-        append_once(
-            state,
-            enc.select("id", "cid", "u", "ccos").repartition(write_partitions),
-            app_id, batch_id, max_retries
-        )
+        commit_staged_once(state, staged_state, app_id, batch_id, max_retries)
         enc.unpersist()
 
     return write_batch

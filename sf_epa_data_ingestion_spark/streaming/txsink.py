@@ -55,6 +55,28 @@ def append_once(
     )
 
 
+def commit_staged_once(
+    table: TxTable, staged: dict, app_id: str, batch_id: int, max_retries: int = 5
+) -> None:
+    """The ``append_once`` protocol for a pre-staged append
+    (``TxTable.stage_for_append``): same marker check, same conflict
+    retry — but a retry only re-publishes the already-staged files, it
+    never re-runs the distributed write."""
+    for _ in range(max_retries):
+        last = table.last_txn(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already durable, acknowledge
+        try:
+            table.commit_staged(staged, txn={"app": app_id, "batch": int(batch_id)})
+            return
+        except ConcurrentCommitError:
+            continue  # log advanced under us: re-check marker, retry
+    raise ConcurrentCommitError(
+        f"gave up committing staged batch {batch_id} for {app_id!r} "
+        f"after {max_retries} conflicts"
+    )
+
+
 def exactly_once_appender(table: TxTable, app_id: str, max_retries: int = 5):
     """Build a ``foreachBatch`` callable appending into ``table`` with
     exactly-once semantics under micro-batch replay::
