@@ -644,6 +644,7 @@ class TxTable:
         cluster_by: Sequence[str] | None = None,
         target_files: int | None = None,
         zorder: bool = False,
+        only_small_bytes: int | None = None,
     ) -> int:
         """OPTIMIZE: rewrite the live file set into ``target_files`` files,
         optionally clustered on ``cluster_by`` — after many small appends
@@ -657,10 +658,35 @@ class TxTable:
         (storage/zorder.py) instead, so every clustered column's per-file
         range tightens and ``read(filters=...)`` prunes on any of them.
         One shuffle either way; published as a normal atomic commit, so
-        concurrent readers keep their snapshot."""
+        concurrent readers keep their snapshot.
+
+        ``only_small_bytes`` makes the rewrite CHANGE-proportional (the
+        Delta OPTIMIZE bin-packing shape): only live files under the
+        byte threshold are rewritten, so a long-running stream's
+        maintenance cost follows its recent append volume, never the
+        corpus — a full-table rewrite per maintenance tick would be
+        O(corpus) work on a 100 TB state table. Previously-compacted
+        generations sit above the threshold and are never touched; a
+        no-gain call (the small set already fits the target count) is a
+        no-op returning the current version."""
         v, live, schema, _ = self._snapshot_full()
-        n = target_files if target_files is not None else max(1, len(live) // 4)
-        df = self.read()
+        subset = live
+        if only_small_bytes is not None:
+            subset = [
+                f for f in live
+                if os.path.getsize(os.path.join(self.root, f)) < only_small_bytes
+            ]
+            if len(subset) <= max(1, target_files or 1):
+                return v  # nothing to gain: already at/below target
+        n = target_files if target_files is not None else max(1, len(subset) // 4)
+        if subset == live:
+            df = self.read()
+        elif not subset:
+            return v
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in subset]
+            )
         if cluster_by and zorder and len(cluster_by) > 1:
             from sf_epa_data_ingestion_spark.storage.zorder import zorder_key
 
@@ -676,7 +702,7 @@ class TxTable:
         files = self._stage(df)
         self._publish(
             v + 1,
-            {"add": files, "remove": live, "stats": self._file_stats(files)},
+            {"add": files, "remove": subset, "stats": self._file_stats(files)},
             schema.json(),
         )
         return v + 1

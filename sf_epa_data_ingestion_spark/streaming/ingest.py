@@ -47,7 +47,10 @@ from sf_epa_data_ingestion_spark.operators.cleaning import c4_quality_filter
 from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
 from sf_epa_data_ingestion_spark.operators.quality_model import score_docs_lr
 from sf_epa_data_ingestion_spark.storage.txlog import TxTable
-from sf_epa_data_ingestion_spark.streaming.txsink import append_once
+from sf_epa_data_ingestion_spark.streaming.txsink import (
+    append_once,
+    maybe_compact_state,
+)
 
 
 def training_doc_appender(
@@ -58,6 +61,8 @@ def training_doc_appender(
     max_retries: int = 5,
     quality_model: tuple[dict[int, int], int] | None = None,
     min_score_fp: int | None = None,
+    compact_files: int | None = 16,
+    compact_target_files: int = 4,
 ):
     """Build a ``foreachBatch`` callable ingesting documents into ``table``
     (schema: source columns + ``text_hash``) with quality gating, exact
@@ -78,6 +83,13 @@ def training_doc_appender(
     no training, no state) and only docs with ``score_fp >=
     min_score_fp`` are admitted. ``min_score_fp`` defaults to
     ``QLR_ONE // 2`` (the hard sigmoid's 0.5 point) when a model is set.
+
+    ``compact_files``: the cross-batch dedup anti-join re-reads the
+    table's digest column every batch, and each commit adds files — so
+    once that many SMALL live files accumulate they are bin-packed
+    (txsink.maybe_compact_state, change-proportional: compacted
+    generations are never rewritten) after the batch's commit, under the
+    single-writer discipline. None disables.
     """
     if quality_model is not None and min_score_fp is None:
         from sf_epa_data_ingestion_spark.functions.refhash import QLR_ONE
@@ -114,5 +126,8 @@ def training_doc_appender(
         existing = table.read().select("text_hash").distinct()
         fresh = kept.join(existing, "text_hash", "left_anti")
         append_once(table, fresh, app_id, batch_id, max_retries)
+        maybe_compact_state(
+            table, compact_files, target_files=compact_target_files
+        )
 
     return write_batch

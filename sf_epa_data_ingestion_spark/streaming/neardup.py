@@ -43,7 +43,10 @@ from sf_epa_data_ingestion_spark.operators.dedup import (
 )
 from sf_epa_data_ingestion_spark.partitioning import spread
 from sf_epa_data_ingestion_spark.storage.txlog import TxTable
-from sf_epa_data_ingestion_spark.streaming.txsink import append_once
+from sf_epa_data_ingestion_spark.streaming.txsink import (
+    append_once,
+    maybe_compact_state,
+)
 
 
 def _signatures(batch_df, id_col, text_col, num_hashes, shingle_k):
@@ -66,6 +69,8 @@ def near_dup_monitor(
     shingle_k: int = 8,
     threshold: float = 0.7,
     max_retries: int = 5,
+    compact_files: int | None = 16,
+    compact_target_files: int = 4,
 ):
     """Build a ``foreachBatch`` callable that detects near-dups of every
     arriving document against the full ingestion history.
@@ -74,6 +79,13 @@ def near_dup_monitor(
     (id_a long, id_b long, est_jaccard double) where ``id_b`` is always
     the NEW document and ``id_a`` the earlier one (id_a < id_b holds for
     batch-internal pairs too, since ids are assigned in arrival order).
+
+    ``compact_files``: the signature history is re-read WHOLE every
+    batch (the probe expresses bands from it), so its cost driver is
+    live-file COUNT — one tiny file per processed batch without
+    maintenance. Once that many small files accumulate they are
+    bin-packed (txsink.maybe_compact_state, change-proportional), under
+    the same single-writer discipline as the appends; None disables.
     """
     rows_per_band = num_hashes // bands
 
@@ -133,5 +145,8 @@ def near_dup_monitor(
         append_once(pairs_out, pairs, app_id, batch_id, max_retries)
         append_once(state, sig, app_id, batch_id, max_retries)
         sig.unpersist()
+        maybe_compact_state(
+            state, compact_files, target_files=compact_target_files
+        )
 
     return write_batch

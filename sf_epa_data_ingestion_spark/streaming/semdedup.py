@@ -54,6 +54,7 @@ from sf_epa_data_ingestion_spark.storage.txlog import TxTable
 from sf_epa_data_ingestion_spark.streaming.txsink import (
     append_once,
     commit_staged_once,
+    maybe_compact_state,
 )
 
 
@@ -67,6 +68,8 @@ def semantic_dedup_monitor(
     threshold: float = 0.95,
     max_retries: int = 5,
     write_partitions: int = 1,
+    compact_files: int | None = 16,
+    compact_target_files: int = 4,
 ):
     """Build a ``foreachBatch`` callable applying the SemDeDup policy to
     every arriving embedding against the full ingestion history.
@@ -83,7 +86,16 @@ def semantic_dedup_monitor(
     shuffle boundary and serializes whatever sits above it (measured 2x
     worse on the pre-cogroup shape). Raise it for genuinely large
     micro-batches.
-    """
+
+    ``compact_files`` wires the maintenance this monitor's probe depends
+    on INTO the monitor (r9 VERDICT next-round #3): once the state
+    table's small-file count reaches it, the small files are bin-packed
+    clustered by ``cid`` (txsink.maybe_compact_state), restoring tight
+    per-file cid bounds so the ``("cid", "in", hit_cells)`` skipping
+    read keeps pruning instead of degenerating to a full scan as
+    per-batch appends (each spanning the batch's cells) pile up. Runs
+    under the single-writer discipline after the batch's state commit;
+    None disables."""
     import numpy as np
     import pandas as pd
 
@@ -169,9 +181,11 @@ def semantic_dedup_monitor(
         # whose committed cid [min, max] excludes every hit cell are
         # never listed into the scan. Skipping effectiveness follows the
         # state table's clustering: per-batch appends span a batch's
-        # cells, so run a periodic ``state.compact(cluster_by=["cid"], zorder=True)`` to
-        # keep the file bounds tight (the same maintenance trade the
-        # lexical index's bucket layout makes structurally).
+        # cells, so the monitor itself bin-packs + re-clusters by cid
+        # once ``compact_files`` small files accumulate (end of this
+        # function) — the same maintenance trade the lexical index's
+        # bucket layout makes structurally, wired in rather than left to
+        # an operator runbook.
         hit_cells = sorted(cells_obs.get["cells"] or [])
         old = state.read(filters=[("cid", "in", hit_cells)]).select(
             "id", "cid", "u", "ccos"
@@ -265,5 +279,9 @@ def semantic_dedup_monitor(
         )
         commit_staged_once(state, staged_state, app_id, batch_id, max_retries)
         enc.unpersist()
+        maybe_compact_state(
+            state, compact_files, cluster_by=["cid"],
+            target_files=compact_target_files,
+        )
 
     return write_batch

@@ -77,6 +77,49 @@ def commit_staged_once(
     )
 
 
+def maybe_compact_state(
+    table: TxTable,
+    files_threshold: int | None,
+    cluster_by=None,
+    target_files: int = 4,
+    small_bytes: int = 64 << 20,
+) -> bool:
+    """In-monitor state maintenance (single-writer discipline: call this
+    from the SAME foreachBatch that owns the table, after its commit for
+    the batch). Every txlog append adds files, so a long-running stream
+    degrades two ways without maintenance: file-listing cost grows with
+    batch count, and — for cell/bucket-probed state — per-file bounds
+    sprawl until the skipping read degenerates to a full scan.
+
+    Triggers when the table's live SMALL-file count (< ``small_bytes``)
+    reaches ``files_threshold``, then bin-packs only those small files
+    (``only_small_bytes``), clustered by ``cluster_by`` so probe columns
+    get tight per-file bounds again. Change-proportional by
+    construction: compacted generations exceed the size threshold and
+    are never rewritten, so maintenance cost follows recent append
+    volume, not corpus size. Compaction is idempotent maintenance
+    OUTSIDE the exactly-once protocol — it rewrites bytes, never rows,
+    so a crash before/after it changes nothing about replay, and a
+    replayed batch that skips it just leaves the work for the next
+    fresh batch. Returns True when a compaction ran."""
+    if not files_threshold:
+        return False
+    import os
+
+    small = [
+        f for f in table.read_files()
+        if os.path.getsize(os.path.join(table.root, f)) < small_bytes
+    ]
+    if len(small) < files_threshold:
+        return False
+    table.compact(
+        cluster_by=cluster_by,
+        target_files=target_files,
+        only_small_bytes=small_bytes,
+    )
+    return True
+
+
 def exactly_once_appender(table: TxTable, app_id: str, max_retries: int = 5):
     """Build a ``foreachBatch`` callable appending into ``table`` with
     exactly-once semantics under micro-batch replay::

@@ -247,3 +247,53 @@ def test_zorder_compaction_tightens_in_probe_skipping(spark, tmp_path):
     assert len(after_files) < len(t.read_files())  # clustered: probe skips
     got = sorted(r["id"] for r in t.read(filters=filt).collect())
     assert got == want and len(got) == 6 * 160 * 2 // 16
+
+
+def test_compact_only_small_bytes_never_rewrites_big_generations(spark, tmp_path):
+    """r10: change-proportional OPTIMIZE — with ``only_small_bytes`` the
+    rewrite bin-packs only the small accumulated appends; an earlier
+    compacted (big) generation's files stay byte-identical on disk, and
+    results are unchanged. This is what keeps in-monitor maintenance
+    O(recent appends) instead of O(corpus) on a long-running stream."""
+    import os
+
+    from sf_epa_data_ingestion_spark.storage import TxTable
+    import pyspark.sql.functions as F
+
+    # a "big generation": one file with padded rows to exceed the
+    # small-file threshold we use below
+    pad = "x" * 2000
+    big = spark.createDataFrame(
+        [(i, i % 4, pad) for i in range(2000)], "id long, cid int, pad string"
+    ).coalesce(1)
+    t = TxTable(spark, str(tmp_path / "t")).create(big)
+    big_files = {
+        f: os.stat(os.path.join(t.root, f)).st_mtime_ns for f in t.read_files()
+    }
+    assert len(big_files) == 1
+    threshold = os.path.getsize(os.path.join(t.root, next(iter(big_files))))
+
+    # many small appends
+    for b in range(8):
+        t.append(
+            spark.createDataFrame(
+                [(10_000 + b * 10 + j, j % 4, "s") for j in range(4)],
+                "id long, cid int, pad string",
+            ).coalesce(1)
+        )
+    want = sorted(r["id"] for r in t.read().collect())
+    assert len(t.read_files()) == 9
+
+    t.compact(cluster_by=["cid"], target_files=2, only_small_bytes=threshold)
+    after = t.read_files()
+    # small files merged to the target; the big generation untouched
+    assert len(after) == 3
+    for f, mtime in big_files.items():
+        assert f in after
+        assert os.stat(os.path.join(t.root, f)).st_mtime_ns == mtime
+    assert sorted(r["id"] for r in t.read().collect()) == want
+
+    # no-gain call: already at/below target -> version unchanged, no-op
+    v = t.versions()[-1]
+    t.compact(cluster_by=["cid"], target_files=2, only_small_bytes=threshold)
+    assert t.versions()[-1] == v
