@@ -39,9 +39,11 @@ streaming/vectorindex.py's train/add split applied to dedup):
 Scale notes (100 TB): per batch the probe touches |batch| x (cells hit
 by the batch) state rows — with cluster count ∝ corpus size that is
 |batch| x bounded-cluster work, and the cid partition filter keeps the
-scan to the probed directories. Periodic re-clustering (centroid drift)
-is a batch job writing a fresh state generation, exactly like the
-vector index's re-train cutover. Single-writer discipline as
+scan to the probed directories. Centroid drift is answered by the
+GENERATION CUTOVER at the bottom of this module
+(``retrain_semdedup_generation`` + ``semantic_dedup_monitor_gen``):
+train N+1 offline from the state's own unit vectors, backfill, publish
+atomically, the monitor follows mid-stream. Single-writer discipline as
 streaming/ingest.py.
 """
 
@@ -57,6 +59,75 @@ from sf_epa_data_ingestion_spark.streaming.txsink import (
     maybe_compact_state,
 )
 
+_STATE_SCHEMA = "id long, cid int, u array<double>, ccos double"
+
+
+def _stack_valid(series, dim: int):
+    """Zeroed (n, dim) matrix + validity mask: None, wrong-length and
+    NaN-carrying embeddings are masked out rather than raised on — the
+    batch operator's per_cluster admits exactly these rows, so a bad
+    vector reaching the monitor must not fail the micro-batch (and with
+    it the streaming query)."""
+    import numpy as np
+
+    n = len(series)
+    m = np.zeros((n, dim), dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    for r, u in enumerate(series):
+        if u is not None and len(u) == dim:
+            row = np.asarray(u, dtype=np.float64)
+            if not np.isnan(row).any():
+                m[r] = row
+                valid[r] = True
+    return m, valid
+
+
+def _encode_with_ccos(df, cents, id_col="vec_id", vec_col="embedding",
+                      _prepped=None):
+    """Assign ``df`` under the FROZEN model and attach the keep-rule
+    statistic: (id, cid, u, ccos) rows, one Arrow pass. ccos =
+    dot(u, cents[cid]) with the centroid matrix a plain closure array —
+    the earlier interpreted element_at(array-of-4096-literals) fold cost
+    ~2 s of DRIVER py4j time PER BATCH just constructing the Column.
+    Same float contract as the batch operator's per-cluster numpy dot;
+    the keep rule rounds to 6 dp before comparing either way. With
+    ``_prepped`` (an (id, __u) frame of ALREADY-normalized vectors) the
+    normalize step is skipped — the generation-backfill path feeds the
+    state's own unit vectors, and re-normalizing a unit vector would
+    drift its last ulp against the batch operator's."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    dim = int(C.shape[1]) if C.ndim == 2 and C.size else 0
+
+    def with_ccos(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["cid"].to_numpy()
+            U, valid = _stack_valid(pdf["u"], dim)
+            ccos = np.einsum("ij,ij->i", U, C[cids])
+            ccos[~valid] = np.nan  # invalid rows never win a keep rule
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cid": cids,
+                    "u": pdf["u"],
+                    "ccos": ccos,
+                }
+            )
+
+    return (
+        encode_ivf(df, cents, id_col=id_col, vec_col=vec_col, _prepped=_prepped)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("cid").cast("int").alias("cid"),
+            F.col("__u").alias("u"),
+        )
+        .mapInPandas(with_ccos, _STATE_SCHEMA)
+    )
+
 
 def semantic_dedup_monitor(
     state: TxTable,
@@ -70,9 +141,15 @@ def semantic_dedup_monitor(
     write_partitions: int = 1,
     compact_files: int | None = 16,
     compact_target_files: int = 4,
+    decorate_decisions=None,
 ):
     """Build a ``foreachBatch`` callable applying the SemDeDup policy to
     every arriving embedding against the full ingestion history.
+
+    ``decorate_decisions``: optional DataFrame->DataFrame applied to the
+    batch's decisions before their append (the generational monitor
+    stamps the serving generation number with it); the decorated frame
+    must match ``decisions_out``'s schema.
 
     ``state`` schema: (id long, cid int, u array<double>, ccos double);
     ``decisions_out`` schema: (cid int, keep_id long, drop_id long,
@@ -99,50 +176,8 @@ def semantic_dedup_monitor(
     import numpy as np
     import pandas as pd
 
-    # ccos = dot(u, cents[cid]) as an Arrow stage with the centroid
-    # matrix a plain closure array — the previous interpreted
-    # element_at(array-of-4096-literals)/zip_with/aggregate fold cost
-    # ~2 s of DRIVER py4j time PER BATCH just constructing the Column
-    # (one JVM round-trip per literal), before any row was scored. Same
-    # float contract as the batch operator's per-cluster numpy dot; the
-    # keep rule rounds to 6 dp before comparing either way.
     C = np.asarray(cents, dtype=np.float64)
     dim = int(C.shape[1]) if C.ndim == 2 and C.size else 0
-    enc_schema = "id long, cid int, u array<double>, ccos double"
-
-    def _stack(series):
-        """Zeroed (n, dim) matrix + validity mask: None, wrong-length and
-        NaN-carrying embeddings are masked out rather than raised on —
-        the batch operator's per_cluster admits exactly these rows, so a
-        bad vector reaching the monitor must not fail the micro-batch
-        (and with it the streaming query)."""
-        n = len(series)
-        m = np.zeros((n, dim), dtype=np.float64)
-        valid = np.zeros(n, dtype=bool)
-        for r, u in enumerate(series):
-            if u is not None and len(u) == dim:
-                row = np.asarray(u, dtype=np.float64)
-                if not np.isnan(row).any():
-                    m[r] = row
-                    valid[r] = True
-        return m, valid
-
-    def with_ccos(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cids = pdf["cid"].to_numpy()
-            U, valid = _stack(pdf["u"])
-            ccos = np.einsum("ij,ij->i", U, C[cids])
-            ccos[~valid] = np.nan  # invalid rows never win a keep rule
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "cid": cids,
-                    "u": pdf["u"],
-                    "ccos": ccos,
-                }
-            )
 
     def write_batch(batch_df, batch_id: int) -> None:
         if (last := state.last_txn(app_id)) is not None and batch_id <= last:
@@ -153,16 +188,9 @@ def semantic_dedup_monitor(
         batch_df = batch_df.dropDuplicates([id_col]).join(
             seen.select(F.col("id").alias(id_col)), id_col, "left_anti"
         )
-        enc = (
-            encode_ivf(batch_df, cents, id_col=id_col, vec_col=vec_col)
-            .select(
-                F.col(id_col).alias("id"),
-                F.col("cid").cast("int").alias("cid"),
-                F.col("__u").alias("u"),
-            )
-            .mapInPandas(with_ccos, enc_schema)
-            .persist()
-        )
+        enc = _encode_with_ccos(
+            batch_df, cents, id_col=id_col, vec_col=vec_col
+        ).persist()
         # STAGE the state append up front (commit still happens LAST —
         # staging publishes nothing): this one Spark job materializes
         # ``enc`` into the cache for the decisions cogroup AND carries an
@@ -221,12 +249,12 @@ def semantic_dedup_monitor(
             if nb == 0:
                 return empty  # state-only cell: no new pairs
             cid = int(key[0])
-            B, bvalid = _stack(batch_pdf["u"])
+            B, bvalid = _stack_valid(batch_pdf["u"], dim)
             ids_b = batch_pdf["id"].to_numpy()
             ccos_b = batch_pdf["ccos"].to_numpy()
             sides = [(B, bvalid, ids_b, ccos_b, True)]
             if len(state_pdf):
-                S, svalid = _stack(state_pdf["u"])
+                S, svalid = _stack_valid(state_pdf["u"], dim)
                 sides.append(
                     (S, svalid, state_pdf["id"].to_numpy(),
                      state_pdf["ccos"].to_numpy(), False)
@@ -273,6 +301,8 @@ def semantic_dedup_monitor(
         # decisions FIRST, state LAST (replay safety — module docstring);
         # the state data files are already staged, so its commit is pure
         # metadata (no second distributed write of the batch).
+        if decorate_decisions is not None:
+            decisions = decorate_decisions(decisions)
         append_once(
             decisions_out, decisions.repartition(write_partitions), app_id,
             batch_id, max_retries,
@@ -283,5 +313,192 @@ def semantic_dedup_monitor(
             state, compact_files, cluster_by=["cid"],
             target_files=compact_target_files,
         )
+
+    return write_batch
+
+
+# ---------------------------------------------------------------------------
+# Frozen-model generation cutover (r9 VERDICT next-round #2)
+#
+# The monitor above pins FROZEN centroids; months of ingestion drift the
+# corpus away from them (cells bloat, the cluster-count-∝-n economics
+# decay, recall at the cell boundary erodes). The managed service the
+# reference outsources to retrains invisibly (TARGET_LAG reindex,
+# epa_ingestion.py:844-854); this is the self-hosted equivalent: train
+# generation N+1 OFFLINE, backfill its state as one batch job, publish an
+# atomic pointer the running monitor follows at its next micro-batch, and
+# retire old generations later. Decisions made under generation N stand —
+# history pairs are never re-scored at a cutover; arrivals after it score
+# against the re-assigned history in the NEW cell space, exactly as the
+# batch operator under the new model would score them.
+# ---------------------------------------------------------------------------
+
+
+def init_semdedup_generations(spark, root: str, cents) -> "TxTable":
+    """Create generation 1 of a generational SemDeDup state: an empty
+    state table plus the frozen model, published atomically. Returns the
+    generation's state table."""
+    import json
+    import os
+
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+    store = GenerationStore(root)
+    gen_dir = store.path(1)
+    os.makedirs(gen_dir, exist_ok=True)
+    with open(os.path.join(gen_dir, "_model.json"), "w") as f:
+        json.dump({"cents": cents}, f)
+    state = TxTable(spark, os.path.join(gen_dir, "state")).create_empty(
+        _STATE_SCHEMA
+    )
+    store.publish(1, {"n_centroids": len(cents)})
+    return state
+
+
+def current_semdedup_generation(spark, root: str):
+    """Resolve the serving generation: (gen_no, cents, state table).
+    This is the read the monitor performs at every micro-batch start and
+    any serving query performs before probing — both flip to N+1 at the
+    instant its pointer commits."""
+    import json
+    import os
+
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+    store = GenerationStore(root)
+    gen = store.latest()
+    if gen is None:
+        raise FileNotFoundError(f"no published generation under {root}")
+    gen_dir = store.path(gen)
+    with open(os.path.join(gen_dir, "_model.json")) as f:
+        cents = json.load(f)["cents"]
+    return gen, cents, TxTable(spark, os.path.join(gen_dir, "state"))
+
+
+def retrain_semdedup_generation(
+    spark,
+    root: str,
+    app_id: str,
+    n_centroids: int,
+    iters: int = 2,
+    state_files: int = 8,
+) -> int:
+    """The offline half of the cutover: train generation N+1's centroids
+    from generation N's state, re-assign the FULL history under the new
+    model as one batch job, carry the replay marker, publish atomically.
+    Returns the new generation number.
+
+    - The state's unit vectors are the sufficient statistic: training
+      reads (id, u) — never the original corpus — so the job is
+      state-sized, and u is NOT re-normalized on the way in (encode via
+      ``_prepped``; re-normalizing a unit vector drifts its last ulp
+      against what the batch operator computes from raw vectors).
+    - The backfilled state is written range-partitioned on the NEW cid,
+      so the cell-probe skipping read prunes from the first post-cutover
+      batch (no warm-up compaction needed).
+    - The replay marker (``last_txn(app_id)``) is stamped on the
+      backfill commit: a micro-batch replayed across the cutover is a
+      no-op in generation N+1 exactly as it would have been in N.
+    - Single-writer discipline (module docstring of generations.py): run
+      this from the same logical writer as the monitor — an append to
+      generation N after the backfill read here would be silently absent
+      from N+1.
+    Crash safety: the pointer commits LAST, so a crash mid-backfill
+    leaves an orphaned gen directory and intact N serving."""
+    import json
+    import os
+
+    from sf_epa_data_ingestion_spark.operators.similarity import train_ivf
+    from sf_epa_data_ingestion_spark.partitioning import spread
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+    store = GenerationStore(root)
+    gen, _cents_old, state_old = current_semdedup_generation(spark, root)
+    marker = state_old.last_txn(app_id)
+
+    dim = _state_dim(state_old)
+    if dim is None:
+        raise ValueError(
+            f"generation {gen} state at {root} is empty — nothing to retrain from"
+        )
+    # (id, __u) of every vector ever seen — already unit-normalized. The
+    # same frame doubles as the trainer's seed-scan corpus (u as the
+    # vector column) and its prepped Lloyd input.
+    history = state_old.read().select("id", F.col("u").alias("embedding"))
+    prepped = spread(
+        state_old.read().select("id", F.col("u").alias("__u")), F.col("id")
+    ).persist()
+    try:
+        new_cents = train_ivf(
+            history, corpus_id="id", vec_col="embedding",
+            n_centroids=n_centroids, iters=iters, dim=dim, _prepped=prepped,
+        )
+        backfill = _encode_with_ccos(
+            None, new_cents, id_col="id", _prepped=prepped
+        ).repartitionByRange(state_files, "cid")
+
+        new_gen = gen + 1
+        gen_dir = store.path(new_gen)
+        os.makedirs(gen_dir, exist_ok=True)
+        with open(os.path.join(gen_dir, "_model.json"), "w") as f:
+            json.dump({"cents": new_cents}, f)
+        new_state = TxTable(spark, os.path.join(gen_dir, "state")).create_empty(
+            _STATE_SCHEMA
+        )
+        if marker is not None:
+            new_state.append(backfill, txn={"app": app_id, "batch": marker})
+        else:
+            new_state.append(backfill)
+    finally:
+        prepped.unpersist()
+    store.publish(new_gen, {"n_centroids": n_centroids, "from_gen": gen})
+    return new_gen
+
+
+def _state_dim(state: TxTable) -> int | None:
+    """Vector width from one state row (None for an empty state — the
+    trainer then infers from its own input)."""
+    row = state.read().select(F.size("u").alias("d")).first()
+    return int(row["d"]) if row is not None else None
+
+
+def semantic_dedup_monitor_gen(
+    spark,
+    root: str,
+    decisions_out: TxTable,
+    app_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_retries: int = 5,
+    write_partitions: int = 1,
+    compact_files: int | None = 16,
+    compact_target_files: int = 4,
+):
+    """The generation-following face of ``semantic_dedup_monitor``: the
+    serving generation (model + state) is re-resolved at EVERY
+    micro-batch start, so a ``retrain_semdedup_generation`` cutover takes
+    effect mid-stream at the next batch boundary — no restart, no lost
+    or double-processed batch (the carried marker keeps replay exact
+    across the swap). ``decisions_out`` rows additionally carry the
+    generation number that scored them, since cid is generation-scoped.
+
+    ``decisions_out`` schema: (gen int, cid int, keep_id long,
+    drop_id long, cosine_sim double)."""
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        gen, cents, state = current_semdedup_generation(spark, root)
+        inner = semantic_dedup_monitor(
+            state, decisions_out, app_id, cents,
+            id_col=id_col, vec_col=vec_col, threshold=threshold,
+            max_retries=max_retries, write_partitions=write_partitions,
+            compact_files=compact_files,
+            compact_target_files=compact_target_files,
+            decorate_decisions=lambda d: d.select(
+                F.lit(gen).cast("int").alias("gen"),
+                "cid", "keep_id", "drop_id", "cosine_sim",
+            ),
+        )
+        inner(batch_df, batch_id)
 
     return write_batch

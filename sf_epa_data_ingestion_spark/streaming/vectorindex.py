@@ -19,9 +19,11 @@ documents arrive, so the pipeline splits FAISS-style into
 
 The index table is (vec_id, cid, codes) — at 100 TB it is written
 bucketed/partitioned by ``cid`` so a query's n_probe cells become a
-partition-pruned scan. Periodic re-training (cell drift) is a batch job
-that writes a fresh table generation; the txlog's atomic swap makes the
-cutover a metadata operation.
+partition-pruned scan. Cell drift is answered by the GENERATION CUTOVER
+at the bottom of this module (``retrain_vector_index_generation`` +
+``vector_index_maintainer_gen``): train N+1 offline on the current
+corpus snapshot, re-encode, publish an atomic pointer the maintainer
+follows mid-stream.
 
 Id dedup follows streaming/ingest.py's two-stage design: in-batch (one
 encoded row per id, lowest cid/codes tiebreak — a window over the
@@ -165,5 +167,150 @@ def vector_index_maintainer(
         existing = table.read().select(id_col).distinct()
         fresh = enc.join(existing, id_col, "left_anti")
         append_once(table, fresh, app_id, batch_id, max_retries)
+
+    return write_batch
+
+
+# ---------------------------------------------------------------------------
+# Frozen-model generation cutover (r9 VERDICT next-round #2, vector tier)
+#
+# PQ codes are lossy, so unlike the SemDeDup state (whose unit vectors are
+# the sufficient statistic) a re-train must re-encode from the SOURCE
+# corpus. The cutover is therefore: train generation N+1's model on the
+# current corpus snapshot, re-encode that snapshot as one batch job into a
+# fresh cid-clustered index table, carry the replay marker, publish the
+# pointer atomically (streaming/generations.py); the generation-following
+# maintainer flips at its next micro-batch. Single-writer discipline: run
+# the cutover from the same logical writer as the maintainer — the corpus
+# snapshot it encodes must include every batch the marker covers.
+# ---------------------------------------------------------------------------
+
+
+def _write_model(gen_dir: str, coarse, cq, dim: int, residual: bool) -> None:
+    import json
+    import os
+
+    with open(os.path.join(gen_dir, "_model.json"), "w") as f:
+        json.dump(
+            {"coarse": coarse, "cq": cq, "dim": dim, "residual": residual}, f
+        )
+
+
+def init_vector_index_generations(
+    spark, root: str, coarse, cq, dim: int, id_col: str = "vec_id",
+    residual: bool = False,
+) -> TxTable:
+    """Create generation 1 of a generational IVF-PQ index: an empty index
+    table plus the frozen model, published atomically."""
+    import os
+
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+    store = GenerationStore(root)
+    gen_dir = store.path(1)
+    os.makedirs(gen_dir, exist_ok=True)
+    _write_model(gen_dir, coarse, cq, dim, residual)
+    table = TxTable(spark, os.path.join(gen_dir, "index")).create_empty(
+        f"{id_col} long, cid int, codes array<int>"
+    )
+    store.publish(1, {"n_centroids": len(coarse) if coarse else 0})
+    return table
+
+
+def current_vector_index_generation(spark, root: str):
+    """(gen_no, model dict, index table) — resolved fresh by the
+    maintainer at every micro-batch start and by serving before a probe."""
+    import json
+    import os
+
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+    store = GenerationStore(root)
+    gen = store.latest()
+    if gen is None:
+        raise FileNotFoundError(f"no published generation under {root}")
+    with open(os.path.join(store.path(gen), "_model.json")) as f:
+        model = json.load(f)
+    return gen, model, TxTable(spark, os.path.join(store.path(gen), "index"))
+
+
+def retrain_vector_index_generation(
+    spark,
+    root: str,
+    app_id: str,
+    corpus_df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    residual: bool = False,
+    index_files: int = 8,
+    **train_kw,
+) -> int:
+    """Offline cutover: fit generation N+1's IVF-PQ model on
+    ``corpus_df`` (the CURRENT corpus snapshot — the source of truth the
+    index serves; PQ codes are lossy so history cannot re-encode from
+    the old index), re-encode the snapshot as one batch job
+    range-partitioned on the new cid (probe pruning from the first
+    post-cutover batch), carry the replay marker, publish atomically.
+    Crash mid-build leaves the pointer on N."""
+    import os
+
+    from sf_epa_data_ingestion_spark.operators.similarity import train_ivfpq
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+    store = GenerationStore(root)
+    gen, model, table_old = current_vector_index_generation(spark, root)
+    marker = table_old.last_txn(app_id)
+    dim = int(model["dim"])
+
+    coarse, cq = train_ivfpq(
+        corpus_df, corpus_id=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, dim=dim, residual=residual, **train_kw,
+    )
+    if coarse is None:
+        raise ValueError("empty corpus snapshot — nothing to retrain from")
+    backfill = encode_ivfpq(
+        corpus_df, coarse, cq, dim, id_col=id_col, vec_col=vec_col,
+        residual=residual,
+    ).repartitionByRange(index_files, "cid")
+
+    new_gen = gen + 1
+    gen_dir = store.path(new_gen)
+    os.makedirs(gen_dir, exist_ok=True)
+    _write_model(gen_dir, coarse, cq, dim, residual)
+    new_table = TxTable(spark, os.path.join(gen_dir, "index")).create_empty(
+        f"{id_col} long, cid int, codes array<int>"
+    )
+    if marker is not None:
+        new_table.append(backfill, txn={"app": app_id, "batch": marker})
+    else:
+        new_table.append(backfill)
+    store.publish(new_gen, {"n_centroids": n_centroids, "from_gen": gen})
+    return new_gen
+
+
+def vector_index_maintainer_gen(
+    spark,
+    root: str,
+    app_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    change_col: str = "_change_type",
+    max_retries: int = 5,
+):
+    """The generation-following face of ``vector_index_maintainer``: the
+    serving generation (model + index table) is re-resolved at EVERY
+    micro-batch start, so a ``retrain_vector_index_generation`` cutover
+    takes effect mid-stream at the next batch boundary with no restart;
+    the carried marker keeps replay exact across the swap."""
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        _gen, model, table = current_vector_index_generation(spark, root)
+        inner = vector_index_maintainer(
+            table, app_id, model["coarse"], model["cq"], int(model["dim"]),
+            id_col=id_col, vec_col=vec_col, change_col=change_col,
+            max_retries=max_retries, residual=bool(model["residual"]),
+        )
+        inner(batch_df, batch_id)
 
     return write_batch

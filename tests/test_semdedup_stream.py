@@ -199,3 +199,120 @@ def test_semdedup_stream_equals_batch_operator(spark, tmp_path):
         for r in similarity.semantic_dedup_pairs(index, CENTS, threshold=0.95).collect()
     }
     assert streamed == batch and len(batch) == 3
+
+
+def test_generation_cutover_mid_stream(spark, tmp_path):
+    """r9 VERDICT next-round #2: the frozen-model drift answer. A stream
+    runs under generation 1; an offline retrain publishes generation 2
+    (new centroids, history re-assigned, marker carried); the SAME
+    monitor follows at the next batch boundary. Pins: (a) decisions
+    before/after the cutover each equal their generation's batch
+    operator, (b) no batch is lost or double-processed, (c) the replay
+    marker survives the swap (pre- and post-cutover batch ids replay as
+    no-ops), (d) retiring the old generation leaves serving intact."""
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+    from sf_epa_data_ingestion_spark.streaming.semdedup import (
+        current_semdedup_generation,
+        init_semdedup_generations,
+        retrain_semdedup_generation,
+        semantic_dedup_monitor_gen,
+    )
+
+    A = [1.0, 0.0, 0.0, 0.0] + [0.0] * (DIM - 4)
+    B = [0.0, 1.0, 0.0, 0.0] + [0.0] * (DIM - 4)
+    C = [0.7, 0.7, 0.0, 0.0] + [0.0] * (DIM - 4)
+    D = [0.0, 0.0, 1.0, 0.0] + [0.0] * (DIM - 4)
+
+    def _near(base, k):
+        v = list(base)
+        v[3] = 1e-3 * k
+        return _u(v)
+
+    vecs = {
+        1: _near(A, 1), 2: _near(A, 2), 3: _u(C), 4: _near(B, 1),
+        5: _near(B, 2), 6: _near(C, 3),
+        7: _near(A, 4), 8: _near(C, 5), 9: _near(B, 6), 10: _u(D),
+        11: _near(D, 7), 12: _near(D, 8),
+    }
+
+    def _corpus(ids):
+        return spark.createDataFrame(
+            [(i, vecs[i]) for i in ids], "vec_id long, embedding array<double>"
+        )
+
+    root = str(tmp_path / "gens")
+    init_semdedup_generations(spark, root, CENTS)
+    out = TxTable(spark, str(tmp_path / "decisions")).create_empty(
+        "gen int, cid int, keep_id long, drop_id long, cosine_sim double"
+    )
+    sink = semantic_dedup_monitor_gen(spark, root, out, "sd-gen", threshold=0.95)
+
+    def _batch_pairs(ids, cents):
+        enc = similarity.encode_ivf(_corpus(ids), cents)
+        return {
+            (r["keep_id"], r["drop_id"], round(r["cosine_sim"], 6))
+            for r in similarity.semantic_dedup_pairs(
+                enc, cents, threshold=0.95
+            ).collect()
+        }
+
+    # --- generation 1: batch 0 ---
+    sink(_corpus(range(1, 7)), 0)
+    got0 = {
+        (r["keep_id"], r["drop_id"], round(r["cosine_sim"], 6))
+        for r in out.read().collect()
+    }
+    want0 = _batch_pairs(range(1, 7), CENTS)
+    assert got0 == want0 and got0, "pre-cutover decisions != gen-1 batch operator"
+    assert {r["gen"] for r in out.read().collect()} == {1}
+
+    # --- offline cutover to generation 2 ---
+    new_gen = retrain_semdedup_generation(spark, root, "sd-gen", n_centroids=3)
+    assert new_gen == 2 and GenerationStore(root).latest() == 2
+    gen, cents2, state2 = current_semdedup_generation(spark, root)
+    assert gen == 2 and len(cents2) == 3 and cents2 != CENTS
+    # backfill: full history re-assigned, nothing lost or duplicated
+    assert state2.read().count() == 6
+    assert state2.last_txn("sd-gen") == 0  # marker carried
+    # re-assignment matches the batch pipeline under the new model
+    batch_assign = {
+        (r["vec_id"], r["cid"])
+        for r in similarity.encode_ivf(_corpus(range(1, 7)), cents2).collect()
+    }
+    assert {(r["id"], r["cid"]) for r in state2.read().collect()} == batch_assign
+
+    # replay of a PRE-cutover batch id after the swap: no-op
+    sink(_corpus(range(1, 7)), 0)
+    assert out.read().count() == len(want0)
+    assert state2.read().count() == 6
+
+    # --- generation 2: batch 1 (the monitor follows mid-stream) ---
+    sink(_corpus(range(7, 13)), 1)
+    rows = out.read().collect()
+    got1 = {
+        (r["keep_id"], r["drop_id"], round(r["cosine_sim"], 6))
+        for r in rows if r["gen"] == 2
+    }
+    # expected: every gen-2-batch-operator pair over the union that
+    # touches a batch-1 arrival (old-old pairs were decided under gen 1
+    # and are never re-scored)
+    want_full = _batch_pairs(range(1, 13), cents2)
+    want1 = {p for p in want_full if p[0] >= 7 or p[1] >= 7}
+    assert got1 == want1 and got1, "post-cutover decisions != gen-2 batch operator"
+    # gen-1 decisions still standing untouched
+    assert {
+        (r["keep_id"], r["drop_id"], round(r["cosine_sim"], 6))
+        for r in rows if r["gen"] == 1
+    } == want0
+    assert state2.read().count() == 12
+
+    # replay of the post-cutover batch: no-op
+    sink(_corpus(range(7, 13)), 1)
+    assert out.read().count() == len(want0) + len(want1)
+
+    # --- retire generation 1; serving unaffected ---
+    retired = GenerationStore(root).retire_below(keep_latest=1)
+    assert retired == [1]
+    gen, cents_r, state_r = current_semdedup_generation(spark, root)
+    assert gen == 2 and cents_r == cents2
+    assert state_r.read().count() == 12
