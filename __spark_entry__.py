@@ -2121,7 +2121,7 @@ def _materialized_dir(sf_dir: str, table, tag: str, build) -> str:
 
 def _search_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Persisted token-bucketed search index (search.materialize_search_index)
-    over the documents table — see _materialized_dir. ``search_index_v4``
+    over the documents table — see _materialized_dir. ``search_index_v5``
     keys the current layout generation (v2 added bounds/; v3 widened
     bounds/ to (token, df, max_part, ub) for CDC maintenance; v4
     id-bucketed doclens/ so refresh rewrites only changed buckets —
@@ -2130,7 +2130,7 @@ def _search_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _materialized_dir(
         sf_dir,
         "documents",
-        "search_index_v4",
+        "search_index_v5",
         lambda tmp: search.materialize_search_index(
             _t(spark, sf_dir, "documents"), tmp, id_col="doc_id", text_col="text"
         ),
@@ -2227,7 +2227,7 @@ def _joined_search_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _materialized_dir(
         sf_dir,
         ["documents", "embeddings"],
-        "search_index_join_v1",
+        "search_index_join_v2",
         lambda tmp: search.materialize_search_index(
             _joined_docs(spark, sf_dir), tmp, id_col="id", text_col="text"
         ),

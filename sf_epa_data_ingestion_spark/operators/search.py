@@ -211,6 +211,16 @@ def apply_changes_bounds(
     max_part, ub) from a txlog change feed, keeping WAND candidate
     pruning SOUND (result-invisible) between full rebuilds.
 
+    r10 note: this is the FRONTIER-FREE form — sound upper bounds whose
+    untouched-token scale factor (greatest(1, avgdl'/avgdl)) ratchets
+    monotonically looser across repeated refreshes. The persisted-layout
+    refresh path (``refresh_search_index``) no longer uses it: with the
+    layout's per-token Pareto frontier, ``bounds_from_frontier`` is
+    EXACT at the same vocabulary-scale cost. Kept for maintaining a
+    bounds table when no frontier exists (e.g. an ad-hoc
+    ``build_term_bounds`` output held in memory) — its soundness
+    property tests still pin the scale-factor math.
+
     - TOUCHED tokens (any token appearing in an inserted or deleted row
       image — max-merge on insert is not enough because a delete can
       remove the bound-defining doc): rebuilt EXACTLY from the maintained
@@ -283,11 +293,16 @@ def refresh_search_index(
     txn: tuple[str, int] | None = None,
 ) -> None:
     """Apply a txlog change feed to a PERSISTED
-    ``materialize_search_index`` layout in place — all four pieces
-    (postings, doclens, stats, bounds) plus the ``_meta.json`` corpus
-    count, without a full rebuild. This is what the 60 s freshness job
-    runs per micro-batch to honor the reference's whole-service
-    TARGET_LAG (epa_ingestion.py:844-854), not just its postings half.
+    ``materialize_search_index`` layout in place — all five pieces
+    (postings, doclens, stats, frontier, bounds) plus the ``_meta.json``
+    corpus count, without a full rebuild. This is what the 60 s
+    freshness job runs per micro-batch to honor the reference's
+    whole-service TARGET_LAG (epa_ingestion.py:844-854), not just its
+    postings half. Since r10 every piece is maintained EXACTLY — bounds
+    included, via the persisted per-token Pareto frontier
+    (``build_term_frontier``/``bounds_from_frontier``): maintained ==
+    full rebuild row-for-row after any feed shape, deletes included
+    (pinned by test), at vocabulary-scale bounds cost per refresh.
 
     ``txn=(app_id, batch_id)`` makes micro-batch replay a no-op: the
     marker is recorded in ``_meta.json`` at the end of a completed
@@ -336,8 +351,7 @@ def refresh_search_index(
     postings = spark.read.parquet(os.path.join(path, "postings"))
     stats = spark.read.parquet(os.path.join(path, "stats"))
     doclens_raw = spark.read.parquet(os.path.join(path, "doclens"))
-    doclens = doclens_raw.drop("__ib")
-    bounds = spark.read.parquet(os.path.join(path, "bounds"))
+    frontier = spark.read.parquet(os.path.join(path, "frontier"))
 
     # --- changed ids and their id-buckets (change-set-sized collect) ---
     deleted_ids = (
@@ -445,10 +459,9 @@ def refresh_search_index(
     ).parquet(doclens_stage)
     staged_doclens = spark.read.parquet(doclens_stage)
 
-    # --- stats / bounds: stage BEFORE swapping doclens, because
-    # apply_changes_bounds needs the PRE-change doclens for avgdl_before;
-    # its doclens_after is composed lazily from the untouched buckets
-    # (still on disk) + the staged touched buckets.
+    # --- stats / frontier / bounds: stage BEFORE swapping doclens
+    # (doclens_after is composed lazily from the untouched buckets,
+    # still on disk, + the staged touched buckets).
     new_stats = apply_changes_stats(
         stats, changes, n_after, id_col=id_col, text_col=text_col, change_col=change_col
     )
@@ -459,16 +472,23 @@ def refresh_search_index(
         .drop("__ib")
         .unionByName(staged_doclens.drop("__ib"))
     )
-    new_bounds = apply_changes_bounds(
-        bounds,
-        postings_after,
-        doclens,  # the doclens path is still pre-change here
+    # frontier: touched tokens rebuilt exactly, untouched carried over;
+    # then bounds recompute EXACTLY for every token from the staged
+    # frontier under the post-change avgdl (r10: replaces the
+    # apply_changes_bounds scale-factor form, whose >= soundness ratchet
+    # compounded looseness across refreshes; bounds == full rebuild is
+    # now pinned after every feed shape, deletes included).
+    new_frontier = apply_changes_frontier(
+        frontier, postings_after, doclens_after, changes,
+        id_col=id_col, text_col=text_col, change_col=change_col,
+    )
+    frontier_stage = os.path.join(path, "_staging_frontier")
+    new_frontier.write.mode("overwrite").parquet(frontier_stage)
+    new_bounds = bounds_from_frontier(
+        spark.read.parquet(frontier_stage),
+        spark.read.parquet(stats_stage),
         doclens_after,
-        changes,
         n_after,
-        id_col=id_col,
-        text_col=text_col,
-        change_col=change_col,
         k1=k1,
         b=b,
     )
@@ -476,7 +496,7 @@ def refresh_search_index(
     new_bounds.write.mode("overwrite").parquet(bounds_stage)
 
     # --- swap: doclens touched buckets (dynamic overwrite + emptied-
-    # bucket removal, as postings), stats/bounds whole.
+    # bucket removal, as postings), stats/frontier/bounds whole.
     (
         staged_doclens.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -490,7 +510,11 @@ def refresh_search_index(
                 os.path.join(path, "doclens", f"__ib={ib}"), ignore_errors=True
             )
     shutil.rmtree(doclens_stage, ignore_errors=True)
-    for name, stage in (("stats", stats_stage), ("bounds", bounds_stage)):
+    for name, stage in (
+        ("stats", stats_stage),
+        ("frontier", frontier_stage),
+        ("bounds", bounds_stage),
+    ):
         spark.read.parquet(stage).write.mode("overwrite").parquet(os.path.join(path, name))
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -834,6 +858,106 @@ def build_term_bounds(
     return per_doc.select("token", "df", "max_part", (idf * F.col("max_part")).alias("ub"))
 
 
+def build_term_frontier(postings: DataFrame, doclens: DataFrame) -> DataFrame:
+    """(token, tf, dl): the per-token PARETO FRONTIER of its postings
+    under the BM25 tf-part — rows not dominated by any (tf' >= tf,
+    dl' <= dl) sibling. tf_part(tf, dl, avgdl) is strictly increasing in
+    tf and strictly decreasing in dl for every avgdl > 0, so the
+    maximizer of the per-term bound under ANY corpus avgdl lies on this
+    frontier. Persisting it (vocabulary x a handful of rows — bounded by
+    the distinct tf values a term attains) is what lets the CDC
+    maintainer recompute bounds EXACTLY after avgdl drift
+    (``bounds_from_frontier``) instead of scaling by a sound-but-loose
+    ratio that ratchets monotonically looser across refreshes (the
+    pre-r10 ``apply_changes_bounds`` form, kept as the frontier-free
+    fallback). Plain codegen'd aggregates + one window — no interpreted
+    higher-order functions (see PLANS.md on session-aging HOF cost)."""
+    from pyspark.sql import Window
+
+    lens = doclens.filter(F.col("dl") > 0)
+    per_tf = (
+        postings.join(lens, "id")
+        .groupBy("token", "tf")
+        .agg(F.min("dl").alias("dl"))
+    )
+    w = (
+        Window.partitionBy("token")
+        .orderBy(F.desc("tf"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_tf.withColumn("__prev_min", F.min("dl").over(w))
+        .filter(F.col("__prev_min").isNull() | (F.col("dl") < F.col("__prev_min")))
+        .drop("__prev_min")
+    )
+
+
+def bounds_from_frontier(
+    frontier: DataFrame,
+    stats: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """EXACT (token, df, max_part, ub) from a persisted frontier: the
+    same float expression tree as ``build_term_bounds`` evaluated over
+    the frontier rows only (which contain every possible maximizer —
+    see build_term_frontier), so the result equals a full postings
+    rebuild bit-for-bit while costing vocabulary-scale work. ``stats``
+    supplies (token, df); avgdl comes from ``doclens`` exactly as the
+    rebuild computes it (integer dl sum -> order-independent)."""
+    lens = doclens.filter(F.col("dl") > 0)
+    avgdl = lens.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    per_tok = (
+        frontier.crossJoin(broadcast(avgdl))
+        .groupBy("token")
+        .agg(F.max(tf_part).alias("max_part"))
+    )
+    return (
+        per_tok.join(stats.select("token", "df"), "token")
+        .select("token", "df", "max_part", (idf * F.col("max_part")).alias("ub"))
+    )
+
+
+def apply_changes_frontier(
+    frontier: DataFrame,
+    postings_after: DataFrame,
+    doclens_after: DataFrame,
+    changes: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Incrementally maintain the frontier from a txlog change feed:
+    touched tokens (any token in an inserted or deleted row image)
+    rebuild exactly from the maintained postings pruned to them; an
+    untouched token's postings AND its posting docs' lengths are
+    unchanged (a changed doc's tokens are all touched via its images),
+    so its frontier rows carry over verbatim. Change-proportional: the
+    rebuild scans touched-token buckets only over the persisted
+    layout."""
+    touched = (
+        changes.select(F.explode(_norm_tokens(F.col(text_col))).alias("token"))
+        .distinct()
+    )
+    rebuilt = build_term_frontier(
+        postings_after.join(broadcast(touched), "token", "left_semi"),
+        doclens_after,
+    )
+    untouched = frontier.join(broadcast(touched), "token", "left_anti")
+    return rebuilt.unionByName(untouched)
+
+
 # float-sum safety slack for the max-score floor test: per-doc scores sum
 # <= ~10 double terms (rel error ~1e-14 of O(10) magnitudes), so 1e-6 of
 # slack dwarfs any accumulation-order noise while costing at most one
@@ -1043,11 +1167,19 @@ def materialize_search_index(
     )
     # max-score bounds (token, ub) — the WAND-style candidate-pruning
     # statistic bm25_search_many_maxscore consumes (vocabulary-sized)
-    build_term_bounds(
-        persisted,
-        docs.sparkSession.read.parquet(os.path.join(path, "doclens")).drop("__ib"),
-        n,
-    ).write.mode("overwrite").parquet(os.path.join(path, "bounds"))
+    dl_read = docs.sparkSession.read.parquet(
+        os.path.join(path, "doclens")
+    ).drop("__ib")
+    build_term_bounds(persisted, dl_read, n).write.mode("overwrite").parquet(
+        os.path.join(path, "bounds")
+    )
+    # per-token Pareto frontier (token, tf, dl) — what lets the CDC
+    # maintainer recompute bounds EXACTLY under avgdl drift
+    # (bounds_from_frontier) at vocabulary cost; vocabulary x O(distinct
+    # tf values) rows
+    build_term_frontier(persisted, dl_read).write.mode("overwrite").parquet(
+        os.path.join(path, "frontier")
+    )
     with open(os.path.join(path, "_meta.json"), "w") as f:
         json.dump({"n_docs": n, "n_buckets": n_buckets}, f)
 

@@ -635,7 +635,18 @@ def test_refresh_search_index_maintains_persisted_layout(spark, tmp_path):
     rbounds = {r["token"]: r["ub"] for r in
                spark.read.parquet(os.path.join(rebuilt_dir, "bounds")).collect()}
     assert set(mbounds) == set(rbounds)
-    assert all(mbounds[k] >= rbounds[k] - 1e-12 for k in rbounds)
+    # r10: frontier-exact maintenance — bounds EQUAL the rebuild (the
+    # pre-r10 contract was only >=, via the avgdl scale factor)
+    assert all(mbounds[k] == rbounds[k] for k in rbounds), {
+        k: (mbounds[k], rbounds[k])
+        for k in rbounds if mbounds[k] != rbounds[k]
+    }
+    # the maintained frontier equals the rebuild's too
+    mfront = {(r["token"], r["tf"], r["dl"]) for r in
+              spark.read.parquet(os.path.join(idx, "frontier")).collect()}
+    rfront = {(r["token"], r["tf"], r["dl"]) for r in
+              spark.read.parquet(os.path.join(rebuilt_dir, "frontier")).collect()}
+    assert mfront == rfront
 
     queries = spark.createDataFrame(
         [(0, "the data of water product")], "query_id long, query_text string"
@@ -880,3 +891,93 @@ def test_apply_changes_bounds_soundness_property(spark, case):
         df_m, ub_m = maintained[tok]
         assert df_m == df_r, tok
         assert ub_m >= ub_r - 1e-12, (tok, ub_m, ub_r)
+
+
+def test_frontier_bounds_equal_full_rebuild(spark, tmp_path):
+    """r10: the Pareto-frontier identity — bounds_from_frontier over
+    build_term_frontier equals build_term_bounds over the full postings,
+    token-for-token and bit-for-bit (the frontier contains every
+    possible maximizer of the BM25 tf-part for ANY avgdl)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(300)
+    )
+    p = search.build_postings(docs, id_col="doc_id", text_col="text")
+    dl = search.doc_lengths(docs, id_col="doc_id", text_col="text")
+    n = docs.count()
+    st = search.build_token_stats(p, n_docs=n)
+
+    full = {r["token"]: (r["df"], r["max_part"], r["ub"])
+            for r in search.build_term_bounds(p, dl, n).collect()}
+    front = search.build_term_frontier(p, dl)
+    got = {r["token"]: (r["df"], r["max_part"], r["ub"])
+           for r in search.bounds_from_frontier(front, st, dl, n).collect()}
+    assert got == full
+    # the frontier is genuinely smaller than the postings it summarizes
+    assert front.count() < p.count()
+
+
+def test_refresh_bounds_exact_after_delete_heavy_feed(spark, tmp_path):
+    """r9 VERDICT next-round #7 Done-criterion: after a DELETE-HEAVY
+    change feed (which drifts avgdl — the case the old scale-factor form
+    left loose on every untouched token), the refreshed bounds equal a
+    from-scratch rebuild exactly, and WAND served from the refreshed
+    layout equals naive scoring."""
+    from sf_epa_data_ingestion_spark.storage import TxTable
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(200)
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")),
+        )
+    )
+    t = TxTable(spark, str(tmp_path / "docs")).create(
+        docs.repartitionByRange(4, "doc_id")
+    )
+    idx = str(tmp_path / "idx")
+    search.materialize_search_index(
+        t.read(0), idx, id_col="doc_id", text_col="text", n_buckets=64
+    )
+    # delete the 30 LONGEST docs: maximal avgdl shift downward
+    victims = (
+        t.read(0)
+        .select("doc_id", F.length("text").alias("n"))
+        .orderBy(F.desc("n"), "doc_id")
+        .limit(30)
+    )
+    t.delete_where(F.col("doc_id").isin(
+        [r["doc_id"] for r in victims.collect()]
+    ))
+    search.refresh_search_index(
+        spark, idx, t.changes(0), id_col="doc_id", text_col="text"
+    )
+
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    search.materialize_search_index(
+        t.read(), rebuilt_dir, id_col="doc_id", text_col="text", n_buckets=64
+    )
+    m = {r["token"]: (r["df"], r["max_part"], r["ub"]) for r in
+         spark.read.parquet(os.path.join(idx, "bounds")).collect()}
+    r_ = {r["token"]: (r["df"], r["max_part"], r["ub"]) for r in
+          spark.read.parquet(os.path.join(rebuilt_dir, "bounds")).collect()}
+    assert m == r_
+
+    # served results from the refreshed layout match naive scoring
+    mp, mst, mdl, mn, mb = search.load_search_index(spark, idx)
+    queries = spark.createDataFrame(
+        [(1, "spark table join"), (2, "hash index")], "qid long, qtext string"
+    )
+    wand = search.bm25_search_many_maxscore(
+        mp, mst, spark.read.parquet(os.path.join(idx, "bounds")), queries, mn,
+        mdl, k=5, query_id="qid", text_col="qtext",
+    )
+    naive = search.bm25_search_many(
+        mp, mst, queries, mn, doclens=mdl, k=5, query_id="qid", text_col="qtext",
+    )
+    def _rows(df):
+        return sorted(
+            (r["qid"], r["id"], round(r["score"], 9)) for r in df.collect()
+        )
+    assert _rows(wand) == _rows(naive)
