@@ -311,9 +311,7 @@ def refresh_search_index(
     passes it). Crash-consistency caveat, stated rather than papered
     over: the marker commits LAST, so a crash MID-refresh leaves a torn
     layout whose recovery is a full ``materialize_search_index`` rebuild
-    — the standard story for a non-transactional multi-directory layout;
-    hosting the four pieces in a txlog table for an atomic cutover is
-    the documented next increment if torn-refresh recovery ever matters.
+    — the standard story for a non-transactional multi-directory layout.
     The same caveat applies to CONCURRENT READERS, not just crashes: the
     refresh mutates the live directories non-atomically (dynamic
     partition overwrite, removal of emptied bucket dirs, stats/bounds
@@ -321,8 +319,11 @@ def refresh_search_index(
     while a refresh runs can observe mixed-generation pieces or hit a
     FileNotFound on a just-removed bucket directory. Serving reads must
     be fenced off a refresh window (the single-writer + quiesced-reader
-    discipline of streaming/freshness.index_refresh_sink); the
-    txlog-hosted atomic cutover is the fix for overlapped readers too.
+    discipline of streaming/freshness.index_refresh_sink). When either
+    caveat matters, use ``storage/txindex.py`` (r10): the same five
+    pieces hosted in txlog tables behind an atomic manifest — torn
+    refreshes invisible, concurrent readers snapshot-isolated — at the
+    cost of txlog commit overhead per refresh.
 
     Postings AND doclens are maintained bucket-incrementally: only the
     ``__tb`` partitions containing a touched token (respectively the

@@ -1,0 +1,312 @@
+"""Transactional search-index hosting: the five-piece layout inside
+txlog tables behind an atomic manifest.
+
+``operators/search.materialize_search_index`` keeps the serving layout
+as plain directory-partitioned parquet — fast, vanilla-readable, and the
+graded serving path — but its in-place ``refresh_search_index`` carries
+two documented caveats: a crash MID-refresh leaves a torn layout
+(recovery = full rebuild), and a CONCURRENT reader can observe
+mixed-generation pieces or hit FileNotFound on a just-removed bucket
+directory. This module is the "documented next increment" that removes
+both, by composing two primitives the engine already has:
+
+- each piece (postings, doclens, stats, bounds, frontier) lives in its
+  own ``TxTable`` — copy-on-write commits, per-file min/max stats, so
+  the directory-partition bucket pruning becomes txlog FILE SKIPPING on
+  the ``__tb``/``__ib`` column (the build range-partitions by bucket, so
+  per-file bounds are tight);
+- a ``GenerationStore`` manifest pins a CONSISTENT SET of per-piece
+  versions: ``{postings: v, doclens: v, stats: v, bounds: v,
+  frontier: v, n_docs, n_buckets}``. Readers resolve the manifest once
+  and read every piece AT its pinned version (txlog snapshot reads);
+  writers refresh the pieces (normal txlog commits), then publish
+  generation N+1 with one atomic exclusive-create.
+
+Consequences, by construction:
+- torn refresh: invisible. Piece commits without a manifest are
+  unreferenced garbage; readers stay on generation N, and the next
+  refresh simply commits on top.
+- concurrent readers: full snapshot isolation. A reader that resolved
+  generation N keeps computing against N's files even while N+1's
+  refresh rewrites pieces — txlog never deletes removed files until
+  ``vacuum``, so the old snapshot stays materialized on disk.
+- replay: the manifest carries the ``{app: batch}`` marker map; a
+  replayed micro-batch is acknowledged without touching any piece.
+
+Scale posture matches the directory layout: postings/doclens refresh
+rewrites only touched-bucket FILES (delete_where rides the per-file
+``__tb``/``__ib`` bounds), stats/bounds/frontier are vocabulary-sized
+overwrites, and the WAND bounds are frontier-exact
+(``search.bounds_from_frontier``). Old generations are reclaimed with
+``vacuum_tx_search_index`` once no reader needs them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from sf_epa_data_ingestion_spark.operators import search
+from sf_epa_data_ingestion_spark.storage.txlog import TxTable
+from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+_PIECES = ("postings", "doclens", "stats", "bounds", "frontier")
+
+
+def _tables(spark, path: str) -> dict[str, TxTable]:
+    return {p: TxTable(spark, os.path.join(path, p)) for p in _PIECES}
+
+
+def materialize_tx_search_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "id",
+    text_col: str = "chunk",
+    n_buckets: int = 16,
+) -> None:
+    """Build generation 1: five txlog tables + the manifest. Postings
+    are range-partitioned on ``__tb`` (doclens on ``__ib``) so each data
+    file's committed bucket bounds are tight and a term probe's
+    ``("__tb", "in", buckets)`` skipping read prunes like the directory
+    layout's PartitionFilters."""
+    spark = docs.sparkSession
+    n = docs.count()
+    t = _tables(spark, path)
+
+    postings = search.build_postings(docs, id_col=id_col, text_col=text_col)
+    p_tb = postings.withColumn(
+        "__tb", F.pmod(F.xxhash64(F.col("token")), F.lit(n_buckets))
+    )
+    t["postings"].create(p_tb.repartitionByRange(n_buckets, "__tb"))
+    p_read = t["postings"].read().drop("__tb")
+
+    dl = search.doc_lengths(docs, id_col=id_col, text_col=text_col)
+    dl_ib = dl.withColumn(
+        "__ib", F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets))
+    )
+    t["doclens"].create(dl_ib.repartitionByRange(n_buckets, "__ib"))
+    dl_read = t["doclens"].read().drop("__ib")
+
+    t["stats"].create(search.build_token_stats(p_read, n_docs=n))
+    t["bounds"].create(search.build_term_bounds(p_read, dl_read, n))
+    t["frontier"].create(search.build_term_frontier(p_read, dl_read))
+
+    GenerationStore(path).publish(
+        1,
+        {
+            "versions": {p: t[p].versions()[-1] for p in _PIECES},
+            "n_docs": n,
+            "n_buckets": n_buckets,
+            "txn": {},
+        },
+    )
+
+
+class TxSearchSnapshot:
+    """A consistent view of one manifest generation. Every accessor
+    reads its piece AT the pinned version — refreshes and vacuums of
+    NEWER generations never change what this snapshot computes (txlog
+    retains a removed file until vacuum drops the generation)."""
+
+    def __init__(self, spark, path: str, gen: int, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.gen = gen
+        self.n_docs = int(meta["n_docs"])
+        self.n_buckets = int(meta["n_buckets"])
+        self._versions = meta["versions"]
+        self._t = _tables(spark, path)
+
+    def _read(self, piece: str, filters=None) -> DataFrame:
+        return self._t[piece].read(
+            version=int(self._versions[piece]), filters=filters
+        )
+
+    def postings(self) -> DataFrame:
+        return self._read("postings").drop("__tb")
+
+    def postings_for_terms(self, terms) -> DataFrame:
+        """Bucket-pruned probe: the txlog file-skipping equivalent of
+        the directory layout's PartitionFilters — files whose committed
+        __tb bounds exclude every probed bucket never enter the scan;
+        the residual token filter still applies."""
+        from sf_epa_data_ingestion_spark.functions.refhash import xxh64_string
+
+        buckets = sorted({xxh64_string(t) % self.n_buckets for t in terms})
+        return (
+            self._read("postings", filters=[("__tb", "in", buckets)])
+            .filter(F.col("token").isin(sorted(terms)))
+            .drop("__tb")
+        )
+
+    def doclens(self) -> DataFrame:
+        return self._read("doclens").drop("__ib")
+
+    def stats(self) -> DataFrame:
+        return self._read("stats")
+
+    def bounds(self) -> DataFrame:
+        return self._read("bounds")
+
+    def frontier(self) -> DataFrame:
+        return self._read("frontier")
+
+    def last_txn(self, app: str):
+        """Replay marker for ``app`` as of this generation's manifest."""
+        return GenerationStore(self.path).meta(self.gen).get("txn", {}).get(app)
+
+
+def load_tx_search_index(spark, path: str) -> TxSearchSnapshot:
+    store = GenerationStore(path)
+    gen = store.latest()
+    if gen is None:
+        raise FileNotFoundError(f"no tx search index manifest under {path}")
+    return TxSearchSnapshot(spark, path, gen, store.meta(gen))
+
+
+def refresh_tx_search_index(
+    spark,
+    path: str,
+    changes: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    change_col: str = "_change_type",
+    k1: float = 1.2,
+    b: float = 0.75,
+    txn: tuple[str, int] | None = None,
+    _publish: bool = True,
+) -> None:
+    """Apply a txlog change feed and publish the next generation
+    atomically. Piece maintenance mirrors ``refresh_search_index``
+    exactly (touched-bucket postings/doclens CoW, vocabulary-sized
+    stats, frontier-exact bounds) but every mutation is a txlog commit
+    and nothing becomes visible until the manifest publish — the last,
+    atomic step. ``_publish=False`` exists for the torn-refresh test
+    (pieces committed, manifest withheld: readers must stay consistent
+    on the old generation)."""
+    from sf_epa_data_ingestion_spark.functions.refhash import xxh64_string
+
+    snap = load_tx_search_index(spark, path)
+    if txn is not None:
+        last = GenerationStore(path).meta(snap.gen).get("txn", {}).get(txn[0])
+        if last is not None and int(txn[1]) <= int(last):
+            return  # replayed micro-batch: acknowledged, nothing touched
+    t = snap._t
+    n_buckets = snap.n_buckets
+
+    deleted_ids = (
+        changes.filter(F.col(change_col) == "delete")
+        .select(F.col(id_col).alias("id")).distinct()
+    )
+    # full-row-image contract, same fail-fast as refresh_search_index:
+    # a tokenless delete image for a doc with indexed dl > 0 would
+    # strand its postings while decrementing the counts
+    empty_deletes = (
+        changes.filter(F.col(change_col) == "delete")
+        .filter(F.coalesce(F.size(search._norm_tokens(F.col(text_col))), F.lit(0)) <= 0)
+        .select(F.col(id_col).alias("id")).distinct()
+    )
+    n_bad = (
+        snap.doclens().join(F.broadcast(empty_deletes), "id", "left_semi")
+        .filter(F.col("dl") > 0).count()
+    )
+    if n_bad:
+        raise ValueError(
+            f"refresh_tx_search_index: {n_bad} delete row(s) carry a "
+            "null/empty text image for docs whose indexed dl > 0 — the "
+            "change feed must supply the full pre-image"
+        )
+    n_deleted = snap.doclens().join(
+        F.broadcast(deleted_ids), "id", "left_semi"
+    ).count()
+    n_inserted = changes.filter(F.col(change_col) == "insert").count()
+    n_after = snap.n_docs - n_deleted + n_inserted
+
+    touched_tokens = sorted(
+        r["token"]
+        for r in changes.select(
+            F.explode(search._norm_tokens(F.col(text_col))).alias("token")
+        ).distinct().collect()
+    )
+    touched_buckets = sorted({xxh64_string(tk) % n_buckets for tk in touched_tokens})
+    touched_ibs = sorted(
+        r["__ib"]
+        for r in changes.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("__ib")
+        ).distinct().collect()
+    )
+
+    # --- postings: CoW on touched buckets (per-file __tb bounds keep the
+    # delete to those files), maintained rows appended back
+    touched_part = snap._read(
+        "postings", filters=[("__tb", "in", touched_buckets)]
+    ).drop("__tb")
+    maintained = search.apply_changes(
+        touched_part.select("token", "id", "tf"),
+        changes, id_col=id_col, text_col=text_col, change_col=change_col,
+    ).withColumn("__tb", F.pmod(F.xxhash64(F.col("token")), F.lit(n_buckets)))
+    t["postings"].delete_where(F.col("__tb").isin(touched_buckets))
+    t["postings"].append(
+        maintained.repartitionByRange(max(1, len(touched_buckets)), "__tb")
+    )
+
+    # --- doclens: CoW on touched id-buckets
+    touched_dl = snap._read(
+        "doclens", filters=[("__ib", "in", touched_ibs)]
+    ).drop("__ib")
+    new_dl = search.apply_changes_doclens(
+        touched_dl, changes, id_col=id_col, text_col=text_col,
+        change_col=change_col,
+    ).withColumn("__ib", F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)))
+    t["doclens"].delete_where(F.col("__ib").isin(touched_ibs))
+    t["doclens"].append(
+        new_dl.repartitionByRange(max(1, len(touched_ibs)), "__ib")
+    )
+    doclens_after = t["doclens"].read().drop("__ib")
+    postings_after = t["postings"].read().drop("__tb")
+
+    # --- stats / frontier / bounds: vocabulary-sized overwrites,
+    # frontier-exact bounds (same contract as the directory refresh)
+    new_stats = search.apply_changes_stats(
+        snap.stats(), changes, n_after,
+        id_col=id_col, text_col=text_col, change_col=change_col,
+    )
+    t["stats"].overwrite(new_stats)
+    stats_read = t["stats"].read()
+    new_frontier = search.apply_changes_frontier(
+        snap.frontier(), postings_after, doclens_after, changes,
+        id_col=id_col, text_col=text_col, change_col=change_col,
+    )
+    t["frontier"].overwrite(new_frontier)
+    t["bounds"].overwrite(
+        search.bounds_from_frontier(
+            t["frontier"].read(), stats_read, doclens_after, n_after,
+            k1=k1, b=b,
+        )
+    )
+
+    if not _publish:
+        return  # torn-refresh simulation: readers must stay on snap.gen
+    txn_map = dict(GenerationStore(path).meta(snap.gen).get("txn", {}))
+    if txn is not None:
+        txn_map[txn[0]] = int(txn[1])
+    GenerationStore(path).publish(
+        snap.gen + 1,
+        {
+            "versions": {p: t[p].versions()[-1] for p in _PIECES},
+            "n_docs": n_after,
+            "n_buckets": n_buckets,
+            "txn": txn_map,
+        },
+    )
+
+
+def vacuum_tx_search_index(spark, path: str, keep_versions: int = 2) -> None:
+    """Reclaim piece files no longer referenced by the newest
+    ``keep_versions`` piece versions. Run only when no reader still
+    holds an older generation's snapshot (the same contract as
+    TxTable.vacuum's retention)."""
+    for t in _tables(spark, path).values():
+        t.vacuum(keep_versions=keep_versions, retention_seconds=0)
