@@ -183,9 +183,13 @@ def refresh_tx_search_index(
     exactly (touched-bucket postings/doclens CoW, vocabulary-sized
     stats, frontier-exact bounds) but every mutation is a txlog commit
     and nothing becomes visible until the manifest publish — the last,
-    atomic step. ``_publish=False`` exists for the torn-refresh test
-    (pieces committed, manifest withheld: readers must stay consistent
-    on the old generation)."""
+    atomic step. Crash recovery is RE-RUNNING the refresh: every input
+    reads from the still-pinned prior generation, and the
+    touched-bucket delete-then-append clears any torn rows before
+    re-appending, so the re-run is idempotent (pinned by test; the torn
+    commits become unreferenced garbage for vacuum). ``_publish=False``
+    exists for the torn-refresh test (pieces committed, manifest
+    withheld: readers must stay consistent on the old generation)."""
     from sf_epa_data_ingestion_spark.functions.refhash import xxh64_string
 
     snap = load_tx_search_index(spark, path)

@@ -133,3 +133,36 @@ def start_index_maintainer(
     else:
         writer = writer.trigger(processingTime=f"{lag_seconds} seconds")
     return writer.start()
+
+
+def tx_index_refresh_sink(
+    spark: SparkSession,
+    index_path: str,
+    app_id: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    change_col: str = "_change_type",
+):
+    """``foreachBatch`` callable maintaining a TRANSACTIONAL index
+    layout (storage/txindex.py) — the atomic-cutover face of
+    ``index_refresh_sink``: each micro-batch publishes one new manifest
+    generation, so concurrent serving snapshots never observe a
+    mid-refresh layout and a crash mid-batch leaves the prior
+    generation intact (the replayed batch re-runs the whole refresh
+    from the still-pinned snapshot; its torn piece commits are
+    unreferenced garbage for vacuum). The ``(app_id, batch_id)`` marker
+    rides the manifest."""
+    from ..storage.txindex import refresh_tx_search_index
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        refresh_tx_search_index(
+            spark,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            change_col=change_col,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return write_batch

@@ -152,11 +152,21 @@ def test_torn_refresh_is_invisible_until_manifest(spark, tmp_path):
     assert after.gen == 1
     assert _piece_rows(after) == before  # readers stay fully consistent
 
-    # recovery is just running the refresh again (piece commits stack;
-    # the manifest pins whatever versions the completed run produced)...
-    # but a second apply over already-applied postings would double-count,
-    # so the recovery contract is: re-run FROM THE PINNED SNAPSHOT. The
-    # torn commits are unreferenced garbage reclaimed by vacuum.
+    # recovery = simply RE-RUN the refresh: every input reads from the
+    # still-pinned generation-1 snapshot and the touched-bucket
+    # delete-then-append clears the torn rows before re-appending, so
+    # the re-run lands exactly where an untorn refresh would have — the
+    # torn piece commits become unreferenced garbage for vacuum
+    refresh_tx_search_index(
+        spark, tx, changes, id_col="doc_id", text_col="text"
+    )
+    recovered = load_tx_search_index(spark, tx)
+    assert recovered.gen == 2
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    search.materialize_search_index(
+        _t.read(), rebuilt_dir, id_col="doc_id", text_col="text"
+    )
+    assert _piece_rows(recovered) == _dir_rows(spark, rebuilt_dir)
 
 
 def test_refresh_rejects_tokenless_delete_image(spark, tmp_path):
@@ -183,3 +193,46 @@ def test_vacuum_reclaims_old_generations(spark, tmp_path):
     vacuum_tx_search_index(spark, tx, keep_versions=1)
     # current generation unaffected by the reclaim
     assert _piece_rows(load_tx_search_index(spark, tx)) == rows
+
+
+def test_tx_index_refresh_sink_multi_batch_replay(spark, tmp_path):
+    """The streaming face: two change micro-batches through
+    tx_index_refresh_sink — two manifest generations, final state equals
+    a from-scratch build of the final corpus, and replaying either
+    batch id is a no-op (the marker rides the manifest)."""
+    from sf_epa_data_ingestion_spark.streaming.freshness import (
+        tx_index_refresh_sink,
+    )
+
+    docs = _docs(spark, n=120)
+    tx = str(tmp_path / "tx")
+    materialize_tx_search_index(docs, tx, id_col="doc_id", text_col="text")
+    t = TxTable(spark, str(tmp_path / "docs")).create(
+        docs.repartitionByRange(4, "doc_id")
+    )
+    sink = tx_index_refresh_sink(spark, tx, "tx-maint", id_col="doc_id", text_col="text")
+
+    lo = docs.agg(F.min("doc_id")).first()[0]
+    t.merge(
+        docs.filter(F.col("doc_id") <= lo + 1).withColumn(
+            "text", F.concat(F.lit("fresh zebra "), F.col("text"))
+        ),
+        ["doc_id"],
+    )
+    sink(t.changes(0, 1), 0)
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    t.delete_where(F.col("doc_id") == hi)
+    sink(t.changes(1, 2), 1)
+
+    snap = load_tx_search_index(spark, tx)
+    assert snap.gen == 3  # build + two batches
+    rebuilt_dir = str(tmp_path / "rebuilt")
+    search.materialize_search_index(
+        t.read(), rebuilt_dir, id_col="doc_id", text_col="text"
+    )
+    assert _piece_rows(snap) == _dir_rows(spark, rebuilt_dir)
+
+    # replays (crash-window re-deliveries): no new generation
+    sink(t.changes(1, 2), 1)
+    sink(t.changes(0, 1), 0)
+    assert load_tx_search_index(spark, tx).gen == 3
