@@ -41,13 +41,20 @@ HEAVY = [
     # r9: exactly-once streaming replay (micro-batch fixed costs dominate;
     # the data-dependent term is the cell-pruned state probe)
     "semdedup_stream_replay",
+    # r10: the other two graded streaming replays (near-dup monitor and
+    # the composed ingestion pipeline)
+    "neardup_stream_replay", "training_ingest_replay",
 ]
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scaledata", "sf1")
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    argv = sys.argv[1:]
+    names = [a for a in argv if not a.isdigit()]
+    nums = [a for a in argv if a.isdigit()]
+    runs = int(nums[0]) if nums else 3
+    heavy = names or HEAVY
     spark = get_spark(app_name="scale-check")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
@@ -56,7 +63,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     out = {}
-    for name in HEAVY:
+    for name in heavy:
         row = {}
         for tag, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
             best = None
