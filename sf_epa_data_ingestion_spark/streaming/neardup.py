@@ -24,10 +24,11 @@ Design (the streaming face of the same banded-LSH index):
 Scale notes (100 TB): the per-batch probe joins batch bucket rows against
 history bucket rows re-derived from the state signatures — an O(history)
 expression + shuffle per batch, which is the right simplicity below ~10^8
-documents (signatures are ~0.5 KB/doc). Beyond that, persist the bucket
-rows themselves in a txlog table clustered by band_hash (storage/zorder +
-data skipping) so a batch probes only its own buckets; the detection logic
-here is unchanged — only the probe-side source swaps.
+documents (signatures are ~0.5 KB/doc). Beyond that, use
+``near_dup_monitor_banded`` (r10, bottom of this module): band rows
+persisted in their own bucketed state table so a batch probes only its
+own band buckets through txlog data skipping; detection semantics are
+identical (parity-pinned).
 
 Single-writer discipline: like streaming/ingest.py, the state read at
 batch start is the dedup horizon; run one logical writer per state table.
@@ -147,6 +148,123 @@ def near_dup_monitor(
         sig.unpersist()
         maybe_compact_state(
             state, compact_files, target_files=compact_target_files
+        )
+
+    return write_batch
+
+
+def near_dup_monitor_banded(
+    state_sigs: TxTable,
+    state_bands: TxTable,
+    pairs_out: TxTable,
+    app_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 8,
+    threshold: float = 0.7,
+    n_buckets: int = 256,
+    max_retries: int = 5,
+    compact_files: int | None = 16,
+    compact_target_files: int = 4,
+):
+    """The beyond-10^8-documents form this module's scale note
+    prescribes: band rows are PERSISTED in their own state table
+    (id, band_id, band_hash, __bb) instead of re-derived from every
+    historical signature each batch — the plain monitor's per-batch
+    probe re-expands O(history) band rows, which is the right
+    simplicity at millions of docs and the wrong constant at billions.
+
+    - ``__bb = pmod(xxhash64(band_hash), n_buckets)`` buckets the band
+      space; the batch probes only its own buckets through the txlog
+      skipping read (``("__bb", "in", hit)``) — with the in-monitor
+      compaction clustering by ``__bb``, a seconds-of-arrivals batch
+      opens a bounded subset of band files. (A bulk catch-up batch hits
+      every bucket; the probe degrades to a full band scan, never to
+      wrong results.)
+    - signatures stay in ``state_sigs`` for candidate VERIFICATION only
+      (sig agreement): a column-pruned scan semi-joined to the
+      candidate ids. At corpus scale, cluster it by id the same way.
+    - exactly-once across THREE tables: pairs first, bands second, sigs
+      LAST — each append carries its own (app, batch) marker through
+      ``append_once``, so a crash between any two replays into
+      "committed tables acknowledge, missing tables redo"; the monitor
+      gates on sigs (the last) like the plain monitor gates on state.
+
+    Detection semantics are identical to ``near_dup_monitor`` (same
+    signature stage, same banding, same verification) — pinned by a
+    parity test."""
+    rows_per_band = num_hashes // bands
+
+    def _bb(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        if (last := state_sigs.last_txn(app_id)) is not None and batch_id <= last:
+            return  # fully processed (sigs commit LAST)
+        seen_ids = state_sigs.read().select("id")
+        batch_df = batch_df.dropDuplicates([id_col]).join(
+            seen_ids.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+        sig = _signatures(batch_df, id_col, text_col, num_hashes, shingle_k).persist()
+        new_bands = minhash_band_rows(sig, bands, rows_per_band).withColumn(
+            "__bb", _bb(F.col("band_hash"))
+        ).persist()
+        hit = sorted(
+            r["__bb"] for r in new_bands.select("__bb").distinct().collect()
+        )
+        old_bands = state_bands.read(filters=[("__bb", "in", hit)])
+        a_new, b_old = new_bands.alias("a"), old_bands.alias("b")
+        cross = a_new.join(
+            b_old,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        ).select(F.col("b.id").alias("id_a"), F.col("a.id").alias("id_b"))
+        a2, b2 = new_bands.alias("a"), new_bands.alias("b")
+        internal = a2.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand = cross.unionByName(internal).dropDuplicates(["id_a", "id_b"])
+        all_sigs = state_sigs.read().select("id", "sig").unionByName(sig)
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        pairs = (
+            cand.join(
+                all_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+                "id_a",
+            )
+            .join(
+                sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+        # pairs -> bands -> sigs: per-table markers make every prefix
+        # crash-replayable; sigs (the gate) commits LAST
+        append_once(pairs_out, pairs, app_id, batch_id, max_retries)
+        append_once(state_bands, new_bands, app_id, batch_id, max_retries)
+        append_once(state_sigs, sig, app_id, batch_id, max_retries)
+        new_bands.unpersist()
+        sig.unpersist()
+        maybe_compact_state(
+            state_bands, compact_files, cluster_by=["__bb"],
+            target_files=compact_target_files,
+        )
+        maybe_compact_state(
+            state_sigs, compact_files, target_files=compact_target_files
         )
 
     return write_batch

@@ -119,3 +119,85 @@ def test_neardup_monitor_compaction_bounds_state_files(spark, tmp_path):
     sink_c(_batch(spark, n_batches - 1), n_batches - 1)
     assert state_c.read().count() == n_batches * 2
     assert pairs_c.read().count() == n_pairs
+
+
+def test_banded_monitor_parity_replay_and_probe_pruning(spark, tmp_path):
+    """r10: near_dup_monitor_banded == near_dup_monitor pair-for-pair
+    over the same batch sequence (persisted band rows replace per-batch
+    history re-expansion), replay of any batch is a no-op across all
+    THREE tables, and after compaction clusters the band state by
+    bucket, a small batch's probe opens a strict subset of band files."""
+    from sf_epa_data_ingestion_spark.streaming.neardup import (
+        near_dup_monitor_banded,
+    )
+
+    def _batch(spark, b, extra=None):
+        t = f"batch number {b} corpus text segment with shared shingles " * 8
+        rows = [(b * 10, t), (b * 10 + 1, t + " tail")]
+        if extra:
+            rows += extra
+        return _docs(spark, rows)
+
+    # plain monitor (reference semantics)
+    s_p = TxTable(spark, str(tmp_path / "sp")).create_empty("id long, sig array<long>")
+    p_p = TxTable(spark, str(tmp_path / "pp")).create_empty(
+        "id_a long, id_b long, est_jaccard double"
+    )
+    plain = near_dup_monitor(s_p, p_p, "nd-plain", threshold=0.6, compact_files=None)
+
+    # banded monitor under test (aggressive compaction to exercise the
+    # clustered probe)
+    s_sig = TxTable(spark, str(tmp_path / "ss")).create_empty("id long, sig array<long>")
+    s_band = TxTable(spark, str(tmp_path / "sb")).create_empty(
+        "id long, band_id int, band_hash int, __bb int"
+    )
+    p_b = TxTable(spark, str(tmp_path / "pb")).create_empty(
+        "id_a long, id_b long, est_jaccard double"
+    )
+    banded = near_dup_monitor_banded(
+        s_sig, s_band, p_b, "nd-banded", threshold=0.6,
+        n_buckets=8, compact_files=4, compact_target_files=4,
+    )
+
+    n_batches = 8
+    for b in range(n_batches):
+        plain(_batch(spark, b), b)
+        banded(_batch(spark, b), b)
+
+    key = lambda r: (r["id_a"], r["id_b"], r["est_jaccard"])
+    assert sorted(map(key, p_b.read().collect())) == sorted(
+        map(key, p_p.read().collect())
+    )
+    assert p_b.read().count() > 0
+    assert s_sig.read().count() == s_p.read().count() == n_batches * 2
+    # band rows: bands per doc
+    assert s_band.read().count() == n_batches * 2 * 16
+
+    # replay the last batch: all three tables unchanged
+    counts = (p_b.read().count(), s_band.read().count(), s_sig.read().count())
+    banded(_batch(spark, n_batches - 1), n_batches - 1)
+    assert (p_b.read().count(), s_band.read().count(), s_sig.read().count()) == counts
+
+    # probe pruning: a tiny novel batch hits few buckets; the clustered
+    # band state serves it from a strict subset of its files
+    import pyspark.sql.functions as F2
+    tiny = _docs(spark, [(9000, "totally novel nine thousand text " * 8)])
+    from sf_epa_data_ingestion_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_signature_rows,
+    )
+    sig = minhash_signature_rows(tiny, "text", "doc_id", 64, 8)
+    hit = sorted(
+        r["__bb"]
+        for r in minhash_band_rows(sig, 16, 4)
+        .select(F2.pmod(F2.xxhash64(F2.col("band_hash")), F2.lit(8)).cast("int").alias("__bb"))
+        .distinct().collect()
+    )
+    assert hit  # the batch hits SOME buckets
+    # a one-bucket probe against the __bb-range-clustered band state
+    # opens a strict subset of its files (the clustered files partition
+    # the bucket range, so most provably exclude the probed value)
+    probed_one = s_band.read_files(filters=[("__bb", "in", [hit[0]])])
+    assert len(probed_one) < len(s_band.read_files())
+    banded(tiny, n_batches)  # and the probe-pruned batch still processes
+    assert s_sig.read().count() == n_batches * 2 + 1
