@@ -63,6 +63,7 @@ def training_doc_appender(
     min_score_fp: int | None = None,
     compact_files: int | None = 16,
     compact_target_files: int = 4,
+    compact_vacuum_keep: int | None = None,
 ):
     """Build a ``foreachBatch`` callable ingesting documents into ``table``
     (schema: source columns + ``text_hash``) with quality gating, exact
@@ -127,7 +128,8 @@ def training_doc_appender(
         fresh = kept.join(existing, "text_hash", "left_anti")
         append_once(table, fresh, app_id, batch_id, max_retries)
         maybe_compact_state(
-            table, compact_files, target_files=compact_target_files
+            table, compact_files, target_files=compact_target_files,
+            vacuum_keep=compact_vacuum_keep,
         )
 
     return write_batch

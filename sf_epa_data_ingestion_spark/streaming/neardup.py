@@ -72,6 +72,7 @@ def near_dup_monitor(
     max_retries: int = 5,
     compact_files: int | None = 16,
     compact_target_files: int = 4,
+    compact_vacuum_keep: int | None = None,
 ):
     """Build a ``foreachBatch`` callable that detects near-dups of every
     arriving document against the full ingestion history.
@@ -147,7 +148,8 @@ def near_dup_monitor(
         append_once(state, sig, app_id, batch_id, max_retries)
         sig.unpersist()
         maybe_compact_state(
-            state, compact_files, target_files=compact_target_files
+            state, compact_files, target_files=compact_target_files,
+            vacuum_keep=compact_vacuum_keep,
         )
 
     return write_batch
@@ -168,6 +170,7 @@ def near_dup_monitor_banded(
     max_retries: int = 5,
     compact_files: int | None = 16,
     compact_target_files: int = 4,
+    compact_vacuum_keep: int | None = None,
 ):
     """The beyond-10^8-documents form this module's scale note
     prescribes: band rows are PERSISTED in their own state table
@@ -261,10 +264,11 @@ def near_dup_monitor_banded(
         sig.unpersist()
         maybe_compact_state(
             state_bands, compact_files, cluster_by=["__bb"],
-            target_files=compact_target_files,
+            target_files=compact_target_files, vacuum_keep=compact_vacuum_keep,
         )
         maybe_compact_state(
-            state_sigs, compact_files, target_files=compact_target_files
+            state_sigs, compact_files, target_files=compact_target_files,
+            vacuum_keep=compact_vacuum_keep,
         )
 
     return write_batch

@@ -141,6 +141,7 @@ def semantic_dedup_monitor(
     write_partitions: int = 1,
     compact_files: int | None = 16,
     compact_target_files: int = 4,
+    compact_vacuum_keep: int | None = None,
     decorate_decisions=None,
 ):
     """Build a ``foreachBatch`` callable applying the SemDeDup policy to
@@ -311,7 +312,7 @@ def semantic_dedup_monitor(
         enc.unpersist()
         maybe_compact_state(
             state, compact_files, cluster_by=["cid"],
-            target_files=compact_target_files,
+            target_files=compact_target_files, vacuum_keep=compact_vacuum_keep,
         )
 
     return write_batch

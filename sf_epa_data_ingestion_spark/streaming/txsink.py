@@ -83,6 +83,7 @@ def maybe_compact_state(
     cluster_by=None,
     target_files: int = 4,
     small_bytes: int = 64 << 20,
+    vacuum_keep: int | None = None,
 ) -> bool:
     """In-monitor state maintenance (single-writer discipline: call this
     from the SAME foreachBatch that owns the table, after its commit for
@@ -101,7 +102,15 @@ def maybe_compact_state(
     OUTSIDE the exactly-once protocol — it rewrites bytes, never rows,
     so a crash before/after it changes nothing about replay, and a
     replayed batch that skips it just leaves the work for the next
-    fresh batch. Returns True when a compaction ran."""
+    fresh batch. Returns True when a compaction ran.
+
+    ``vacuum_keep``: also physically reclaim files not live in the
+    newest that-many snapshots after a compaction — compaction alone
+    bounds the LIVE file count while removed generations keep
+    accumulating on disk forever. Opt-in, because vacuuming breaks time
+    travel past the retained window for any downstream consumer; safe
+    under the monitor's single-writer discipline (retention 0 is sound
+    only because no OTHER writer can be mid-stage on this table)."""
     if not files_threshold:
         return False
     import os
@@ -117,6 +126,8 @@ def maybe_compact_state(
         target_files=target_files,
         only_small_bytes=small_bytes,
     )
+    if vacuum_keep:
+        table.vacuum(keep_versions=vacuum_keep, retention_seconds=0.0)
     return True
 
 

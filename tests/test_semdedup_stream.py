@@ -316,3 +316,64 @@ def test_generation_cutover_mid_stream(spark, tmp_path):
     gen, cents_r, state_r = current_semdedup_generation(spark, root)
     assert gen == 2 and cents_r == cents2
     assert state_r.read().count() == 12
+
+
+def test_compact_vacuum_bounds_on_disk_files(spark, tmp_path):
+    """r10: compaction alone bounds the LIVE file set while removed
+    generations pile up on disk; with compact_vacuum_keep the monitor
+    also reclaims them, so the state directory's physical parquet count
+    stays bounded over a long replay — with decisions unchanged and
+    replay still a no-op."""
+    import os
+
+    def _vec(i):
+        base = E0 if i % 2 == 0 else E1
+        v = list(base)
+        v[2] = (i % 5) * 1e-3
+        return _u(v)
+
+    def _batch(b):
+        rows = [(b * 10 + j, _vec(b * 10 + j)) for j in range(3)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _on_disk(root):
+        return sum(
+            1 for f in os.listdir(root) if f.endswith(".parquet")
+        )
+
+    n_batches = 16
+    runs = {}
+    for tag, keep in (("vac", 2), ("ctl", None)):
+        state = TxTable(spark, str(tmp_path / f"state_{tag}")).create_empty(
+            "id long, cid int, u array<double>, ccos double"
+        )
+        out = TxTable(spark, str(tmp_path / f"out_{tag}")).create_empty(
+            "cid int, keep_id long, drop_id long, cosine_sim double"
+        )
+        sink = semantic_dedup_monitor(
+            state, out, f"sd-{tag}", CENTS, threshold=0.95,
+            compact_files=4, compact_target_files=2, compact_vacuum_keep=keep,
+        )
+        for b in range(n_batches):
+            sink(_batch(b), b)
+        runs[tag] = (state, out)
+
+    state_v, out_v = runs["vac"]
+    state_n, out_n = runs["ctl"]
+    key = lambda r: (r["cid"], r["keep_id"], r["drop_id"], round(r["cosine_sim"], 6))
+    assert sorted(map(key, out_v.read().collect())) == sorted(
+        map(key, out_n.read().collect())
+    )
+    assert state_v.read().count() == state_n.read().count() == n_batches * 3
+    # the control's on-disk count keeps every compacted-away generation;
+    # the vacuuming monitor's stays near the live count
+    assert _on_disk(state_n.root) > 2 * len(state_n.read_files())
+    assert _on_disk(state_v.root) <= len(state_v.read_files()) + 6
+    # replay after vacuum: still a no-op
+    v = state_v.read().count()
+    sink_v = semantic_dedup_monitor(
+        state_v, out_v, "sd-vac", CENTS, threshold=0.95,
+        compact_files=4, compact_target_files=2, compact_vacuum_keep=2,
+    )
+    sink_v(_batch(n_batches - 1), n_batches - 1)
+    assert state_v.read().count() == v
