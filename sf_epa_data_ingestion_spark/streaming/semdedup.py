@@ -475,6 +475,7 @@ def semantic_dedup_monitor_gen(
     write_partitions: int = 1,
     compact_files: int | None = 16,
     compact_target_files: int = 4,
+    auto_retrain: dict | None = None,
 ):
     """The generation-following face of ``semantic_dedup_monitor``: the
     serving generation (model + state) is re-resolved at EVERY
@@ -485,10 +486,40 @@ def semantic_dedup_monitor_gen(
     generation number that scored them, since cid is generation-scoped.
 
     ``decisions_out`` schema: (gen int, cid int, keep_id long,
-    drop_id long, cosine_sim double)."""
+    drop_id long, cosine_sim double).
+
+    ``auto_retrain`` closes the drift loop the way the reference's
+    managed service does (invisible reindex under TARGET_LAG): when the
+    arriving data drifts away from the frozen centroids, the monitor
+    ITSELF triggers the generation cutover — single-writer safe, since
+    it runs inside the same foreachBatch between batches. Policy dict::
+
+        {"ratio": 0.9,        # trigger when a batch's mean centroid
+                              # cosine < ratio x the generation's
+                              # running mean (drift = vectors landing
+                              # ever farther from every centroid)
+         "min_batches": 3,    # never judge the first batches of a
+                              # generation (the running mean is noisy)
+         "n_centroids": 64}   # the new generation's cluster count
+
+    The drift statistic is FREE of extra scans: each batch's mean ccos
+    comes from the state table's change feed for just-appended rows
+    (batch-sized, file-pruned by version), and the generation's running
+    mean accumulates in a driver-side ``_drift.json`` beside the model
+    (a heuristic trigger, not exactly-once state — a crash can lose a
+    batch's contribution, which only delays the trigger; decisions
+    correctness never depends on it)."""
+    import json
+    import os
+
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+    def _drift_path(gen: int) -> str:
+        return os.path.join(GenerationStore(root).path(gen), "_drift.json")
 
     def write_batch(batch_df, batch_id: int) -> None:
         gen, cents, state = current_semdedup_generation(spark, root)
+        v_before = state.versions()[-1]
         inner = semantic_dedup_monitor(
             state, decisions_out, app_id, cents,
             id_col=id_col, vec_col=vec_col, threshold=threshold,
@@ -501,5 +532,50 @@ def semantic_dedup_monitor_gen(
             ),
         )
         inner(batch_df, batch_id)
+        if not auto_retrain:
+            return
+        # net-NEW rows only: an in-monitor compaction in the same window
+        # rewrites old rows as delete+insert pairs (different files, so
+        # the feed's net-zero cancellation doesn't apply) — anti-join
+        # the inserts against the window's deletes so only the batch's
+        # genuinely new rows feed the drift statistic. (With
+        # compact_vacuum_keep, keep >= 2 so the window's files survive
+        # the reclaim — changes() needs them on disk.)
+        feed = state.changes(v_before)
+        net_new = feed.filter(F.col("_change_type") == "insert").join(
+            feed.filter(F.col("_change_type") == "delete").select("id"),
+            "id",
+            "left_anti",
+        )
+        row = (
+            net_new.filter(F.col("ccos").isNotNull() & ~F.isnan("ccos"))
+            .agg(F.sum("ccos").alias("s"), F.count("ccos").alias("n"))
+            .first()
+        )
+        if not row or not row["n"]:
+            return  # replayed/empty batch: no new evidence
+        try:
+            with open(_drift_path(gen)) as f:
+                acc = json.load(f)
+        except (FileNotFoundError, ValueError):
+            acc = {"s": 0.0, "n": 0, "batches": 0}
+        batch_mean = float(row["s"]) / int(row["n"])
+        ratio = float(auto_retrain.get("ratio", 0.9))
+        min_batches = int(auto_retrain.get("min_batches", 3))
+        if (
+            acc["batches"] >= min_batches
+            and acc["n"] > 0
+            and batch_mean < ratio * (acc["s"] / acc["n"])
+        ):
+            retrain_semdedup_generation(
+                spark, root, app_id,
+                n_centroids=int(auto_retrain.get("n_centroids", len(cents))),
+            )
+            return  # the new generation starts a fresh accumulator
+        acc["s"] += float(row["s"])
+        acc["n"] += int(row["n"])
+        acc["batches"] += 1
+        with open(_drift_path(gen), "w") as f:
+            json.dump(acc, f)
 
     return write_batch

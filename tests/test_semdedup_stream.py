@@ -377,3 +377,71 @@ def test_compact_vacuum_bounds_on_disk_files(spark, tmp_path):
     )
     sink_v(_batch(n_batches - 1), n_batches - 1)
     assert state_v.read().count() == v
+
+
+def test_auto_retrain_cuts_over_on_drift(spark, tmp_path):
+    """r10: the drift loop closed — the generational monitor itself
+    triggers the cutover when arriving vectors land far from every
+    frozen centroid (batch mean ccos < ratio x the generation's running
+    mean), exactly the invisible-retrain posture of the reference's
+    managed service. Pins: no cutover while data matches the model,
+    cutover fires on drifted data, the new model covers the drifted
+    region (decisions for drifted near-dups appear under gen 2), and
+    stable data after the cutover triggers nothing further."""
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+    from sf_epa_data_ingestion_spark.streaming.semdedup import (
+        init_semdedup_generations,
+        semantic_dedup_monitor_gen,
+    )
+
+    def _vec(base, k):
+        v = list(base)
+        v[3] = 1e-3 * k
+        return _u(v)
+
+    # drifted direction far from both gen-1 centroids (E0, E1)
+    DRIFT = _u([0.0, 0.0, 1.0, 1.0] + [0.0] * (DIM - 4))
+
+    root = str(tmp_path / "gens")
+    init_semdedup_generations(spark, root, CENTS)
+    out = TxTable(spark, str(tmp_path / "decisions")).create_empty(
+        "gen int, cid int, keep_id long, drop_id long, cosine_sim double"
+    )
+    sink = semantic_dedup_monitor_gen(
+        spark, root, out, "sd-auto", threshold=0.95,
+        auto_retrain={"ratio": 0.9, "min_batches": 2, "n_centroids": 3},
+    )
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # four on-model batches: running mean builds, no cutover
+    b = 0
+    for _ in range(4):
+        rows = [(b * 10 + j, _vec(E0 if j % 2 == 0 else E1, b * 10 + j)) for j in range(3)]
+        sink(_batch(rows), b)
+        b += 1
+    assert GenerationStore(root).latest() == 1
+
+    # a drifted batch: mean ccos collapses -> the monitor retrains
+    drifted = [(900 + j, _vec(DRIFT, j)) for j in range(4)]
+    sink(_batch(drifted), b)
+    b += 1
+    assert GenerationStore(root).latest() == 2
+
+    # post-cutover: the new model has a cell near the drifted region, so
+    # a newly arriving drifted near-dup pairs under generation 2
+    sink(_batch([(950, _vec(DRIFT, 1))]), b)
+    b += 1
+    rows = out.read().collect()
+    assert any(r["gen"] == 2 for r in rows), "no decisions under the new generation"
+    gen2_ids = {r["keep_id"] for r in rows if r["gen"] == 2} | {
+        r["drop_id"] for r in rows if r["gen"] == 2
+    }
+    assert 950 in gen2_ids and gen2_ids & {900, 901, 902, 903}
+
+    # stable batches under gen 2: no further cutover
+    for _ in range(3):
+        sink(_batch([(1000 + b, _vec(DRIFT, b))]), b)
+        b += 1
+    assert GenerationStore(root).latest() == 2
