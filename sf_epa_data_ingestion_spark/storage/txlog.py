@@ -95,9 +95,10 @@ def _may_match(stats: dict | None, filters) -> bool:
     if not stats:
         return True
     for col, op, v in filters:
-        if col not in stats:
-            continue
-        mn, mx = stats[col]
+        bounds = stats.get(col)
+        if not isinstance(bounds, (list, tuple)) or len(bounds) != 2:
+            continue  # absent, or a reserved non-bounds key ("__rows")
+        mn, mx = bounds
         if hasattr(v, "isoformat"):
             # temporal bounds are stored as isoformat strings, which
             # order chronologically; normalize the probe the same way
@@ -356,18 +357,19 @@ class TxTable:
 
         cols = [f.name for f in df.schema.fields
                 if f.dataType.typeName() in self._SKIPPABLE]
-        obs = Observation() if cols else None
-        if obs is not None:
-            aggs = []
-            for c in cols:
-                aggs.append(F.min(c).alias(f"mn__{c}"))
-                aggs.append(F.max(c).alias(f"mx__{c}"))
-            df = df.observe(obs, *aggs)
+        obs = Observation()
+        aggs = [F.count(F.lit(1)).alias("__nrows")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"mn__{c}"))
+            aggs.append(F.max(c).alias(f"mx__{c}"))
+        df = df.observe(obs, *aggs)
         names = self._stage(df)
-        if obs is None or len(names) != 1:
+        if len(names) != 1:
             return names, self._file_stats(names)
         row = obs.get
-        ent = {}
+        # "__rows" is a reserved stats key (per-file row count -> exact
+        # metadata-only TxTable.row_count, Delta's numRecords analog)
+        ent = {"__rows": int(row["__nrows"])}
         for c in cols:
             mn, mx = row[f"mn__{c}"], row[f"mx__{c}"]
             if mn is None:
@@ -389,9 +391,7 @@ class TxTable:
         df = self.spark.read.parquet(*paths)
         cols = [f.name for f in df.schema.fields
                 if f.dataType.typeName() in self._SKIPPABLE]
-        if not cols:
-            return {}
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__nrows")]
         for c in cols:
             aggs.append(F.min(c).alias(f"mn__{c}"))
             aggs.append(F.max(c).alias(f"mx__{c}"))
@@ -402,7 +402,7 @@ class TxTable:
         )
         out: dict[str, dict] = {}
         for r in rows:
-            ent = {}
+            ent = {"__rows": int(r["__nrows"])}
             for c in cols:
                 mn, mx = r[f"mn__{c}"], r[f"mx__{c}"]
                 if mn is None:
@@ -469,6 +469,30 @@ class TxTable:
             # the ``in`` op needs the collection itself for isin
             df = df.filter(_OPS[op](F.col(c), v))
         return df
+
+    def row_count(self, version: int | None = None) -> int:
+        """Exact COUNT(*) from commit metadata alone (Delta's numRecords
+        analog): every file written since r10 carries a reserved
+        ``__rows`` stat. Files from older commits that lack it are
+        counted with one footer-only Spark job over just those files —
+        so the cost is bounded by the PRE-r10 remainder, shrinking to
+        zero as the table is rewritten."""
+        _, files, schema, stats = self._snapshot_full(version)
+        total = 0
+        unknown = []
+        for f in files:
+            n = (stats.get(f) or {}).get("__rows")
+            if n is None:
+                unknown.append(f)
+            else:
+                total += int(n)
+        if unknown:
+            total += (
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self.root, f) for f in unknown])
+                .count()
+            )
+        return total
 
     def read_files(
         self,

@@ -213,7 +213,9 @@ def init_vector_index_generations(
     table = TxTable(spark, os.path.join(gen_dir, "index")).create_empty(
         f"{id_col} long, cid int, codes array<int>"
     )
-    store.publish(1, {"n_centroids": len(coarse) if coarse else 0})
+    store.publish(
+        1, {"n_centroids": len(coarse) if coarse else 0, "n_rows_at_train": 0}
+    )
     return table
 
 
@@ -285,7 +287,16 @@ def retrain_vector_index_generation(
         new_table.append(backfill, txn={"app": app_id, "batch": marker})
     else:
         new_table.append(backfill)
-    store.publish(new_gen, {"n_centroids": n_centroids, "from_gen": gen})
+    store.publish(
+        new_gen,
+        {
+            "n_centroids": n_centroids,
+            "from_gen": gen,
+            # metadata-only count (txlog __rows stats): the baseline the
+            # growth-triggered auto-retrain compares against
+            "n_rows_at_train": new_table.row_count(),
+        },
+    )
     return new_gen
 
 
@@ -297,20 +308,51 @@ def vector_index_maintainer_gen(
     vec_col: str = "embedding",
     change_col: str = "_change_type",
     max_retries: int = 5,
+    auto_retrain: dict | None = None,
 ):
     """The generation-following face of ``vector_index_maintainer``: the
     serving generation (model + index table) is re-resolved at EVERY
     micro-batch start, so a ``retrain_vector_index_generation`` cutover
     takes effect mid-stream at the next batch boundary with no restart;
-    the carried marker keeps replay exact across the swap."""
+    the carried marker keeps replay exact across the swap.
+
+    ``auto_retrain`` closes the drift loop the FAISS way — retrain when
+    the corpus has outgrown the sample the codebooks were fitted on
+    (quantization error creeps up as cells overfill). Policy dict::
+
+        {"growth": 2.0,            # retrain when index rows >= growth x
+                                   # rows at the last train
+         "min_rows": 1000,         # never below this absolute floor
+         "corpus": lambda: df,     # the CURRENT corpus snapshot to
+                                   # refit + re-encode (PQ codes are
+                                   # lossy; the index can't self-train)
+         "n_centroids": 16}
+
+    The growth check is METADATA-only (txlog per-file ``__rows`` stats
+    -> ``row_count``), so it costs no scan per batch; the cutover runs
+    inside the foreachBatch under the single-writer discipline."""
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
 
     def write_batch(batch_df, batch_id: int) -> None:
-        _gen, model, table = current_vector_index_generation(spark, root)
+        gen, model, table = current_vector_index_generation(spark, root)
         inner = vector_index_maintainer(
             table, app_id, model["coarse"], model["cq"], int(model["dim"]),
             id_col=id_col, vec_col=vec_col, change_col=change_col,
             max_retries=max_retries, residual=bool(model["residual"]),
         )
         inner(batch_df, batch_id)
+        if not auto_retrain:
+            return
+        n_at = int(GenerationStore(root).meta(gen).get("n_rows_at_train", 0))
+        n_now = table.row_count()
+        growth = float(auto_retrain.get("growth", 2.0))
+        min_rows = int(auto_retrain.get("min_rows", 1))
+        if n_now >= min_rows and n_now >= growth * max(1, n_at):
+            retrain_vector_index_generation(
+                spark, root, app_id, auto_retrain["corpus"](),
+                id_col=id_col, vec_col=vec_col,
+                n_centroids=int(auto_retrain.get("n_centroids", 16)),
+                residual=bool(model["residual"]),
+            )
 
     return write_batch

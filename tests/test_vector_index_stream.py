@@ -464,3 +464,81 @@ def test_vector_index_generation_cutover_mid_stream(spark, tmp_path):
     assert GenerationStore(root).retire_below(keep_latest=1) == [1]
     gen, _m, t = current_vector_index_generation(spark, root)
     assert gen == 2 and t.read().count() == len(want)
+
+
+def test_row_count_is_metadata_only_and_exact(spark, tmp_path):
+    """r10: TxTable.row_count equals COUNT(*) across appends, CoW
+    deletes, and compaction — from commit stats alone for r10-written
+    files."""
+    from sf_epa_data_ingestion_spark.storage import TxTable
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").limit(300)
+    t = TxTable(spark, str(tmp_path / "t")).create(emb.repartition(3))
+    assert t.row_count() == 300
+    t.append(emb.limit(50).withColumn("vec_id", F.col("vec_id") + 10_000))
+    assert t.row_count() == 350 == t.read().count()
+    t.delete_where(F.col("vec_id") < 20)
+    assert t.row_count() == t.read().count()
+    t.compact(target_files=2)
+    assert t.row_count() == t.read().count()
+
+
+def test_vector_index_auto_retrain_on_growth(spark, tmp_path):
+    """r10: the maintainer itself cuts a new generation when the index
+    outgrows the sample its codebooks were fitted on (metadata-only
+    growth check) — and not before."""
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+    from sf_epa_data_ingestion_spark.streaming.vectorindex import (
+        current_vector_index_generation,
+        init_vector_index_generations,
+        retrain_vector_index_generation,
+        vector_index_maintainer_gen,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    wave1 = emb.filter(F.col("vec_id") < 150)
+    coarse, cq = similarity.train_ivfpq(wave1, dim=64, n_centroids=8)
+    root = str(tmp_path / "gens")
+    init_vector_index_generations(spark, root, coarse, cq, 64)
+
+    corpus_holder = {"df": wave1}
+    sink = vector_index_maintainer_gen(
+        spark, root, "vec-auto",
+        auto_retrain={
+            "growth": 2.0, "min_rows": 150,
+            "corpus": lambda: corpus_holder["df"], "n_centroids": 8,
+        },
+    )
+
+    def _feed(df, bid):
+        sink(df.withColumn("_change_type", F.lit("insert")), bid)
+
+    # batch 0: 150 rows; n_rows_at_train is 0 at init, so the growth
+    # trigger fires immediately once min_rows is met — establishing the
+    # FIRST trained generation from the live corpus (gen 1's model came
+    # from an offline sample; this self-heals the baseline).
+    _feed(wave1, 0)
+    assert GenerationStore(root).latest() == 2
+    gen, _m, t = current_vector_index_generation(spark, root)
+    assert t.row_count() == 150
+    assert GenerationStore(root).meta(2)["n_rows_at_train"] == 150
+
+    # + 100 rows: 250 < 2 x 150 -> no retrain
+    wave2 = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 250))
+    corpus_holder["df"] = wave1.unionByName(wave2)
+    _feed(wave2, 1)
+    assert GenerationStore(root).latest() == 2
+
+    # + 100 rows: 350 >= 300 -> retrain fires, baseline resets to 350
+    wave3 = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 350))
+    corpus_holder["df"] = corpus_holder["df"].unionByName(wave3)
+    _feed(wave3, 2)
+    assert GenerationStore(root).latest() == 3
+    assert GenerationStore(root).meta(3)["n_rows_at_train"] == 350
+    _gen, model3, t3 = current_vector_index_generation(spark, root)
+    # the new generation equals a batch re-encode of the full corpus
+    assert _rows(t3.read()) == _rows(
+        similarity.encode_ivfpq(
+            corpus_holder["df"], model3["coarse"], model3["cq"], 64
+        )
+    )
