@@ -157,6 +157,39 @@ class TxSearchSnapshot:
         """Replay marker for ``app`` as of this generation's manifest."""
         return GenerationStore(self.path).meta(self.gen).get("txn", {}).get(app)
 
+    def bm25_maxscore(self, queries: DataFrame, k: int = 10,
+                      k1: float = 1.2, b: float = 0.75,
+                      query_id: str = "query_id",
+                      text_col: str = "query_text") -> DataFrame:
+        """WAND-pruned batch BM25 served ENTIRELY from this snapshot:
+        the postings probe is bucket-pruned through txlog file skipping
+        (``postings_for_terms``), and every statistic (stats, bounds,
+        doclens, n_docs) reads at the pinned versions — so results are
+        stable under concurrent refreshes, the property the directory
+        layout cannot offer."""
+        import re
+
+        # driver-side mirror of search._norm_tokens (lowercase,
+        # non-alphanumerics to spaces) so the pruned probe covers
+        # exactly the terms the scorer will look up
+        terms = sorted(
+            {
+                t
+                for r in queries.select(text_col).collect()
+                for t in re.sub(r"[^0-9a-z]+", " ", (r[text_col] or "").lower()).split()
+                if t
+            }
+        )
+        return search.bm25_search_many_maxscore(
+            self.postings_for_terms(terms),
+            self.stats(),
+            self.bounds(),
+            queries,
+            self.n_docs,
+            self.doclens(),
+            k=k, k1=k1, b=b, query_id=query_id, text_col=text_col,
+        )
+
 
 def load_tx_search_index(spark, path: str) -> TxSearchSnapshot:
     store = GenerationStore(path)

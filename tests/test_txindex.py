@@ -236,3 +236,49 @@ def test_tx_index_refresh_sink_multi_batch_replay(spark, tmp_path):
     sink(t.changes(1, 2), 1)
     sink(t.changes(0, 1), 0)
     assert load_tx_search_index(spark, tx).gen == 3
+
+
+def test_snapshot_wand_serving_matches_naive_and_survives_refresh(spark, tmp_path):
+    """r10: WAND served from a pinned snapshot equals naive scoring over
+    the same generation — and keeps returning the OLD generation's
+    results after a concurrent refresh rewrote every piece (the
+    stable-serving property the directory layout cannot offer)."""
+    docs = _docs(spark, n=150)
+    tx = str(tmp_path / "tx")
+    materialize_tx_search_index(docs, tx, id_col="doc_id", text_col="text")
+    snap = load_tx_search_index(spark, tx)
+    queries = spark.createDataFrame(
+        [(1, "spark table join"), (2, "hash index scan")],
+        "query_id long, query_text string",
+    )
+
+    def _rows(df):
+        return sorted(
+            (r["query_id"], r["id"], round(r["score"], 9)) for r in df.collect()
+        )
+
+    wand = _rows(snap.bm25_maxscore(queries, k=5))
+    naive = _rows(
+        search.bm25_search_many(
+            snap.postings(), snap.stats(), queries, snap.n_docs,
+            doclens=snap.doclens(), k=5,
+        )
+    )
+    assert wand == naive and wand
+
+    # refresh rewrites pieces; the already-resolved snapshot still
+    # serves generation-1 results bit-for-bit
+    _t, changes = _feed(spark, tmp_path, docs)
+    refresh_tx_search_index(spark, tx, changes, id_col="doc_id", text_col="text")
+    assert _rows(snap.bm25_maxscore(queries, k=5)) == wand
+    # while a freshly-resolved snapshot serves the new corpus
+    snap2 = load_tx_search_index(spark, tx)
+    assert snap2.gen == 2
+    wand2 = _rows(snap2.bm25_maxscore(queries, k=5))
+    naive2 = _rows(
+        search.bm25_search_many(
+            snap2.postings(), snap2.stats(), queries, snap2.n_docs,
+            doclens=snap2.doclens(), k=5,
+        )
+    )
+    assert wand2 == naive2 and wand2 != wand
