@@ -233,34 +233,6 @@ def refresh_tx_search_index(
     t = snap._t
     n_buckets = snap.n_buckets
 
-    deleted_ids = (
-        changes.filter(F.col(change_col) == "delete")
-        .select(F.col(id_col).alias("id")).distinct()
-    )
-    # full-row-image contract, same fail-fast as refresh_search_index:
-    # a tokenless delete image for a doc with indexed dl > 0 would
-    # strand its postings while decrementing the counts
-    empty_deletes = (
-        changes.filter(F.col(change_col) == "delete")
-        .filter(F.coalesce(F.size(search._norm_tokens(F.col(text_col))), F.lit(0)) <= 0)
-        .select(F.col(id_col).alias("id")).distinct()
-    )
-    n_bad = (
-        snap.doclens().join(F.broadcast(empty_deletes), "id", "left_semi")
-        .filter(F.col("dl") > 0).count()
-    )
-    if n_bad:
-        raise ValueError(
-            f"refresh_tx_search_index: {n_bad} delete row(s) carry a "
-            "null/empty text image for docs whose indexed dl > 0 — the "
-            "change feed must supply the full pre-image"
-        )
-    n_deleted = snap.doclens().join(
-        F.broadcast(deleted_ids), "id", "left_semi"
-    ).count()
-    n_inserted = changes.filter(F.col(change_col) == "insert").count()
-    n_after = snap.n_docs - n_deleted + n_inserted
-
     touched_tokens = sorted(
         r["token"]
         for r in changes.select(
@@ -274,6 +246,41 @@ def refresh_tx_search_index(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias("__ib")
         ).distinct().collect()
     )
+    # every doclens probe below is __ib-pruned to the change set's
+    # id-buckets (txlog file skipping) — an unpruned snap.doclens() scan
+    # here would make the per-batch refresh O(corpus), breaking the
+    # change-proportional contract this module exists for
+    touched_dl_probe = snap._read(
+        "doclens", filters=[("__ib", "in", touched_ibs)]
+    ).drop("__ib")
+
+    deleted_ids = (
+        changes.filter(F.col(change_col) == "delete")
+        .select(F.col(id_col).alias("id")).distinct()
+    )
+    # full-row-image contract, same fail-fast as refresh_search_index:
+    # a tokenless delete image for a doc with indexed dl > 0 would
+    # strand its postings while decrementing the counts
+    empty_deletes = (
+        changes.filter(F.col(change_col) == "delete")
+        .filter(F.coalesce(F.size(search._norm_tokens(F.col(text_col))), F.lit(0)) <= 0)
+        .select(F.col(id_col).alias("id")).distinct()
+    )
+    n_bad = (
+        touched_dl_probe.join(F.broadcast(empty_deletes), "id", "left_semi")
+        .filter(F.col("dl") > 0).count()
+    )
+    if n_bad:
+        raise ValueError(
+            f"refresh_tx_search_index: {n_bad} delete row(s) carry a "
+            "null/empty text image for docs whose indexed dl > 0 — the "
+            "change feed must supply the full pre-image"
+        )
+    n_deleted = touched_dl_probe.join(
+        F.broadcast(deleted_ids), "id", "left_semi"
+    ).count()
+    n_inserted = changes.filter(F.col(change_col) == "insert").count()
+    n_after = snap.n_docs - n_deleted + n_inserted
 
     # --- postings: CoW on touched buckets (per-file __tb bounds keep the
     # delete to those files), maintained rows appended back
@@ -340,10 +347,28 @@ def refresh_tx_search_index(
     )
 
 
-def vacuum_tx_search_index(spark, path: str, keep_versions: int = 2) -> None:
-    """Reclaim piece files no longer referenced by the newest
-    ``keep_versions`` piece versions. Run only when no reader still
-    holds an older generation's snapshot (the same contract as
-    TxTable.vacuum's retention)."""
-    for t in _tables(spark, path).values():
-        t.vacuum(keep_versions=keep_versions, retention_seconds=0)
+def vacuum_tx_search_index(spark, path: str, keep_generations: int = 2) -> None:
+    """Reclaim piece files not referenced by the newest
+    ``keep_generations`` MANIFESTS. The retention unit is generations,
+    not raw txlog versions: one refresh commits to each piece an UNEVEN
+    number of times (postings/doclens get a delete + an append, the
+    vocabulary pieces one overwrite), so a fixed per-table version count
+    would reclaim a still-pinned generation's postings while keeping its
+    stats — a torn snapshot for any reader holding it. Per piece, every
+    version >= the OLDEST retained manifest's pinned version is kept
+    (txlog retention is a contiguous newest-N window, and pinned
+    versions are monotone across generations). Run only when no reader
+    still holds an older generation's snapshot."""
+    store = GenerationStore(path)
+    gens = store.generations()[-max(1, keep_generations):]
+    if not gens:
+        return
+    oldest_pinned = {
+        p: min(int(store.meta(g)["versions"][p]) for g in gens) for p in _PIECES
+    }
+    for piece, t in _tables(spark, path).items():
+        latest = t.versions()[-1]
+        t.vacuum(
+            keep_versions=latest - oldest_pinned[piece] + 1,
+            retention_seconds=0,
+        )

@@ -51,14 +51,18 @@ class GenerationStore:
 
     def latest(self) -> int | None:
         """Highest committed generation number, or None before init."""
+        gens = self.generations()
+        return gens[-1] if gens else None
+
+    def generations(self) -> list[int]:
+        """All committed generation numbers, ascending."""
         if not os.path.isdir(self.gens_dir):
-            return None
-        gens = [
+            return []
+        return sorted(
             int(f[:-5])
             for f in os.listdir(self.gens_dir)
             if f.endswith(".json") and f[:-5].isdigit()
-        ]
-        return max(gens) if gens else None
+        )
 
     def path(self, gen: int) -> str:
         return os.path.join(self.root, f"gen-{gen:05d}")
@@ -69,24 +73,53 @@ class GenerationStore:
 
     def publish(self, gen: int, meta: dict | None = None) -> None:
         """Atomically commit generation ``gen`` (its directory must be
-        fully built). Exclusive create: a lost race raises instead of
-        overwriting the winner's record."""
+        fully built). The payload is written and fsynced to a TEMP file
+        first, then ``os.link``ed into place — link gives BOTH the
+        exclusive-create race arbitration (EEXIST if another publisher
+        won) and record-level atomicity: a crash can never leave a
+        torn/empty record whose mere existence would brick ``latest()``
+        for every reader while blocking any re-publish of the number
+        (the failure mode of a bare O_EXCL open-then-write)."""
         os.makedirs(self.gens_dir, exist_ok=True)
         payload = json.dumps({"gen": gen, **(meta or {})}, indent=0)
+        final = os.path.join(self.gens_dir, f"{gen:05d}.json")
+        tmp = os.path.join(self.gens_dir, f".{gen:05d}.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(
-                os.path.join(self.gens_dir, f"{gen:05d}.json"),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                0o644,
-            )
+            os.link(tmp, final)
         except FileExistsError as e:
             raise GenerationAlreadyPublished(
                 f"generation {gen} already published at {self.root}"
             ) from e
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def prepare_dir(self, gen: int) -> str:
+        """Make (or RESET) generation ``gen``'s build directory. An
+        existing directory for an UNPUBLISHED generation is a crashed
+        builder's orphan — invisible garbage by design — so it is
+        cleared rather than raised on: without this, a crash mid-build
+        would poison every retry (the state table's ``create_empty``
+        hits FileExistsError forever, and an auto-retrain policy whose
+        trigger condition still holds would fail every subsequent
+        micro-batch). Refuses to touch a PUBLISHED generation's
+        directory."""
+        if gen in self.generations():
+            raise GenerationAlreadyPublished(
+                f"generation {gen} is published at {self.root}; its "
+                "directory is immutable"
+            )
+        p = self.path(gen)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        os.makedirs(p)
+        return p
 
     def retire_below(self, keep_latest: int = 2) -> list[int]:
         """Delete generation DIRECTORIES older than the newest
@@ -96,11 +129,7 @@ class GenerationStore:
         latest = self.latest()
         if latest is None:
             return []
-        gens = sorted(
-            int(f[:-5])
-            for f in os.listdir(self.gens_dir)
-            if f.endswith(".json") and f[:-5].isdigit()
-        )
+        gens = self.generations()
         victims = [g for g in gens[:-keep_latest] if g < latest] if keep_latest else []
         retired = []
         for g in victims:
@@ -109,3 +138,59 @@ class GenerationStore:
                 shutil.rmtree(p)
                 retired.append(g)
         return retired
+
+
+# -- shared model/state plumbing used by the SemDeDup and vector-index
+#    generational services (one copy, so the crash-window fixes above
+#    cannot drift between them) ------------------------------------------
+
+# parsed-model cache keyed by (root, gen): a published generation's
+# model file is immutable (publish is exclusive and numbers are never
+# reused), so re-parsing a potentially centroids-sized JSON on EVERY
+# micro-batch is pure waste — the monitors resolve the generation per
+# batch by design.
+_MODEL_CACHE: dict[tuple[str, int], dict] = {}
+
+
+def build_generation(
+    spark, root: str, gen: int, model: dict, table_name: str,
+    table_schema: str,
+):
+    """Prepare generation ``gen``'s directory (clearing any crashed
+    builder's orphan), write its model, and create its empty state
+    table. Returns (gen_dir, TxTable). The caller backfills the table
+    and then calls ``GenerationStore.publish`` LAST."""
+    import json as _json
+    import os as _os
+
+    from sf_epa_data_ingestion_spark.storage.txlog import TxTable
+
+    store = GenerationStore(root)
+    gen_dir = store.prepare_dir(gen)
+    with open(_os.path.join(gen_dir, "_model.json"), "w") as f:
+        _json.dump(model, f)
+    table = TxTable(spark, _os.path.join(gen_dir, table_name)).create_empty(
+        table_schema
+    )
+    return gen_dir, table
+
+
+def resolve_generation(spark, root: str, table_name: str):
+    """(gen, model dict, TxTable) for the latest published generation,
+    with the parsed model served from the immutability cache."""
+    import json as _json
+    import os as _os
+
+    from sf_epa_data_ingestion_spark.storage.txlog import TxTable
+
+    store = GenerationStore(root)
+    gen = store.latest()
+    if gen is None:
+        raise FileNotFoundError(f"no published generation under {root}")
+    key = (_os.path.realpath(root), gen)
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        with open(_os.path.join(store.path(gen), "_model.json")) as f:
+            model = _json.load(f)
+        _MODEL_CACHE[key] = model
+    return gen, model, TxTable(spark, _os.path.join(store.path(gen), table_name))

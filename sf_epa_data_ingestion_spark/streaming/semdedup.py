@@ -337,22 +337,18 @@ def semantic_dedup_monitor(
 
 def init_semdedup_generations(spark, root: str, cents) -> "TxTable":
     """Create generation 1 of a generational SemDeDup state: an empty
-    state table plus the frozen model, published atomically. Returns the
-    generation's state table."""
-    import json
-    import os
-
-    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
-
-    store = GenerationStore(root)
-    gen_dir = store.path(1)
-    os.makedirs(gen_dir, exist_ok=True)
-    with open(os.path.join(gen_dir, "_model.json"), "w") as f:
-        json.dump({"cents": cents}, f)
-    state = TxTable(spark, os.path.join(gen_dir, "state")).create_empty(
-        _STATE_SCHEMA
+    state table plus the frozen model, published atomically (shared
+    plumbing: generations.build_generation). Returns the generation's
+    state table."""
+    from sf_epa_data_ingestion_spark.streaming.generations import (
+        GenerationStore,
+        build_generation,
     )
-    store.publish(1, {"n_centroids": len(cents)})
+
+    _gen_dir, state = build_generation(
+        spark, root, 1, {"cents": cents}, "state", _STATE_SCHEMA
+    )
+    GenerationStore(root).publish(1, {"n_centroids": len(cents)})
     return state
 
 
@@ -360,20 +356,16 @@ def current_semdedup_generation(spark, root: str):
     """Resolve the serving generation: (gen_no, cents, state table).
     This is the read the monitor performs at every micro-batch start and
     any serving query performs before probing — both flip to N+1 at the
-    instant its pointer commits."""
-    import json
-    import os
+    instant its pointer commits. The parsed model comes from the
+    immutability cache (generations.resolve_generation), so the
+    per-batch resolve costs a listdir, never a centroid-matrix JSON
+    parse."""
+    from sf_epa_data_ingestion_spark.streaming.generations import (
+        resolve_generation,
+    )
 
-    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
-
-    store = GenerationStore(root)
-    gen = store.latest()
-    if gen is None:
-        raise FileNotFoundError(f"no published generation under {root}")
-    gen_dir = store.path(gen)
-    with open(os.path.join(gen_dir, "_model.json")) as f:
-        cents = json.load(f)["cents"]
-    return gen, cents, TxTable(spark, os.path.join(gen_dir, "state"))
+    gen, model, state = resolve_generation(spark, root, "state")
+    return gen, model["cents"], state
 
 
 def retrain_semdedup_generation(
@@ -405,13 +397,14 @@ def retrain_semdedup_generation(
       generation N after the backfill read here would be silently absent
       from N+1.
     Crash safety: the pointer commits LAST, so a crash mid-backfill
-    leaves an orphaned gen directory and intact N serving."""
-    import json
-    import os
-
+    leaves an orphaned gen directory and intact N serving — and a RETRY
+    simply rebuilds: build_generation clears the orphan first."""
     from sf_epa_data_ingestion_spark.operators.similarity import train_ivf
     from sf_epa_data_ingestion_spark.partitioning import spread
-    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+    from sf_epa_data_ingestion_spark.streaming.generations import (
+        GenerationStore,
+        build_generation,
+    )
 
     store = GenerationStore(root)
     gen, _cents_old, state_old = current_semdedup_generation(spark, root)
@@ -439,12 +432,12 @@ def retrain_semdedup_generation(
         ).repartitionByRange(state_files, "cid")
 
         new_gen = gen + 1
-        gen_dir = store.path(new_gen)
-        os.makedirs(gen_dir, exist_ok=True)
-        with open(os.path.join(gen_dir, "_model.json"), "w") as f:
-            json.dump({"cents": new_cents}, f)
-        new_state = TxTable(spark, os.path.join(gen_dir, "state")).create_empty(
-            _STATE_SCHEMA
+        # build_generation clears any crashed builder's orphan directory
+        # first — a bare create_empty here would FileExistsError forever
+        # after a mid-backfill crash, and an auto_retrain trigger that
+        # still held would then fail every subsequent micro-batch
+        _gen_dir, new_state = build_generation(
+            spark, root, new_gen, {"cents": new_cents}, "state", _STATE_SCHEMA
         )
         if marker is not None:
             new_state.append(backfill, txn={"app": app_id, "batch": marker})

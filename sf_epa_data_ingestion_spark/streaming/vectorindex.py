@@ -186,14 +186,8 @@ def vector_index_maintainer(
 # ---------------------------------------------------------------------------
 
 
-def _write_model(gen_dir: str, coarse, cq, dim: int, residual: bool) -> None:
-    import json
-    import os
-
-    with open(os.path.join(gen_dir, "_model.json"), "w") as f:
-        json.dump(
-            {"coarse": coarse, "cq": cq, "dim": dim, "residual": residual}, f
-        )
+def _model_dict(coarse, cq, dim: int, residual: bool) -> dict:
+    return {"coarse": coarse, "cq": cq, "dim": dim, "residual": residual}
 
 
 def init_vector_index_generations(
@@ -201,19 +195,18 @@ def init_vector_index_generations(
     residual: bool = False,
 ) -> TxTable:
     """Create generation 1 of a generational IVF-PQ index: an empty index
-    table plus the frozen model, published atomically."""
-    import os
-
-    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
-
-    store = GenerationStore(root)
-    gen_dir = store.path(1)
-    os.makedirs(gen_dir, exist_ok=True)
-    _write_model(gen_dir, coarse, cq, dim, residual)
-    table = TxTable(spark, os.path.join(gen_dir, "index")).create_empty(
-        f"{id_col} long, cid int, codes array<int>"
+    table plus the frozen model, published atomically (shared plumbing:
+    generations.build_generation)."""
+    from sf_epa_data_ingestion_spark.streaming.generations import (
+        GenerationStore,
+        build_generation,
     )
-    store.publish(
+
+    _gen_dir, table = build_generation(
+        spark, root, 1, _model_dict(coarse, cq, dim, residual), "index",
+        f"{id_col} long, cid int, codes array<int>",
+    )
+    GenerationStore(root).publish(
         1, {"n_centroids": len(coarse) if coarse else 0, "n_rows_at_train": 0}
     )
     return table
@@ -221,19 +214,14 @@ def init_vector_index_generations(
 
 def current_vector_index_generation(spark, root: str):
     """(gen_no, model dict, index table) — resolved fresh by the
-    maintainer at every micro-batch start and by serving before a probe."""
-    import json
-    import os
+    maintainer at every micro-batch start and by serving before a probe;
+    the parsed model (codebooks can be MBs of JSON) comes from the
+    immutability cache in generations.resolve_generation."""
+    from sf_epa_data_ingestion_spark.streaming.generations import (
+        resolve_generation,
+    )
 
-    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
-
-    store = GenerationStore(root)
-    gen = store.latest()
-    if gen is None:
-        raise FileNotFoundError(f"no published generation under {root}")
-    with open(os.path.join(store.path(gen), "_model.json")) as f:
-        model = json.load(f)
-    return gen, model, TxTable(spark, os.path.join(store.path(gen), "index"))
+    return resolve_generation(spark, root, "index")
 
 
 def retrain_vector_index_generation(
@@ -254,11 +242,13 @@ def retrain_vector_index_generation(
     the old index), re-encode the snapshot as one batch job
     range-partitioned on the new cid (probe pruning from the first
     post-cutover batch), carry the replay marker, publish atomically.
-    Crash mid-build leaves the pointer on N."""
-    import os
-
+    Crash mid-build leaves the pointer on N — a retry rebuilds
+    (build_generation clears the orphan first)."""
     from sf_epa_data_ingestion_spark.operators.similarity import train_ivfpq
-    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+    from sf_epa_data_ingestion_spark.streaming.generations import (
+        GenerationStore,
+        build_generation,
+    )
 
     store = GenerationStore(root)
     gen, model, table_old = current_vector_index_generation(spark, root)
@@ -277,11 +267,13 @@ def retrain_vector_index_generation(
     ).repartitionByRange(index_files, "cid")
 
     new_gen = gen + 1
-    gen_dir = store.path(new_gen)
-    os.makedirs(gen_dir, exist_ok=True)
-    _write_model(gen_dir, coarse, cq, dim, residual)
-    new_table = TxTable(spark, os.path.join(gen_dir, "index")).create_empty(
-        f"{id_col} long, cid int, codes array<int>"
+    # build_generation clears any crashed builder's orphan directory —
+    # a bare create_empty would FileExistsError forever after a
+    # mid-backfill crash, and the growth trigger (which only resets on a
+    # SUCCESSFUL publish) would then fail every subsequent micro-batch
+    _gen_dir, new_table = build_generation(
+        spark, root, new_gen, _model_dict(coarse, cq, dim, residual), "index",
+        f"{id_col} long, cid int, codes array<int>",
     )
     if marker is not None:
         new_table.append(backfill, txn={"app": app_id, "batch": marker})

@@ -445,3 +445,77 @@ def test_auto_retrain_cuts_over_on_drift(spark, tmp_path):
         sink(_batch([(1000 + b, _vec(DRIFT, b))]), b)
         b += 1
     assert GenerationStore(root).latest() == 2
+
+
+def test_retrain_retry_after_crashed_build(spark, tmp_path):
+    """r10 review: a crash mid-retrain (gen dir built, manifest never
+    published) must not poison the retry — build_generation clears the
+    orphan, so re-running the retrain succeeds and serving follows."""
+    from sf_epa_data_ingestion_spark.streaming.generations import (
+        GenerationStore,
+        build_generation,
+    )
+    from sf_epa_data_ingestion_spark.streaming.semdedup import (
+        current_semdedup_generation,
+        init_semdedup_generations,
+        retrain_semdedup_generation,
+        semantic_dedup_monitor_gen,
+    )
+
+    root = str(tmp_path / "gens")
+    init_semdedup_generations(spark, root, CENTS)
+    out = TxTable(spark, str(tmp_path / "out")).create_empty(
+        "gen int, cid int, keep_id long, drop_id long, cosine_sim double"
+    )
+    sink = semantic_dedup_monitor_gen(spark, root, out, "sd-crash")
+    sink(_emb(spark, [1, 2, 3, 4, 5]), 0)
+
+    # crash simulation: generation 2's directory exists (model + state
+    # table created) but the manifest was never published
+    build_generation(
+        spark, root, 2, {"cents": CENTS}, "state",
+        "id long, cid int, u array<double>, ccos double",
+    )
+    assert GenerationStore(root).latest() == 1  # pointer untouched
+
+    # the retry must rebuild cleanly, not FileExistsError forever
+    assert retrain_semdedup_generation(spark, root, "sd-crash", n_centroids=3) == 2
+    gen, cents2, state2 = current_semdedup_generation(spark, root)
+    assert gen == 2 and len(cents2) == 3
+    assert state2.read().count() == 5
+    assert state2.last_txn("sd-crash") == 0  # marker carried
+
+    # a published generation's directory is immutable
+    import pytest
+    from sf_epa_data_ingestion_spark.streaming.generations import (
+        GenerationAlreadyPublished,
+    )
+    with pytest.raises(GenerationAlreadyPublished):
+        GenerationStore(root).prepare_dir(2)
+
+
+def test_generation_publish_is_atomic_and_tmp_tolerant(spark, tmp_path):
+    """r10 review: the generation record appears atomically (temp write
+    + link), a leftover temp file never pollutes generation resolution,
+    and a lost publish race raises without damaging the winner."""
+    import json
+    import os
+
+    import pytest
+    from sf_epa_data_ingestion_spark.streaming.generations import (
+        GenerationAlreadyPublished,
+        GenerationStore,
+    )
+
+    store = GenerationStore(str(tmp_path / "g"))
+    store.publish(1, {"x": 1})
+    # a crashed publisher's temp file is invisible to resolution
+    with open(os.path.join(store.gens_dir, ".00002.999.tmp"), "w") as f:
+        f.write("{torn")
+    assert store.latest() == 1
+    assert store.generations() == [1]
+    # losing the race raises; the winner's record is intact
+    with pytest.raises(GenerationAlreadyPublished):
+        store.publish(1, {"x": 2})
+    assert store.meta(1)["x"] == 1
+    assert json.load(open(os.path.join(store.gens_dir, "00001.json")))["x"] == 1

@@ -190,7 +190,7 @@ def test_vacuum_reclaims_old_generations(spark, tmp_path):
 
     snap = load_tx_search_index(spark, tx)
     rows = _piece_rows(snap)
-    vacuum_tx_search_index(spark, tx, keep_versions=1)
+    vacuum_tx_search_index(spark, tx, keep_generations=1)
     # current generation unaffected by the reclaim
     assert _piece_rows(load_tx_search_index(spark, tx)) == rows
 
@@ -282,3 +282,34 @@ def test_snapshot_wand_serving_matches_naive_and_survives_refresh(spark, tmp_pat
         )
     )
     assert wand2 == naive2 and wand2 != wand
+
+
+def test_vacuum_keeps_all_retained_generations_readable(spark, tmp_path):
+    """r10 review: the vacuum retention unit is GENERATIONS, not raw
+    txlog versions — one refresh commits unevenly across pieces (two
+    postings commits vs one stats commit), so a fixed version count
+    would tear the previous generation. With keep_generations=2, a
+    reader holding the previous generation's snapshot must keep
+    computing it bit-for-bit after the vacuum."""
+    docs = _docs(spark, n=80)
+    tx = str(tmp_path / "tx")
+    materialize_tx_search_index(docs, tx, id_col="doc_id", text_col="text")
+    t, changes1 = _feed(spark, tmp_path, docs)
+    refresh_tx_search_index(spark, tx, changes1, id_col="doc_id", text_col="text")
+    snap_prev = load_tx_search_index(spark, tx)  # generation 2
+    prev_rows = _piece_rows(snap_prev)
+
+    # a second refresh produces generation 3
+    hi = t.read().agg(F.max("doc_id")).first()[0]
+    v = t.versions()[-1]
+    t.delete_where(F.col("doc_id") == hi)
+    refresh_tx_search_index(
+        spark, tx, t.changes(v), id_col="doc_id", text_col="text"
+    )
+    assert load_tx_search_index(spark, tx).gen == 3
+
+    vacuum_tx_search_index(spark, tx, keep_generations=2)
+    # generation 2's snapshot — the PREVIOUS retained generation, whose
+    # postings versions sit several txlog commits back — still reads
+    assert _piece_rows(snap_prev) == prev_rows
+    assert _piece_rows(load_tx_search_index(spark, tx))  # gen 3 fine too
