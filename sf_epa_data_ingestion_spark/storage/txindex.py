@@ -167,18 +167,16 @@ class TxSearchSnapshot:
         doclens, n_docs) reads at the pinned versions — so results are
         stable under concurrent refreshes, the property the directory
         layout cannot offer."""
-        import re
-
-        # driver-side mirror of search._norm_tokens (lowercase,
-        # non-alphanumerics to spaces) so the pruned probe covers
-        # exactly the terms the scorer will look up
+        # the SAME Spark expression the scorer tokenizes with (one tiny
+        # collect over the query frame) — a hand-rolled Python mirror
+        # would have to track _norm_tokens' JVM semantics forever, and
+        # any divergence silently drops a term's postings from the
+        # pruned probe
         terms = sorted(
-            {
-                t
-                for r in queries.select(text_col).collect()
-                for t in re.sub(r"[^0-9a-z]+", " ", (r[text_col] or "").lower()).split()
-                if t
-            }
+            r["t"]
+            for r in queries.select(
+                F.explode(search._norm_tokens(F.col(text_col))).alias("t")
+            ).distinct().collect()
         )
         return search.bm25_search_many_maxscore(
             self.postings_for_terms(terms),
@@ -296,12 +294,10 @@ def refresh_tx_search_index(
         maintained.repartitionByRange(max(1, len(touched_buckets)), "__tb")
     )
 
-    # --- doclens: CoW on touched id-buckets
-    touched_dl = snap._read(
-        "doclens", filters=[("__ib", "in", touched_ibs)]
-    ).drop("__ib")
+    # --- doclens: CoW on touched id-buckets (same pruned read as the
+    # probes above — one construction, so the filters cannot drift)
     new_dl = search.apply_changes_doclens(
-        touched_dl, changes, id_col=id_col, text_col=text_col,
+        touched_dl_probe, changes, id_col=id_col, text_col=text_col,
         change_col=change_col,
     ).withColumn("__ib", F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)))
     t["doclens"].delete_where(F.col("__ib").isin(touched_ibs))

@@ -356,7 +356,10 @@ class TxTable:
         from pyspark.sql import Observation
 
         cols = [f.name for f in df.schema.fields
-                if f.dataType.typeName() in self._SKIPPABLE]
+                if f.dataType.typeName() in self._SKIPPABLE
+                and f.name != "__rows"]  # reserved stats key: a real
+        # column of that name gets no bounds (never mis-prunes) instead
+        # of clobbering the per-file row count
         obs = Observation()
         aggs = [F.count(F.lit(1)).alias("__nrows")]
         for c in cols:
@@ -390,7 +393,8 @@ class TxTable:
         paths = [os.path.join(self.root, n) for n in names]
         df = self.spark.read.parquet(*paths)
         cols = [f.name for f in df.schema.fields
-                if f.dataType.typeName() in self._SKIPPABLE]
+                if f.dataType.typeName() in self._SKIPPABLE
+                and f.name != "__rows"]  # reserved stats key (see above)
         aggs = [F.count(F.lit(1)).alias("__nrows")]
         for c in cols:
             aggs.append(F.min(c).alias(f"mn__{c}"))
@@ -409,6 +413,10 @@ class TxTable:
                     continue  # all-null column in this file: no bounds
                 ent[c] = [self._sanitize_bound(mn), self._sanitize_bound(mx)]
             out[os.path.basename(r["__fp"])] = ent
+        # a zero-row file emits no groupBy row; record its count anyway
+        # or row_count would pay a footer-scan fallback for it forever
+        for n in names:
+            out.setdefault(n, {"__rows": 0})
         return out
 
     # -- public API ---------------------------------------------------------

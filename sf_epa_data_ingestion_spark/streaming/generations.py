@@ -82,8 +82,15 @@ class GenerationStore:
         (the failure mode of a bare O_EXCL open-then-write)."""
         os.makedirs(self.gens_dir, exist_ok=True)
         payload = json.dumps({"gen": gen, **(meta or {})}, indent=0)
+        import uuid
+
         final = os.path.join(self.gens_dir, f"{gen:05d}.json")
-        tmp = os.path.join(self.gens_dir, f".{gen:05d}.{os.getpid()}.tmp")
+        # pid alone is not unique enough: two THREADS of one process
+        # racing the same generation would share (and truncate) one tmp
+        # path, letting the winning link publish torn bytes
+        tmp = os.path.join(
+            self.gens_dir, f".{gen:05d}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        )
         with open(tmp, "w") as f:
             f.write(payload)
             f.flush()
@@ -144,12 +151,17 @@ class GenerationStore:
 #    generational services (one copy, so the crash-window fixes above
 #    cannot drift between them) ------------------------------------------
 
-# parsed-model cache keyed by (root, gen): a published generation's
-# model file is immutable (publish is exclusive and numbers are never
-# reused), so re-parsing a potentially centroids-sized JSON on EVERY
-# micro-batch is pure waste — the monitors resolve the generation per
-# batch by design.
-_MODEL_CACHE: dict[tuple[str, int], dict] = {}
+# parsed-model cache keyed by (root, gen, record mtime): a published
+# generation's model file is immutable (publish is exclusive and
+# numbers are never reused within a store), so re-parsing a potentially
+# centroids-sized JSON on EVERY micro-batch is pure waste — the
+# monitors resolve the generation per batch by design. The record's
+# mtime in the key means an rmtree-and-reinit at the same path (test
+# harness, operational reset) can never serve the deleted store's
+# model; the size cap bounds driver memory across a long stream of
+# auto-retrain generations (oldest-inserted evicted).
+_MODEL_CACHE: dict[tuple, dict] = {}
+_MODEL_CACHE_MAX = 16
 
 
 def build_generation(
@@ -187,10 +199,13 @@ def resolve_generation(spark, root: str, table_name: str):
     gen = store.latest()
     if gen is None:
         raise FileNotFoundError(f"no published generation under {root}")
-    key = (_os.path.realpath(root), gen)
+    record = _os.path.join(store.gens_dir, f"{gen:05d}.json")
+    key = (_os.path.realpath(root), gen, _os.stat(record).st_mtime_ns)
     model = _MODEL_CACHE.get(key)
     if model is None:
         with open(_os.path.join(store.path(gen), "_model.json")) as f:
             model = _json.load(f)
+        while len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+            _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
         _MODEL_CACHE[key] = model
     return gen, model, TxTable(spark, _os.path.join(store.path(gen), table_name))

@@ -192,7 +192,7 @@ def _model_dict(coarse, cq, dim: int, residual: bool) -> dict:
 
 def init_vector_index_generations(
     spark, root: str, coarse, cq, dim: int, id_col: str = "vec_id",
-    residual: bool = False,
+    residual: bool = False, n_rows_at_train: int = 0,
 ) -> TxTable:
     """Create generation 1 of a generational IVF-PQ index: an empty index
     table plus the frozen model, published atomically (shared plumbing:
@@ -207,7 +207,14 @@ def init_vector_index_generations(
         f"{id_col} long, cid int, codes array<int>",
     )
     GenerationStore(root).publish(
-        1, {"n_centroids": len(coarse) if coarse else 0, "n_rows_at_train": 0}
+        1,
+        {
+            "n_centroids": len(coarse) if coarse else 0,
+            # record the offline training sample's size so a
+            # growth-triggered auto-retrain doesn't fire on the first
+            # batch against a freshly fitted model
+            "n_rows_at_train": int(n_rows_at_train),
+        },
     )
     return table
 
@@ -314,16 +321,36 @@ def vector_index_maintainer_gen(
 
         {"growth": 2.0,            # retrain when index rows >= growth x
                                    # rows at the last train
-         "min_rows": 1000,         # never below this absolute floor
-         "corpus": lambda: df,     # the CURRENT corpus snapshot to
-                                   # refit + re-encode (PQ codes are
-                                   # lossy; the index can't self-train)
-         "n_centroids": 16}
+         "min_rows": 1000,         # absolute floor (the default); with
+                                   # n_rows_at_train=0 (init's default)
+                                   # it alone gates the FIRST retrain,
+                                   # so record the offline sample size
+                                   # at init to avoid a wasteful day-1
+                                   # refit
+         "corpus": lambda: df,     # REQUIRED: the CURRENT corpus
+                                   # snapshot to refit + re-encode (PQ
+                                   # codes are lossy; the index can't
+                                   # self-train). Validated at build
+                                   # time, not at trigger time.
+         "n_centroids": 16,
+         "train_kw": {"m": 16}}    # extra train_ivfpq kwargs, so a
+                                   # cutover keeps the original PQ
+                                   # hyperparameters instead of
+                                   # silently reverting to defaults
 
     The growth check is METADATA-only (txlog per-file ``__rows`` stats
     -> ``row_count``), so it costs no scan per batch; the cutover runs
     inside the foreachBatch under the single-writer discipline."""
     from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+    if auto_retrain is not None and not callable(auto_retrain.get("corpus")):
+        # fail at BUILD time: discovered at trigger time (possibly days
+        # in), a missing corpus provider would crash the batch, and the
+        # still-true growth condition would crash every batch after it
+        raise ValueError(
+            "auto_retrain requires a callable 'corpus' returning the "
+            "current corpus snapshot"
+        )
 
     def write_batch(batch_df, batch_id: int) -> None:
         gen, model, table = current_vector_index_generation(spark, root)
@@ -338,13 +365,14 @@ def vector_index_maintainer_gen(
         n_at = int(GenerationStore(root).meta(gen).get("n_rows_at_train", 0))
         n_now = table.row_count()
         growth = float(auto_retrain.get("growth", 2.0))
-        min_rows = int(auto_retrain.get("min_rows", 1))
+        min_rows = int(auto_retrain.get("min_rows", 1000))
         if n_now >= min_rows and n_now >= growth * max(1, n_at):
             retrain_vector_index_generation(
                 spark, root, app_id, auto_retrain["corpus"](),
                 id_col=id_col, vec_col=vec_col,
                 n_centroids=int(auto_retrain.get("n_centroids", 16)),
                 residual=bool(model["residual"]),
+                **auto_retrain.get("train_kw", {}),
             )
 
     return write_batch
