@@ -36,6 +36,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from sf_epa_data_ingestion_spark import registry
 from sf_epa_data_ingestion_spark.functions import strings, text, vectors
 from sf_epa_data_ingestion_spark.operators import (
     analytics,
@@ -4065,21 +4066,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (r10): the driver's correctness harness checks only
-    # the FIRST 50 entries; tools/check_freshness.py enforces that every
-    # query's newest green row is <=2 rounds old. The registry runs a
-    # two-phase rotation: 100 queries, 50-wide window, the r8-green 50
-    # and the r9-green 50 alternate. This window:
-    #    1-50: ALL 50 queries whose newest green row is r8 (age 2 — they
-    #          must grade now or stale out at r11).
-    #    51+ : r9-green (they are r11's window — all 50 fit it exactly,
-    #          keeping the alternation stable).
-    # Any NEW query added this round must take a window slot, displacing
-    # an r8-green query only if that query is simultaneously retired or
-    # merged (the registry is at the 100-query capacity of a 50-window /
-    # max-stale-2 two-phase rotation — see tools/check_freshness.py).
+    """SELF-ORDERING registry (r11, r10 VERDICT next-round #1): the
+    driver grades the first 50 entries, so the dict is ordered at call
+    time by ``registry.stalest_first`` over the CORRECTNESS files on
+    disk — never-graded queries first, then oldest newest-green round,
+    name tiebreak. The hand-maintained two-phase ordering this replaces
+    went red at the round boundary three rounds running (green at the
+    builder's HEAD, red the moment the driver dropped the new
+    CORRECTNESS file); the dynamic order is green at every tree state
+    by construction. ``tools/check_freshness.py`` simulates future
+    rounds through the same function. Capacity rule unchanged: the
+    registry must hold at most WINDOW * MAX_STALE = 100 queries."""
+    base = _registry_base()
+    order = registry.stalest_first(
+        base, registry.last_green_rounds(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return {name: base[name] for name in order}
+
+
+def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Membership only — the grading order is derived in queries().
+    # tools/check_freshness.py regex-parses this literal dict for the
+    # name list (so the gate needn't import pyspark); keep entries on
+    # the '"name": q_func,' one-per-line form.
     return {
-    # -- r8-green: re-grade now (r10 window) ---------------------------
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "search_hybrid_ann": q_search_hybrid_ann,
@@ -4091,10 +4101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "minhash_lsh": q_minhash_lsh,
         "dup_spans": q_dup_spans,
-    # -- r10 merge: grouping_sets + rollup_agg + cube_agg became ONE
-    #    graded row (all three operator surfaces still exercised inside
-    #    it), freeing two window slots for the newly graded streaming
-    #    replays below ------------------------------------------------
+    # multi_grouping is the r10 merge of grouping_sets + rollup_agg +
+    # cube_agg (all three operator surfaces exercised in one graded row)
         "multi_grouping": q_multi_grouping,
         "neardup_stream_replay": q_neardup_stream_replay,
         "training_ingest_replay": q_training_ingest_replay,
@@ -4134,7 +4142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "approx_profile": q_approx_profile,
-    # -- past the 50-entry window: r9-green (r11's window) -------------
         "ann_ivfpq": q_ann_ivfpq,
         "search_lexical": q_search_lexical,
         "search_postings": q_search_postings,

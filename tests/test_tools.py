@@ -1,6 +1,9 @@
 """Smoke tests for the repo's gate tools (they guard the grading loop, so
 they get the same regression protection as operators)."""
 
+import json
+import re
+import shutil
 import subprocess
 import sys
 
@@ -22,20 +25,79 @@ def test_check_freshness_passes_for_the_prepared_round():
     assert "fresh at round" in r.stdout
 
 
-def test_check_freshness_fails_when_rotation_would_stall():
-    # far enough ahead that queries outside the current window go stale
-    r = _run("12")
+def test_check_freshness_fails_when_grading_rounds_are_skipped():
+    # With the self-ordering registry a single missed round self-heals
+    # (the stale block simply heads the next window), so the gate only
+    # goes red on a REAL evidence gap: two consecutive rounds with no
+    # grading leaves the freshest block >MAX_STALE rounds old and
+    # outside the derived window.
+    r = _run("14")
     assert r.returncode == 1, r.stdout + r.stderr
-    assert "STALE at round 12" in r.stdout
+    assert "STALE at round 14" in r.stdout
 
 
 def test_rotation_would_survive_the_next_round_gate():
-    """The r8 in-suite stall gate: simulate the CURRENT window going
-    green this round, then require every query to clear the <=2-round
-    staleness rule at the NEXT round with no window credit. If the
-    current queries() ordering strands anything (e.g. a new query parked
-    past position 50, or a stale set not rotated in), this test is red
-    TODAY — not at the next pre-round checklist."""
+    """Simulate MAX_STALE+1 future rounds, each crediting the
+    dynamically derived window: if the registry exceeded capacity or an
+    ordering bug stranded a query, some simulated round goes red TODAY
+    rather than at a future pre-round checklist."""
     r = _run("--assume-window-green")
     assert r.returncode == 0, r.stdout + r.stderr
     assert "fresh at round" in r.stdout
+
+
+def test_gate_green_at_the_post_grading_round_boundary(tmp_path):
+    """The r8–r10 repeat offender: the gate must stay green AFTER the
+    driver drops the new CORRECTNESS file, with no manual reordering.
+    Replay that state: copy the real CORRECTNESS history, synthesize the
+    next round's file crediting exactly the CURRENT derived window, and
+    require the gate (and its forward simulation) to pass against it."""
+    sys.path.insert(0, REPO)
+    from sf_epa_data_ingestion_spark.registry import (
+        WINDOW,
+        graded_rounds,
+        last_green_rounds,
+        stalest_first,
+    )
+
+    for p in __import__("glob").glob(f"{REPO}/CORRECTNESS_r*.json"):
+        shutil.copy(p, tmp_path)
+    last = last_green_rounds(str(tmp_path))
+    rnd = max(graded_rounds(str(tmp_path))) + 1
+    names = _registry_names()
+    window = stalest_first(names, last)[:WINDOW]
+    synthetic = {
+        q: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+        for q in window
+    }
+    (tmp_path / f"CORRECTNESS_r{rnd}.json").write_text(json.dumps(synthetic))
+
+    r = _run("--repo", str(tmp_path))
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = _run("--repo", str(tmp_path), "--assume-window-green")
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def _registry_names():
+    src = open(f"{REPO}/__spark_entry__.py").read()
+    m = re.search(r"def _registry_base\(\).*?return \{(.*?)\n    \}", src, re.S)
+    return re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1))
+
+
+def test_source_parse_matches_real_registry_and_order_is_stalest_first():
+    """Pin the gate's import-light source parse against the real
+    queries() dict, and the dict's order against the shared ordering
+    function — if either drifts, the gate would silently check the
+    wrong thing."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+    from sf_epa_data_ingestion_spark.registry import (
+        last_green_rounds,
+        stalest_first,
+    )
+
+    parsed = _registry_names()
+    real = list(entry.queries().keys())
+    assert sorted(parsed) == sorted(real)
+    expected = stalest_first(parsed, last_green_rounds(REPO))
+    assert real == expected

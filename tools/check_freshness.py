@@ -1,33 +1,31 @@
 #!/usr/bin/env python3
-"""Driver-window freshness gate (r6 VERDICT next-round #7).
+"""Driver-window freshness gate (r6 VERDICT next-round #7, rebuilt r11).
 
 The driver's per-round correctness harness grades only the FIRST 50
-entries of ``queries()``, so window rotation is what keeps every query's
-evidence fresh. This tool makes a stalled rotation loud: it reads every
-CORRECTNESS_r*.json at the repo root, computes each registry query's
-newest hash-green round, and FAILS (exit 1) if any query's newest green
-row would be more than ``MAX_STALE`` rounds old by the END of the round
-being prepared — unless that query sits inside the current first-50
-window (i.e. it is about to be re-graded).
+entries of ``queries()``. Since r11 the registry is SELF-ORDERING
+(``__spark_entry__.queries()`` sorts stalest-newest-green-first via
+``sf_epa_data_ingestion_spark.registry`` at call time), so this gate no
+longer checks a hand-maintained ordering — it checks the INVARIANT that
+makes the dynamic ordering sufficient: at the round being prepared, and
+(with ``--assume-window-green``) at the next ``MAX_STALE + 1`` simulated
+rounds, every query outside the derived window has a green row at most
+``MAX_STALE`` rounds old. The only way to go red is a real capacity or
+evidence problem (registry grown past WINDOW * MAX_STALE queries, or a
+round that was never graded), never the round-boundary state the static
+ordering was structurally red in (r8–r10).
 
-Run it as part of the pre-round checklist AFTER reordering ``queries()``:
+Usage:
 
-    python tools/check_freshness.py            # next round = max seen + 1
-    python tools/check_freshness.py 9          # explicit next round no.
+    python tools/check_freshness.py                  # next round = max seen + 1
+    python tools/check_freshness.py 12               # explicit next round
+    python tools/check_freshness.py --assume-window-green
+    python tools/check_freshness.py --repo /tmp/x    # CORRECTNESS files there
 
-With ``--assume-window-green`` the check simulates the round being
-prepared actually completing: every in-window query is credited a green
-row for that round, the window skip is disabled, and staleness is
-evaluated one round further out — so ``pytest`` (tests/test_tools.py)
-goes red TODAY if the current ordering would leave any query stale at
-the NEXT round's gate, instead of the stall surfacing only in the next
-pre-round checklist (r7 VERDICT next-round #8).
-
-A brand-new query (no green row yet) is only OK while it is in the
-window. Exit 0 prints the staleness histogram; exit 1 lists offenders.
+``--repo`` points at a directory holding CORRECTNESS_r*.json (the
+registry membership always comes from this repo's source) — it exists
+so tests can replay arbitrary grading states, including the
+post-grading round boundary.
 """
-import glob
-import json
 import os
 import re
 import sys
@@ -35,71 +33,87 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MAX_STALE = 2  # newest green row may be at most this many rounds old
-WINDOW = 50    # driver grades the first N queries() entries
+from sf_epa_data_ingestion_spark.registry import (  # noqa: E402
+    MAX_STALE,
+    WINDOW,
+    graded_rounds,
+    last_green_rounds,
+    stalest_first,
+)
+
+
+def registry_names() -> list[str]:
+    """Parse the registry membership from the source literal — the gate
+    must stay import-light (no pyspark). tests/test_tools.py pins this
+    parse against the real ``queries()`` keys."""
+    src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    m = re.search(r"def _registry_base\(\).*?return \{(.*?)\n    \}", src, re.S)
+    if not m:
+        raise RuntimeError("could not locate _registry_base() literal dict")
+    return re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1))
 
 
 def main() -> int:
-    last_green: dict[str, int] = {}
-    rounds = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        rounds.append(rnd)
-        data = json.load(open(path))
-        for q, v in data.items():
-            if isinstance(v, dict) and v.get("hash_match"):
-                last_green[q] = max(last_green.get(q, 0), rnd)
+    argv = sys.argv[1:]
+    assume = "--assume-window-green" in argv
+    repo_dir = REPO
+    if "--repo" in argv:
+        repo_dir = argv[argv.index("--repo") + 1]
+        argv = [a for a in argv if a != repo_dir]
+    args = [a for a in argv if a not in ("--assume-window-green", "--repo")]
+
+    last_green = last_green_rounds(repo_dir)
+    rounds = graded_rounds(repo_dir)
     if not rounds:
         print("no CORRECTNESS_r*.json found — nothing to check")
         return 0
-    args = [a for a in sys.argv[1:] if a != "--assume-window-green"]
-    assume = "--assume-window-green" in sys.argv[1:]
     next_round = int(args[0]) if args else max(rounds) + 1
+    names = registry_names()
 
-    # registry order without building a SparkSession: queries() bodies are
-    # literal dicts, so parse the source
-    src = open(os.path.join(REPO, "__spark_entry__.py")).read()
-    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
-    names = re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1))
-    window = set(names[:WINDOW])
+    if len(names) > WINDOW * MAX_STALE:
+        print(
+            f"CAPACITY: {len(names)} queries > {WINDOW * MAX_STALE} "
+            f"(window {WINDOW} x max_stale {MAX_STALE}) — the rotation "
+            "cannot keep everything fresh; retire or merge queries"
+        )
+        return 1
 
-    if assume:
-        # simulate the prepared round completing green for the window,
-        # then gate the round AFTER it with no window credit
+    sim = dict(last_green)
+    n_rounds = (MAX_STALE + 1) if assume else 1
+    for step in range(n_rounds):
+        rnd = next_round + step
+        window = set(stalest_first(names, sim)[:WINDOW])
+        offenders = []
+        for q in names:
+            if q in window:
+                continue  # about to be re-graded this round
+            newest = sim.get(q)
+            if not newest:
+                offenders.append(f"{q}: NO green driver row ever, and not in the window")
+            elif rnd - newest > MAX_STALE:
+                offenders.append(
+                    f"{q}: newest green row r{newest} is {rnd - newest} rounds old at r{rnd}"
+                )
+        if offenders:
+            label = f"round {rnd}" + (f" (simulated +{step})" if step else "")
+            print(f"STALE at {label} (window={WINDOW}, max_stale={MAX_STALE}):")
+            for o in offenders:
+                print(f"  {o}")
+            return 1
         for q in window:
-            last_green[q] = max(last_green.get(q, 0), next_round)
-        next_round += 1
-        window = set()
+            sim[q] = max(sim.get(q, 0), rnd)
 
-    offenders = []
     hist: dict[int, int] = {}
     for q in names:
         newest = last_green.get(q)
-        age = next_round - newest if newest else None
-        hist[age if age is not None else -1] = hist.get(age if age is not None else -1, 0) + 1
-        if q in window:
-            continue  # about to be re-graded this round
-        if newest is None:
-            offenders.append(f"{q}: NO green driver row ever, and not in the window")
-        elif age > MAX_STALE:
-            offenders.append(
-                f"{q}: newest green row r{newest} is {age} rounds old at r{next_round}"
-            )
-    if offenders:
-        print(f"STALE at round {next_round} (window={WINDOW}, max_stale={MAX_STALE}):")
-        for o in offenders:
-            print(f"  {o}")
-        return 1
-    pretty = ", ".join(
-        f"age {a}: {n}" for a, n in sorted(hist.items()) if a >= 0
-    )
+        age = next_round - newest if newest else -1
+        hist[age] = hist.get(age, 0) + 1
+    pretty = ", ".join(f"age {a}: {n}" for a, n in sorted(hist.items()) if a >= 0)
     never = hist.get(-1, 0)
     print(
         f"fresh at round {next_round}: {len(names)} queries ({pretty}"
         + (f"; {never} new-in-window" if never else "")
+        + (f"; simulated {n_rounds} rounds green" if assume else "")
         + ")"
     )
     return 0
