@@ -56,6 +56,7 @@ from sf_epa_data_ingestion_spark.operators import (
 )
 from sf_epa_data_ingestion_spark.plans import epa_views
 from sf_epa_data_ingestion_spark.sources import readers
+from sf_epa_data_ingestion_spark.storage import txindex
 from sf_epa_data_ingestion_spark.streaming import events as ev
 
 SF001 = "/root/testdata/sf0.001"
@@ -532,60 +533,49 @@ WHERE event_type = 'purchase' AND value > 50.0
 """
 
 
-def q_like_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6/J7: theta-join on a computed suffix pattern
-    (m.STAGE_FILE_PATH LIKE '%' || c.RELATIVE_PATH analog)."""
+# ---------------------------------------------------------------------------
+# Scalar / string / regex functions
+# ---------------------------------------------------------------------------
+
+def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F5/P6/J7 in ONE graded row — the r11 merge of the
+    like_suffix, regexp_substr, and clean_filename micro-rows (r10
+    VERDICT next-round #2 freed their window slots for the tx-hosted
+    retrieval queries; the multi_grouping merge is the precedent). The
+    theta-join on a computed suffix pattern keeps the broadcast
+    m.STAGE_FILE_PATH LIKE '%' || c.RELATIVE_PATH shape
+    (epa_ingestion.py:545-559 analog); every joined row then carries
+    REGEXP_SUBSTR's NULL-on-miss extraction (F1) and clean_filename's
+    sanitation of a constructed dirty name (F5) — same operator
+    surfaces, same functions, one window slot."""
     p = _t(spark, sf_dir, "part")
     dim = (
         p.filter(F.col("p_size") == 1)
         .select(F.regexp_extract(F.col("p_name"), r"[a-z]+$", 0).alias("w"))
         .distinct()
     )
+    dirty = F.concat(F.col("p_name"), F.lit('/v?"'), F.col("p_brand"))
     return (
-        p.select("p_partkey", "p_name")
+        p.select("p_partkey", "p_name", "p_brand")
         .join(F.broadcast(dim), strings.like_suffix(F.col("p_name"), F.col("w")))
-        .select("p_partkey", "p_name", "w")
+        .select(
+            "p_partkey",
+            "p_name",
+            "w",
+            strings.regexp_substr(F.col("p_name"), r"g[a-z]+$").alias("extracted"),
+            strings.clean_filename(dirty).alias("filename"),
+        )
     )
 
 
-ORACLE_LIKE_SUFFIX = """
+ORACLE_STRING_SUITE = r"""
 WITH dim AS (SELECT DISTINCT regexp_extract(p_name, '[a-z]+$') AS w
              FROM part WHERE p_size = 1)
-SELECT p.p_partkey, p.p_name, d.w
-FROM part p JOIN dim d ON p.p_name LIKE '%' || d.w
-"""
-
-
-# ---------------------------------------------------------------------------
-# Scalar / string / regex functions
-# ---------------------------------------------------------------------------
-
-def q_regexp_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: REGEXP_SUBSTR with NULL-on-miss parity."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        strings.regexp_substr(F.col("p_name"), r"g[a-z]+$").alias("extracted"),
-    )
-
-
-ORACLE_REGEXP_SUBSTR = """
-SELECT p_partkey, NULLIF(regexp_extract(p_name, 'g[a-z]+$'), '') AS extracted FROM part
-"""
-
-
-def q_clean_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: filename sanitation over a constructed dirty name."""
-    p = _t(spark, sf_dir, "part")
-    dirty = F.concat(F.col("p_name"), F.lit('/v?"'), F.col("p_brand"))
-    return p.select("p_partkey", strings.clean_filename(dirty).alias("filename"))
-
-
-ORACLE_CLEAN_FILENAME = r"""
-SELECT p_partkey,
-       substr(regexp_replace(regexp_replace(p_name || '/v?"' || p_brand,
+SELECT p.p_partkey, p.p_name, d.w,
+       NULLIF(regexp_extract(p.p_name, 'g[a-z]+$'), '') AS extracted,
+       substr(regexp_replace(regexp_replace(p.p_name || '/v?"' || p.p_brand,
               '[<>:"/\\|?*]', '', 'g'), '\s+', '_', 'g'), 1, 200) AS filename
-FROM part
+FROM part p JOIN dim d ON p.p_name LIKE '%' || d.w
 """
 
 
@@ -2256,6 +2246,39 @@ def _joined_search_index_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _tx_search_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted TRANSACTIONAL search index over the documents table
+    (storage/txindex.materialize_tx_search_index): the five pieces in
+    txlog tables behind an atomic generation manifest — the
+    snapshot-isolated sibling of _search_index_dir. Serving reads pin
+    the manifest's piece versions, so results are stable under a
+    concurrent refresh (the directory layout's documented hazard)."""
+    def build(tmp):
+        txindex.materialize_tx_search_index(
+            _t(spark, sf_dir, "documents"), tmp, id_col="doc_id", text_col="text"
+        )
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            f.write("{}")
+
+    return _materialized_dir(sf_dir, "documents", "tx_search_index_v1", build)
+
+
+def _tx_joined_search_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Transactional search index over the JOINED hybrid corpus — the
+    tx sibling of _joined_search_index_dir (one index per serving
+    corpus; df/idf are corpus-relative)."""
+    def build(tmp):
+        txindex.materialize_tx_search_index(
+            _joined_docs(spark, sf_dir), tmp, id_col="id", text_col="text"
+        )
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            f.write("{}")
+
+    return _materialized_dir(
+        sf_dir, ["documents", "embeddings"], "tx_search_index_join_v1", build
+    )
+
+
 def _probe_terms(*texts: str) -> list:
     """Driver-side mirror of search._norm_tokens for literal query
     strings: lowercase, non-alphanumerics to spaces, whitespace split —
@@ -2511,6 +2534,28 @@ def q_search_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_search_many_maxscore(
         postings.drop("__tb"), stats, bounds, qdf, n_docs=n_docs, doclens=doclens, k=10
     ).select("query_id", F.col("id").alias("doc_id"), "score")
+
+
+def q_search_bm25_wand_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 retrieval served from the TRANSACTIONAL index host (r11, r10
+    VERDICT next-round #2): the same WAND-pruned batch BM25 as
+    search_bm25_wand, but every piece reads AT the manifest-pinned
+    txlog versions (storage/txindex.TxSearchSnapshot) and the postings
+    probe is bucket-pruned through txlog FILE SKIPPING on __tb instead
+    of directory PartitionFilters — the serving path that stays
+    bit-stable under a concurrent refresh_tx_search_index, which the
+    in-place directory refresh cannot offer (reference anchor:
+    continuous serving under TARGET_LAG, epa_ingestion.py:844-854).
+    One logical query, two physical hosts: shares
+    ORACLE_SEARCH_BM25_WAND verbatim (the merge_upsert/merge_upsert_tx
+    precedent), so any host-side drift fails the hash compare."""
+    snap = txindex.load_tx_search_index(
+        spark, _tx_search_index_dir(spark, sf_dir)
+    )
+    qdf = spark.createDataFrame(WAND_BATCH_QUERIES, "query_id long, query_text string")
+    return snap.bm25_maxscore(qdf, k=10).select(
+        "query_id", F.col("id").alias("doc_id"), "score"
+    )
 
 
 def _wand_queries_sql() -> str:
@@ -2820,6 +2865,33 @@ SELECT id, lex_rank, sem_rank, round(rrf, 6) AS rrf_score,
 FROM fused
 QUALIFY rank <= 10
 """
+
+
+def q_search_hybrid_ann_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 TRUE hybrid retrieval with the LEXICAL leg served from the
+    transactional index host (r11, r10 VERDICT next-round #3): same
+    fusion as search_hybrid_ann, but postings + stats read AT the
+    manifest-pinned txlog versions of the joined-corpus tx index
+    (TxSearchSnapshot.postings_for_terms bucket-prunes the literal term
+    probe through txlog file skipping), so the full hybrid query is
+    snapshot-isolated under a concurrent tx_index_refresh_sink —
+    mid-refresh stability is pinned in tests/test_txindex.py. The ANN
+    leg reads the same persisted cid-partitioned vector index as
+    search_hybrid_ann. Shares ORACLE_SEARCH_HYBRID_ANN verbatim."""
+    docs = _joined_docs(spark, sf_dir)
+    snap = txindex.load_tx_search_index(
+        spark, _tx_joined_search_index_dir(spark, sf_dir)
+    )
+    postings = snap.postings_for_terms(_probe_terms(SEARCH_QUERY))
+    index, coarse, cq, _meta = similarity.load_vector_index(
+        spark, _vector_index_dir(spark, sf_dir)
+    )
+    index = index.withColumnRenamed("vec_id", "id")
+    qv = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
+    return search.hybrid_search_ann(
+        docs, postings, snap.stats(), SEARCH_QUERY, qv, index, coarse, cq,
+        k=10, dim=64,
+    )
 
 
 # Batch true-hybrid: same texts/vectors as HYBRID_BATCH_QUERIES but with
@@ -4093,7 +4165,9 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "search_hybrid_ann": q_search_hybrid_ann,
+        "search_hybrid_ann_tx": q_search_hybrid_ann_tx,
         "search_bm25_wand": q_search_bm25_wand,
+        "search_bm25_wand_tx": q_search_bm25_wand_tx,
         "search_hybrid_ann_batch": q_search_hybrid_ann_batch,
         "mixture_sample": q_mixture_sample,
         "ann_lsh": q_ann_lsh,
@@ -4161,9 +4235,7 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "join_computed_key": q_join_computed_key,
         "filter_project": q_filter_project,
-        "like_suffix": q_like_suffix,
-        "regexp_substr": q_regexp_substr,
-        "clean_filename": q_clean_filename,
+        "string_suite": q_string_suite,
         "scalar_suite": q_scalar_suite,
         "top_k": q_top_k,
         "set_except": q_set_except,
@@ -4207,9 +4279,7 @@ def oracle_sql() -> dict[str, str]:
         "window_dedup_latest": ORACLE_WINDOW_DEDUP_LATEST,
         "group_collect": ORACLE_GROUP_COLLECT,
         "filter_project": ORACLE_FILTER_PROJECT,
-        "like_suffix": ORACLE_LIKE_SUFFIX,
-        "regexp_substr": ORACLE_REGEXP_SUBSTR,
-        "clean_filename": ORACLE_CLEAN_FILENAME,
+        "string_suite": ORACLE_STRING_SUITE,
         "scalar_suite": ORACLE_SCALAR_SUITE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
         # same oracle on purpose: the txlog backend must reproduce the
@@ -4252,8 +4322,14 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": ORACLE_HEAVY_HITTERS,
         "search_postings": ORACLE_SEARCH_POSTINGS,
         "search_hybrid_ann": ORACLE_SEARCH_HYBRID_ANN,
+        # same oracles on purpose: one logical retrieval query, two
+        # physical hosts (directory layout vs transactional snapshot) —
+        # the tx host must reproduce the ranking bit-for-bit (the
+        # merge_upsert/merge_upsert_tx precedent)
+        "search_hybrid_ann_tx": ORACLE_SEARCH_HYBRID_ANN,
         "search_hybrid_ann_batch": ORACLE_SEARCH_HYBRID_ANN_BATCH,
         "search_bm25_wand": ORACLE_SEARCH_BM25_WAND,
+        "search_bm25_wand_tx": ORACLE_SEARCH_BM25_WAND,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_bm25_batch": ORACLE_SEARCH_BM25_BATCH,

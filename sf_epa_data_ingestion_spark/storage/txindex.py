@@ -55,6 +55,13 @@ from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
 _PIECES = ("postings", "doclens", "stats", "bounds", "frontier")
 
 
+class ConcurrentRefreshError(RuntimeError):
+    """A piece table's tip version is ahead of the latest manifest's
+    pinned version at refresh start: either another refresh is in
+    flight (single-writer violation) or a previous refresh crashed
+    between its piece commits and the manifest publish."""
+
+
 def _tables(spark, path: str) -> dict[str, TxTable]:
     return {p: TxTable(spark, os.path.join(path, p)) for p in _PIECES}
 
@@ -207,6 +214,7 @@ def refresh_tx_search_index(
     k1: float = 1.2,
     b: float = 0.75,
     txn: tuple[str, int] | None = None,
+    recover_torn: bool = False,
     _publish: bool = True,
 ) -> None:
     """Apply a txlog change feed and publish the next generation
@@ -214,13 +222,26 @@ def refresh_tx_search_index(
     exactly (touched-bucket postings/doclens CoW, vocabulary-sized
     stats, frontier-exact bounds) but every mutation is a txlog commit
     and nothing becomes visible until the manifest publish — the last,
-    atomic step. Crash recovery is RE-RUNNING the refresh: every input
-    reads from the still-pinned prior generation, and the
-    touched-bucket delete-then-append clears any torn rows before
-    re-appending, so the re-run is idempotent (pinned by test; the torn
-    commits become unreferenced garbage for vacuum). ``_publish=False``
-    exists for the torn-refresh test (pieces committed, manifest
-    withheld: readers must stay consistent on the old generation)."""
+    atomic step.
+
+    SINGLE-WRITER DISCIPLINE: at most one refresh may run at a time
+    (the streaming face, ``tx_index_refresh_sink``, serializes by
+    construction). Before mutating anything, every piece's tip version
+    is checked against the manifest's pinned version and drift raises
+    ``ConcurrentRefreshError`` — without this, a refresh that lost the
+    manifest race (or crashed pre-publish) would leave piece commits at
+    the tip which the NEXT successful refresh silently pins, publishing
+    duplicate postings rows in buckets it never touched.
+
+    Crash recovery: re-run with ``recover_torn=True``. The torn
+    refresh's unpublished piece commits are first rolled back with
+    ``TxTable.restore_to`` (metadata-only) to the pinned versions, so
+    recovery is sound even when the re-run carries a DIFFERENT change
+    batch than the one that crashed. Only safe when no concurrent
+    refresh is in flight — that is the operator's call, which is why it
+    is not automatic. ``_publish=False`` exists for the torn-refresh
+    test (pieces committed, manifest withheld: readers must stay
+    consistent on the old generation)."""
     from sf_epa_data_ingestion_spark.functions.refhash import xxh64_string
 
     snap = load_tx_search_index(spark, path)
@@ -230,6 +251,25 @@ def refresh_tx_search_index(
             return  # replayed micro-batch: acknowledged, nothing touched
     t = snap._t
     n_buckets = snap.n_buckets
+
+    drifted = {
+        p: (int(snap._versions[p]), t[p].versions()[-1])
+        for p in _PIECES
+        if t[p].versions()[-1] != int(snap._versions[p])
+    }
+    if drifted:
+        if not recover_torn:
+            raise ConcurrentRefreshError(
+                f"piece tip(s) ahead of manifest gen {snap.gen} pins at "
+                f"{path}: " + ", ".join(
+                    f"{p} pinned v{pin} tip v{tip}"
+                    for p, (pin, tip) in sorted(drifted.items())
+                ) + " — another refresh is in flight, or a prior one "
+                "crashed pre-publish (re-run with recover_torn=True "
+                "after confirming no concurrent writer)"
+            )
+        for p, (pin, _tip) in sorted(drifted.items()):
+            t[p].restore_to(pin)
 
     touched_tokens = sorted(
         r["token"]

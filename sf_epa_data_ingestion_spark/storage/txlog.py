@@ -99,6 +99,14 @@ def _may_match(stats: dict | None, filters) -> bool:
         if not isinstance(bounds, (list, tuple)) or len(bounds) != 2:
             continue  # absent, or a reserved non-bounds key ("__rows")
         mn, mx = bounds
+        if mn != mn or mx != mx:
+            # NaN bound (double column containing NaN: Spark's max()
+            # returns NaN, which sorts greatest): every comparison with
+            # NaN is False, so e.g. the 'in' probe's any(mn <= x <= mx)
+            # would prune a file whose rows DO match — treat as no
+            # bounds. Recording already drops NaN bounds; this guards
+            # commits written before that fix.
+            continue
         if hasattr(v, "isoformat"):
             # temporal bounds are stored as isoformat strings, which
             # order chronologically; normalize the probe the same way
@@ -375,8 +383,10 @@ class TxTable:
         ent = {"__rows": int(row["__nrows"])}
         for c in cols:
             mn, mx = row[f"mn__{c}"], row[f"mx__{c}"]
-            if mn is None:
-                continue  # all-null column (or empty file): no bounds
+            if mn is None or mn != mn or mx != mx:
+                continue  # all-null column/empty file, or a NaN bound
+                # (comparisons with NaN are all False — an 'in' probe
+                # against a NaN max would prune matching files)
             ent[c] = [self._sanitize_bound(mn), self._sanitize_bound(mx)]
         return names, {names[0]: ent}
 
@@ -409,8 +419,9 @@ class TxTable:
             ent = {"__rows": int(r["__nrows"])}
             for c in cols:
                 mn, mx = r[f"mn__{c}"], r[f"mx__{c}"]
-                if mn is None:
-                    continue  # all-null column in this file: no bounds
+                if mn is None or mn != mn or mx != mx:
+                    continue  # all-null column in this file, or a NaN
+                    # bound (see _stage_with_stats)
                 ent[c] = [self._sanitize_bound(mn), self._sanitize_bound(mx)]
             out[os.path.basename(r["__fp"])] = ent
         # a zero-row file emits no groupBy row; record its count anyway
@@ -609,6 +620,40 @@ class TxTable:
             df.schema.json(),
         )
         return v + 1
+
+    def restore_to(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION (Delta's RESTORE): commit a new
+        version whose live file set, stats, and schema equal the
+        snapshot at ``version``. Metadata-only — no data is read or
+        written; files added after ``version`` become unreferenced
+        garbage for ``vacuum``. Raises if any file of the target
+        snapshot has already been vacuumed (the rollback would
+        otherwise read missing data), leaving the log untouched."""
+        tgt_v, tgt_files, tgt_schema, tgt_stats = self._snapshot_full(version)
+        cur_v, cur_files, _cs, _ = self._snapshot_full()
+        if cur_v == tgt_v:
+            return cur_v
+        missing = [
+            f for f in tgt_files
+            if not os.path.exists(os.path.join(self.root, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.root} to version {version}: "
+                f"{len(missing)} file(s) already vacuumed, e.g. {missing[0]}"
+            )
+        add = sorted(set(tgt_files) - set(cur_files))
+        remove = sorted(set(cur_files) - set(tgt_files))
+        self._publish(
+            cur_v + 1,
+            {
+                "add": add,
+                "remove": remove,
+                "stats": {f: tgt_stats[f] for f in add if f in tgt_stats},
+            },
+            tgt_schema.json(),
+        )
+        return cur_v + 1
 
     def merge(
         self,

@@ -149,12 +149,16 @@ def tx_index_refresh_sink(
     generation, so concurrent serving snapshots never observe a
     mid-refresh layout and a crash mid-batch leaves the prior
     generation intact (the replayed batch re-runs the whole refresh
-    from the still-pinned snapshot; its torn piece commits are
-    unreferenced garbage for vacuum). The ``(app_id, batch_id)`` marker
-    rides the manifest."""
+    from the still-pinned snapshot after rolling back the torn piece
+    commits). The ``(app_id, batch_id)`` marker rides the manifest."""
     from ..storage.txindex import refresh_tx_search_index
 
     def write_batch(batch_df, batch_id: int) -> None:
+        # recover_torn is safe HERE because foreachBatch is the single
+        # writer by construction: a tip/pin drift at batch start can
+        # only be this query's own crashed predecessor (publish never
+        # happened, so the txn marker didn't advance and the batch
+        # replays), never a concurrent refresh
         refresh_tx_search_index(
             spark,
             index_path,
@@ -163,6 +167,7 @@ def tx_index_refresh_sink(
             text_col=text_col,
             change_col=change_col,
             txn=(app_id, int(batch_id)),
+            recover_torn=True,
         )
 
     return write_batch

@@ -128,16 +128,44 @@ class GenerationStore:
         os.makedirs(p)
         return p
 
-    def retire_below(self, keep_latest: int = 2) -> list[int]:
+    def retire_below(
+        self, keep_latest: int = 2, retention_seconds: float = 0.0
+    ) -> list[int]:
         """Delete generation DIRECTORIES older than the newest
         ``keep_latest`` ones (their commit records stay, recording
-        history). Never touches the latest generation. Returns the
+        history). Never touches the latest generation;
+        ``keep_latest=0`` means keep ONLY the latest (r10 ADVICE: the
+        old guard silently retired nothing for 0).
+
+        ``retention_seconds`` is the live-reader guard (txlog vacuum's
+        ``retention_seconds``, generation-unit): a generation is
+        retired only once it has been SUPERSEDED for at least that long
+        — i.e. its successor's commit record is older than the
+        threshold — so any reader that resolved it before the cutover
+        has had that long to finish. A reader that outlives the window
+        fails CLOSED: its state table's log directory is gone, so every
+        read raises FileNotFoundError ("no txlog table at ...") rather
+        than returning partial rows (pinned by test). Returns the
         retired generation numbers."""
+        if keep_latest < 0:
+            raise ValueError(f"keep_latest must be >= 0, got {keep_latest}")
         latest = self.latest()
         if latest is None:
             return []
         gens = self.generations()
-        victims = [g for g in gens[:-keep_latest] if g < latest] if keep_latest else []
+        kept = set(gens[-keep_latest:]) if keep_latest else {latest}
+        victims = [g for g in gens if g < latest and g not in kept]
+        if retention_seconds > 0:
+            import time
+
+            now = time.time()
+            safe = []
+            for g in victims:
+                succ = min(x for x in gens if x > g)
+                rec = os.path.join(self.gens_dir, f"{succ:05d}.json")
+                if now - os.stat(rec).st_mtime >= retention_seconds:
+                    safe.append(g)
+            victims = safe
         retired = []
         for g in victims:
             p = self.path(g)

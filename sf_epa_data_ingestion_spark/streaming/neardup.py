@@ -187,8 +187,14 @@ def near_dup_monitor_banded(
       every bucket; the probe degrades to a full band scan, never to
       wrong results.)
     - signatures stay in ``state_sigs`` for candidate VERIFICATION only
-      (sig agreement): a column-pruned scan semi-joined to the
-      candidate ids. At corpus scale, cluster it by id the same way.
+      (sig agreement), bucketed by ``__sb = pmod(xxhash64(id),
+      n_buckets)`` exactly like the band table (r10 ADVICE: an
+      unbucketed verification read re-scanned the WHOLE signature
+      history each batch — the very O(history) constant the banded
+      variant exists to remove). The verification read prunes to the
+      candidate ids' buckets through txlog file skipping; with the
+      in-monitor compaction clustering by ``__sb``, a small batch opens
+      a bounded subset of signature files.
     - exactly-once across THREE tables: pairs first, bands second, sigs
       LAST — each append carries its own (app, batch) marker through
       ``append_once``, so a crash between any two replays into
@@ -231,8 +237,27 @@ def near_dup_monitor_banded(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        cand = cross.unionByName(internal).dropDuplicates(["id_a", "id_b"])
-        all_sigs = state_sigs.read().select("id", "sig").unionByName(sig)
+        cand = (
+            cross.unionByName(internal)
+            .dropDuplicates(["id_a", "id_b"])
+            .persist()
+        )
+        # verification sigs: prune the history read to the candidate
+        # ids' buckets (id_b is always batch-side, served from `sig`;
+        # only id_a can live in history). Bounded collect: <= n_buckets
+        # ints. An empty candidate set prunes every file — correct and
+        # free.
+        cand_sb = sorted(
+            r["__sb"]
+            for r in cand.select(_bb(F.col("id_a")).alias("__sb"))
+            .distinct()
+            .collect()
+        )
+        old_sigs = (
+            state_sigs.read(filters=[("__sb", "in", cand_sb)])
+            .select("id", "sig")
+        )
+        all_sigs = old_sigs.unionByName(sig)
         agree = F.size(
             F.filter(
                 F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -259,7 +284,12 @@ def near_dup_monitor_banded(
         # crash-replayable; sigs (the gate) commits LAST
         append_once(pairs_out, pairs, app_id, batch_id, max_retries)
         append_once(state_bands, new_bands, app_id, batch_id, max_retries)
-        append_once(state_sigs, sig, app_id, batch_id, max_retries)
+        append_once(
+            state_sigs,
+            sig.withColumn("__sb", _bb(F.col("id"))),
+            app_id, batch_id, max_retries,
+        )
+        cand.unpersist()
         new_bands.unpersist()
         sig.unpersist()
         maybe_compact_state(
@@ -267,8 +297,8 @@ def near_dup_monitor_banded(
             target_files=compact_target_files, vacuum_keep=compact_vacuum_keep,
         )
         maybe_compact_state(
-            state_sigs, compact_files, target_files=compact_target_files,
-            vacuum_keep=compact_vacuum_keep,
+            state_sigs, compact_files, cluster_by=["__sb"],
+            target_files=compact_target_files, vacuum_keep=compact_vacuum_keep,
         )
 
     return write_batch

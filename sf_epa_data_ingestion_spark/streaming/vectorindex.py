@@ -262,6 +262,33 @@ def retrain_vector_index_generation(
     marker = table_old.last_txn(app_id)
     dim = int(model["dim"])
 
+    # Coverage invariant (r10 ADVICE): the new generation inherits the
+    # old one's replay marker, so the snapshot must contain every id
+    # the serving index holds at that marker — a LAGGING snapshot would
+    # silently drop the missing rows from generation N+1 (their batches
+    # are marked replayed and will never re-append). Checked BEFORE the
+    # training spend; ids-only anti-join, narrow column scans.
+    import pyspark.sql.functions as F
+
+    n_missing = (
+        table_old.read()
+        .select(F.col(id_col).alias("__id"))
+        .join(
+            corpus_df.select(F.col(id_col).alias("__id")).distinct(),
+            "__id",
+            "left_anti",
+        )
+        .count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"corpus snapshot is missing {n_missing} id(s) the serving "
+            f"index holds at replay marker {marker!r}: the snapshot lags "
+            "the stream, and publishing would silently drop those rows "
+            "from the new generation — retrain from a snapshot covering "
+            "every batch the marker acknowledges"
+        )
+
     coarse, cq = train_ivfpq(
         corpus_df, corpus_id=id_col, vec_col=vec_col,
         n_centroids=n_centroids, dim=dim, residual=residual, **train_kw,

@@ -147,7 +147,9 @@ def test_banded_monitor_parity_replay_and_probe_pruning(spark, tmp_path):
 
     # banded monitor under test (aggressive compaction to exercise the
     # clustered probe)
-    s_sig = TxTable(spark, str(tmp_path / "ss")).create_empty("id long, sig array<long>")
+    s_sig = TxTable(spark, str(tmp_path / "ss")).create_empty(
+        "id long, sig array<long>, __sb int"
+    )
     s_band = TxTable(spark, str(tmp_path / "sb")).create_empty(
         "id long, band_id int, band_hash int, __bb int"
     )
@@ -201,3 +203,12 @@ def test_banded_monitor_parity_replay_and_probe_pruning(spark, tmp_path):
     assert len(probed_one) < len(s_band.read_files())
     banded(tiny, n_batches)  # and the probe-pruned batch still processes
     assert s_sig.read().count() == n_batches * 2 + 1
+    # r11 (ADVICE): the VERIFICATION sig read is bucket-pruned the same
+    # way — after compaction clusters state_sigs by __sb, a one-bucket
+    # probe opens a strict subset of signature files
+    sig_buckets = sorted(
+        r["__sb"] for r in s_sig.read().select("__sb").distinct().collect()
+    )
+    assert len(sig_buckets) > 1
+    probed_sig = s_sig.read_files(filters=[("__sb", "in", [sig_buckets[0]])])
+    assert len(probed_sig) < len(s_sig.read_files())

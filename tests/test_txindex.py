@@ -10,6 +10,7 @@ import pytest
 
 from sf_epa_data_ingestion_spark.operators import search
 from sf_epa_data_ingestion_spark.storage import TxTable
+from sf_epa_data_ingestion_spark.storage import txindex
 from sf_epa_data_ingestion_spark.storage.txindex import (
     load_tx_search_index,
     materialize_tx_search_index,
@@ -152,13 +153,22 @@ def test_torn_refresh_is_invisible_until_manifest(spark, tmp_path):
     assert after.gen == 1
     assert _piece_rows(after) == before  # readers stay fully consistent
 
-    # recovery = simply RE-RUN the refresh: every input reads from the
-    # still-pinned generation-1 snapshot and the touched-bucket
-    # delete-then-append clears the torn rows before re-appending, so
-    # the re-run lands exactly where an untorn refresh would have — the
-    # torn piece commits become unreferenced garbage for vacuum
+    # r11 (ADVICE): a refresh that finds piece tips ahead of the
+    # manifest pins FAILS FAST — blind re-running would be fine for the
+    # SAME change batch, but a different batch would pin the torn
+    # commits and publish duplicate postings in untouched buckets
+    with pytest.raises(txindex.ConcurrentRefreshError, match="ahead of manifest"):
+        refresh_tx_search_index(
+            spark, tx, changes, id_col="doc_id", text_col="text"
+        )
+
+    # recovery = re-run with recover_torn=True: the torn piece commits
+    # are rolled back (TxTable.restore_to, metadata-only) to the pinned
+    # versions first, so the re-run lands exactly where an untorn
+    # refresh would have
     refresh_tx_search_index(
-        spark, tx, changes, id_col="doc_id", text_col="text"
+        spark, tx, changes, id_col="doc_id", text_col="text",
+        recover_torn=True,
     )
     recovered = load_tx_search_index(spark, tx)
     assert recovered.gen == 2
@@ -167,6 +177,51 @@ def test_torn_refresh_is_invisible_until_manifest(spark, tmp_path):
         _t.read(), rebuilt_dir, id_col="doc_id", text_col="text"
     )
     assert _piece_rows(recovered) == _dir_rows(spark, rebuilt_dir)
+
+
+def test_torn_refresh_recovery_with_a_different_change_batch(spark, tmp_path):
+    """The advisor's race scenario, closed soundly: refresh A tears
+    (piece commits, no manifest), then recovery runs a DIFFERENT change
+    batch B. Without the rollback, A's orphan commits would be pinned
+    by B's publish — duplicate postings rows (doubled tf contributions)
+    in buckets B never touched. With restore_to, the published index
+    equals a clean rebuild of corpus + B alone."""
+    docs = _docs(spark)
+    tx = str(tmp_path / "tx")
+    materialize_tx_search_index(docs, tx, id_col="doc_id", text_col="text")
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    a_id, b_id = ids[0], ids[1]
+    changes_a = spark.createDataFrame(
+        [(int(a_id) + 100000, "torn batch alpha tokens", "insert")],
+        "doc_id long, text string, _change_type string",
+    )
+    changes_b = spark.createDataFrame(
+        [(int(b_id) + 200000, "recovery batch beta tokens", "insert")],
+        "doc_id long, text string, _change_type string",
+    )
+    refresh_tx_search_index(
+        spark, tx, changes_a, id_col="doc_id", text_col="text", _publish=False
+    )
+    refresh_tx_search_index(
+        spark, tx, changes_b, id_col="doc_id", text_col="text",
+        recover_torn=True,
+    )
+    recovered = load_tx_search_index(spark, tx)
+    assert recovered.gen == 2
+
+    corpus_plus_b = docs.unionByName(
+        changes_b.select("doc_id", "text")
+    )
+    rebuilt_dir = str(tmp_path / "rebuilt_b")
+    search.materialize_search_index(
+        corpus_plus_b, rebuilt_dir, id_col="doc_id", text_col="text"
+    )
+    assert _piece_rows(recovered) == _dir_rows(spark, rebuilt_dir)
+    # and batch A's doc is nowhere in the published postings
+    assert (
+        recovered.postings().filter(F.col("id") == int(a_id) + 100000).count() == 0
+    )
 
 
 def test_refresh_rejects_tokenless_delete_image(spark, tmp_path):

@@ -276,3 +276,65 @@ def test_update_where_rewrites_only_matching_rows(spark, tmp_path, customers):
     t.set_constraint("bal_sane", "c_acctbal > -100000")
     with pytest.raises(ValueError, match="bal_sane"):
         t.update_where(F.col("c_custkey") == lo, {"c_acctbal": F.lit(-1e9)})
+
+
+def test_restore_to_is_metadata_only_rollback(spark, tmp_path, customers):
+    """RESTORE TO VERSION (r11): live files/stats/schema return to the
+    target snapshot via one metadata commit; post-target files become
+    unreferenced garbage; a vacuumed target fails loudly, untouched."""
+    t = TxTable(spark, str(tmp_path / "t")).create(
+        customers.repartitionByRange(4, "c_custkey")
+    )
+    v0_rows = _rows(t.read())
+    extra = customers.limit(5).withColumn(
+        "c_custkey", F.col("c_custkey") + 10_000_000
+    )
+    t.append(extra)
+    lo = customers.agg(F.min("c_custkey")).first()[0]
+    t.delete_where(F.col("c_custkey") == lo)
+    assert _rows(t.read()) != v0_rows
+
+    v = t.restore_to(0)
+    assert v == t.versions()[-1]
+    assert _rows(t.read()) == v0_rows
+    # metadata-only: the restore commit stages no new data files
+    assert t.history()[-1]["add"] == [] or all(
+        os.path.exists(os.path.join(t.root, f)) for f in t.history()[-1]["add"]
+    )
+    # skipping stats survive the round-trip: a pruned probe still works
+    probe = t.read(filters=[("c_custkey", "=", int(lo))])
+    assert probe.filter(F.col("c_custkey") == lo).count() == 1
+
+    # appending after a restore continues the log normally
+    t.append(extra)
+    assert t.read().count() == customers.count() + 5
+
+    # a restore whose target files were vacuumed fails closed
+    t.overwrite(customers.limit(10))
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    before = t.versions()[-1]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore_to(0)
+    assert t.versions()[-1] == before  # log untouched on failure
+
+
+def test_nan_bounds_never_prune_matching_files(spark, tmp_path):
+    """ADVICE r10: a double column containing NaN makes Spark's max()
+    return NaN (sorts greatest); any(mn <= x <= NaN) is False for every
+    probe, so an 'in'-probe would prune a file whose rows match. Bounds
+    with NaN endpoints must be dropped at record time and ignored at
+    probe time."""
+    df = spark.createDataFrame(
+        [(1, 2.5), (2, float("nan")), (3, 7.0)], "id long, x double"
+    ).repartition(1)
+    t = TxTable(spark, str(tmp_path / "t")).create(df)
+    stats = t.history()[-1].get("stats", {})
+    for ent in stats.values():
+        assert "x" not in ent, f"NaN-tainted bound recorded: {ent}"
+    got = t.read(filters=[("x", "in", [2.5])]).filter(F.col("x") == 2.5)
+    assert got.count() == 1
+    # defense in depth: a legacy commit carrying a NaN bound is ignored
+    from sf_epa_data_ingestion_spark.storage.txlog import _may_match
+
+    assert _may_match({"x": [1.0, float("nan")]}, [("x", "in", [2.5])])
+    assert _may_match({"x": [float("nan"), float("nan")]}, [("x", "=", 9.9)])

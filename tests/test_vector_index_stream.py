@@ -3,6 +3,7 @@ model, per-batch encode, exactly-once txlog appends, restart survival,
 and bit-parity with the batch encoder."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from sf_epa_data_ingestion_spark.operators import similarity
 from sf_epa_data_ingestion_spark.storage import TxTable
@@ -464,6 +465,41 @@ def test_vector_index_generation_cutover_mid_stream(spark, tmp_path):
     assert GenerationStore(root).retire_below(keep_latest=1) == [1]
     gen, _m, t = current_vector_index_generation(spark, root)
     assert gen == 2 and t.read().count() == len(want)
+
+
+def test_retrain_rejects_lagging_corpus_snapshot(spark, tmp_path):
+    """r10 ADVICE: the new generation inherits the replay marker, so a
+    corpus snapshot missing ids the serving index holds at that marker
+    would silently drop those rows from generation N+1 (their batches
+    never re-append). The retrain must refuse to publish."""
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+    from sf_epa_data_ingestion_spark.streaming.vectorindex import (
+        init_vector_index_generations,
+        retrain_vector_index_generation,
+        vector_index_maintainer_gen,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    wave1 = emb.filter(F.col("vec_id") < 200)
+    wave2 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400))
+    coarse1, cq1 = similarity.train_ivfpq(wave1, dim=64, n_centroids=8)
+
+    root = str(tmp_path / "gens")
+    init_vector_index_generations(spark, root, coarse1, cq1, 64)
+    sink = vector_index_maintainer_gen(spark, root, "vec-gen")
+    sink(wave1.withColumn("_change_type", F.lit("insert")), 0)
+    sink(wave2.withColumn("_change_type", F.lit("insert")), 1)
+
+    with pytest.raises(ValueError, match="lags the stream"):
+        retrain_vector_index_generation(
+            spark, root, "vec-gen", wave1, n_centroids=12,  # missing wave2
+        )
+    assert GenerationStore(root).latest() == 1  # nothing published
+
+    # the covering snapshot goes through
+    assert retrain_vector_index_generation(
+        spark, root, "vec-gen", wave1.unionByName(wave2), n_centroids=12,
+    ) == 2
 
 
 def test_row_count_is_metadata_only_and_exact(spark, tmp_path):
