@@ -64,6 +64,7 @@ def training_doc_appender(
     compact_files: int | None = 16,
     compact_target_files: int = 4,
     compact_vacuum_keep: int | None = None,
+    write_partitions: int = 1,
 ):
     """Build a ``foreachBatch`` callable ingesting documents into ``table``
     (schema: source columns + ``text_hash``) with quality gating, exact
@@ -123,10 +124,19 @@ def training_doc_appender(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # cross-batch dedup: the table IS the state (digest column only)
-        existing = table.read().select("text_hash").distinct()
-        fresh = kept.join(existing, "text_hash", "left_anti")
-        append_once(table, fresh, app_id, batch_id, max_retries)
+        # cross-batch dedup: the table IS the state (digest column only).
+        # A brand-new table (row_count() == 0 — metadata-only) skips the
+        # anti-join stage entirely (r11 fixed-cost shave); with
+        # write_partitions=1 the append is single-file so its skipping
+        # stats ride the write's Observation instead of a separate
+        # per-file stats job.
+        if table.row_count() > 0:
+            existing = table.read().select("text_hash").distinct()
+            kept = kept.join(existing, "text_hash", "left_anti")
+        append_once(
+            table, kept.repartition(write_partitions),
+            app_id, batch_id, max_retries,
+        )
         maybe_compact_state(
             table, compact_files, target_files=compact_target_files,
             vacuum_keep=compact_vacuum_keep,

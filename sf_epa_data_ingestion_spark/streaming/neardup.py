@@ -46,6 +46,7 @@ from sf_epa_data_ingestion_spark.partitioning import spread
 from sf_epa_data_ingestion_spark.storage.txlog import TxTable
 from sf_epa_data_ingestion_spark.streaming.txsink import (
     append_once,
+    commit_staged_once,
     maybe_compact_state,
 )
 
@@ -73,6 +74,7 @@ def near_dup_monitor(
     compact_files: int | None = 16,
     compact_target_files: int = 4,
     compact_vacuum_keep: int | None = None,
+    write_partitions: int = 1,
 ):
     """Build a ``foreachBatch`` callable that detects near-dups of every
     arriving document against the full ingestion history.
@@ -81,6 +83,17 @@ def near_dup_monitor(
     (id_a long, id_b long, est_jaccard double) where ``id_b`` is always
     the NEW document and ``id_a`` the earlier one (id_a < id_b holds for
     batch-internal pairs too, since ids are assigned in arrival order).
+
+    Fixed-cost shape (r11, the semdedup 931a3f3 treatment): the batch's
+    signatures are computed ONCE — the staged state append materializes
+    them into the cache, the pairs plan reads the cache, and the state
+    commit at the end is pure metadata (``commit_staged_once``). With
+    ``write_partitions=1`` both per-batch appends are single-file, so
+    their skipping stats ride the write's own Observation instead of a
+    separate per-file stats job (raise it for genuinely large
+    micro-batches). A brand-new state table (``row_count() == 0`` —
+    metadata-only) skips the history read, the history band expansion,
+    and the cross join entirely.
 
     ``compact_files``: the signature history is re-read WHOLE every
     batch (the probe expresses bands from it), so its cost driver is
@@ -94,23 +107,23 @@ def near_dup_monitor(
     def write_batch(batch_df, batch_id: int) -> None:
         if (last := state.last_txn(app_id)) is not None and batch_id <= last:
             return  # fully processed (state commits LAST)
-        seen = state.read().select("id", "sig")
+        empty_state = state.row_count() == 0
         # Re-delivery guard: a doc id can arrive again in a LATER batch (at-
         # least-once upstream) or twice within one batch. Without the drop,
         # state would hold two sig rows for the id and every candidate pair
         # it joins would fan out into duplicate output rows.
-        batch_df = batch_df.dropDuplicates([id_col]).join(
-            seen.select(F.col("id").alias(id_col)), id_col, "left_anti"
-        )
+        batch_df = batch_df.dropDuplicates([id_col])
+        if not empty_state:
+            seen = state.read().select("id", "sig")
+            batch_df = batch_df.join(
+                seen.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            )
         sig = _signatures(batch_df, id_col, text_col, num_hashes, shingle_k).persist()
+        # ONE job computes the signatures into the cache AND stages the
+        # state bytes; everything below reads the cache, and the state
+        # commit (LAST, exactly-once ordering preserved) is metadata-only
+        staged_state = state.stage_for_append(sig.repartition(write_partitions))
         new_bands = minhash_band_rows(sig, bands, rows_per_band)
-        old_bands = minhash_band_rows(seen, bands, rows_per_band)
-        a_new, b_old = new_bands.alias("a"), old_bands.alias("b")
-        cross = a_new.join(
-            b_old,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
-        ).select(F.col("b.id").alias("id_a"), F.col("a.id").alias("id_b"))
         a2, b2 = new_bands.alias("a"), new_bands.alias("b")
         internal = a2.join(
             b2,
@@ -118,8 +131,19 @@ def near_dup_monitor(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        cand = cross.unionByName(internal).dropDuplicates(["id_a", "id_b"])
-        all_sigs = seen.unionByName(sig)
+        if empty_state:
+            cand = internal.dropDuplicates(["id_a", "id_b"])
+            all_sigs = sig
+        else:
+            old_bands = minhash_band_rows(seen, bands, rows_per_band)
+            a_new, b_old = new_bands.alias("a"), old_bands.alias("b")
+            cross = a_new.join(
+                b_old,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            ).select(F.col("b.id").alias("id_a"), F.col("a.id").alias("id_b"))
+            cand = cross.unionByName(internal).dropDuplicates(["id_a", "id_b"])
+            all_sigs = seen.unionByName(sig)
         agree = F.size(
             F.filter(
                 F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -144,8 +168,11 @@ def near_dup_monitor(
         )
         # pairs FIRST, state LAST: a crash in between replays into
         # "pairs already committed (marker) -> skip; state redone".
-        append_once(pairs_out, pairs, app_id, batch_id, max_retries)
-        append_once(state, sig, app_id, batch_id, max_retries)
+        append_once(
+            pairs_out, pairs.repartition(write_partitions),
+            app_id, batch_id, max_retries,
+        )
+        commit_staged_once(state, staged_state, app_id, batch_id, max_retries)
         sig.unpersist()
         maybe_compact_state(
             state, compact_files, target_files=compact_target_files,
@@ -212,24 +239,17 @@ def near_dup_monitor_banded(
     def write_batch(batch_df, batch_id: int) -> None:
         if (last := state_sigs.last_txn(app_id)) is not None and batch_id <= last:
             return  # fully processed (sigs commit LAST)
-        seen_ids = state_sigs.read().select("id")
-        batch_df = batch_df.dropDuplicates([id_col]).join(
-            seen_ids.select(F.col("id").alias(id_col)), id_col, "left_anti"
-        )
+        empty_state = state_sigs.row_count() == 0  # metadata-only
+        batch_df = batch_df.dropDuplicates([id_col])
+        if not empty_state:
+            seen_ids = state_sigs.read().select("id")
+            batch_df = batch_df.join(
+                seen_ids.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            )
         sig = _signatures(batch_df, id_col, text_col, num_hashes, shingle_k).persist()
         new_bands = minhash_band_rows(sig, bands, rows_per_band).withColumn(
             "__bb", _bb(F.col("band_hash"))
         ).persist()
-        hit = sorted(
-            r["__bb"] for r in new_bands.select("__bb").distinct().collect()
-        )
-        old_bands = state_bands.read(filters=[("__bb", "in", hit)])
-        a_new, b_old = new_bands.alias("a"), old_bands.alias("b")
-        cross = a_new.join(
-            b_old,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
-        ).select(F.col("b.id").alias("id_a"), F.col("a.id").alias("id_b"))
         a2, b2 = new_bands.alias("a"), new_bands.alias("b")
         internal = a2.join(
             b2,
@@ -237,27 +257,41 @@ def near_dup_monitor_banded(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        cand = (
-            cross.unionByName(internal)
-            .dropDuplicates(["id_a", "id_b"])
-            .persist()
-        )
-        # verification sigs: prune the history read to the candidate
-        # ids' buckets (id_b is always batch-side, served from `sig`;
-        # only id_a can live in history). Bounded collect: <= n_buckets
-        # ints. An empty candidate set prunes every file — correct and
-        # free.
-        cand_sb = sorted(
-            r["__sb"]
-            for r in cand.select(_bb(F.col("id_a")).alias("__sb"))
-            .distinct()
-            .collect()
-        )
-        old_sigs = (
-            state_sigs.read(filters=[("__sb", "in", cand_sb)])
-            .select("id", "sig")
-        )
-        all_sigs = old_sigs.unionByName(sig)
+        if empty_state:
+            cand = internal.dropDuplicates(["id_a", "id_b"]).persist()
+            all_sigs = sig
+        else:
+            hit = sorted(
+                r["__bb"] for r in new_bands.select("__bb").distinct().collect()
+            )
+            old_bands = state_bands.read(filters=[("__bb", "in", hit)])
+            a_new, b_old = new_bands.alias("a"), old_bands.alias("b")
+            cross = a_new.join(
+                b_old,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            ).select(F.col("b.id").alias("id_a"), F.col("a.id").alias("id_b"))
+            cand = (
+                cross.unionByName(internal)
+                .dropDuplicates(["id_a", "id_b"])
+                .persist()
+            )
+            # verification sigs: prune the history read to the candidate
+            # ids' buckets (id_b is always batch-side, served from `sig`;
+            # only id_a can live in history). Bounded collect: <=
+            # n_buckets ints. An empty candidate set prunes every file —
+            # correct and free.
+            cand_sb = sorted(
+                r["__sb"]
+                for r in cand.select(_bb(F.col("id_a")).alias("__sb"))
+                .distinct()
+                .collect()
+            )
+            old_sigs = (
+                state_sigs.read(filters=[("__sb", "in", cand_sb)])
+                .select("id", "sig")
+            )
+            all_sigs = old_sigs.unionByName(sig)
         agree = F.size(
             F.filter(
                 F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

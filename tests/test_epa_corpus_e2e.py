@@ -111,3 +111,107 @@ def test_full_corpus_extract_chunk_postings(spark):
     )
     assert hits >= 40, hits  # 'epa' appears in nearly every label
     parsed.unpersist(), chunks.unpersist(), postings.unpersist()
+
+
+@needs_corpus
+def test_corpus_freshness_drill_tx_hosted_index(spark, tmp_path):
+    """r10 VERDICT next-round #8 (stretch): the reference's §3.3
+    sub-pipeline (PDF -> chunk(1512/256) -> searchable index,
+    epa_ingestion.py:763-764) composed with TARGET_LAG semantics
+    (:844-854) as ONE user-visible scenario over the real 51-PDF
+    corpus: chunks arrive in waves; each wave refreshes the TX-hosted
+    index through the streaming sink; a reader that resolved its
+    snapshot before the waves keeps getting generation-1 results
+    BIT-FOR-BIT across two refresh cycles (one of which crashes
+    mid-refresh and recovers through the sink's torn-refresh rollback);
+    every generation's ranking equals the from-scratch batch derivation
+    over exactly the documents that generation covers."""
+    from sf_epa_data_ingestion_spark.storage.txindex import (
+        load_tx_search_index,
+        materialize_tx_search_index,
+        refresh_tx_search_index,
+    )
+    from sf_epa_data_ingestion_spark.streaming.freshness import (
+        tx_index_refresh_sink,
+    )
+
+    files = load_binary_files(spark, CORPUS, suffix=".pdf")
+    texted = (
+        multimodal.parse_documents(files, strict=True)
+        .withColumn("name", F.regexp_extract("path", r"([^/]+)$", 1))
+        .filter(F.col("parse_status") == "stdlib")
+    )
+    chunks = (
+        chunk_documents(texted.select("name", "text"), keep_cols=["name"])
+        .select(
+            F.concat_ws("#", "name", F.col("chunk_index").cast("string")).alias("id"),
+            "name",
+            "chunk",
+        )
+        .persist()
+    )
+    names = sorted(r["name"] for r in texted.select("name").distinct().collect())
+    wave_a, wave_b, wave_c = set(names[:30]), set(names[30:40]), set(names[40:])
+    a = chunks.filter(F.col("name").isin(sorted(wave_a))).drop("name").persist()
+    b = chunks.filter(F.col("name").isin(sorted(wave_b))).drop("name")
+    c = chunks.filter(F.col("name").isin(sorted(wave_c))).drop("name")
+
+    tx = str(tmp_path / "tx")
+    materialize_tx_search_index(a, tx, id_col="id", text_col="chunk")
+    queries = spark.createDataFrame(
+        [(1, "epa registration label"), (2, "product active ingredient")],
+        "query_id long, query_text string",
+    )
+
+    def _serve(snap):
+        return sorted(
+            (r["query_id"], r["id"], round(r["score"], 9))
+            for r in snap.bm25_maxscore(queries, k=10).collect()
+        )
+
+    def _batch_derivation(corpus_chunks):
+        n = corpus_chunks.count()
+        postings = search.build_postings(corpus_chunks, id_col="id", text_col="chunk")
+        stats = search.build_token_stats(postings, n_docs=n)
+        dl = search.doc_lengths(corpus_chunks, id_col="id", text_col="chunk")
+        return sorted(
+            (r["query_id"], r["id"], round(r["score"], 9))
+            for r in search.bm25_search_many(
+                postings, stats, queries, n_docs=n, doclens=dl, k=10
+            ).collect()
+        )
+
+    snap1 = load_tx_search_index(spark, tx)
+    r1 = _serve(snap1)
+    assert r1 and r1 == _batch_derivation(a)
+
+    sink = tx_index_refresh_sink(spark, tx, "epa-drill", id_col="id", text_col="chunk")
+
+    # --- cycle 1: wave B arrives; the refresh TEARS mid-flight (pieces
+    # committed, manifest withheld), then the sink's replay of the same
+    # batch recovers through the torn-refresh rollback and publishes
+    b_changes = b.withColumn("_change_type", F.lit("insert"))
+    refresh_tx_search_index(
+        spark, tx, b_changes, id_col="id", text_col="chunk", _publish=False
+    )
+    assert _serve(snap1) == r1                          # reader mid-refresh
+    assert load_tx_search_index(spark, tx).gen == 1     # cutover invisible
+    sink(b_changes, 0)
+    snap2 = load_tx_search_index(spark, tx)
+    assert snap2.gen == 2
+    r2 = _serve(snap2)
+    ab = a.unionByName(b)
+    assert r2 == _batch_derivation(ab) and r2 != r1
+    assert _serve(snap1) == r1                          # reader still pinned
+
+    # --- cycle 2: wave C arrives as a clean refresh; replay is a no-op
+    c_changes = c.withColumn("_change_type", F.lit("insert"))
+    sink(c_changes, 1)
+    snap3 = load_tx_search_index(spark, tx)
+    assert snap3.gen == 3
+    r3 = _serve(snap3)
+    assert r3 == _batch_derivation(ab.unionByName(c))
+    sink(c_changes, 1)                                  # replayed micro-batch
+    assert load_tx_search_index(spark, tx).gen == 3
+    assert _serve(snap1) == r1 and _serve(snap2) == r2  # both held readers
+    chunks.unpersist(), a.unpersist()
