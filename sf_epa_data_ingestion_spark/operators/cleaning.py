@@ -294,6 +294,22 @@ def c4_quality_filter(
     ``[^a-z0-9]+``, boundary empties dropped — one shared definition of
     "word" across quality, vocab, and contamination operators.
     """
+    c = _c4_columns(text_col)
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        c["n_words"].alias("n_words"),
+        c["mean_word_len"].alias("mean_word_len"),
+        c["word_count_ok"].alias("word_count_ok"),
+        c["mean_len_ok"].alias("mean_len_ok"),
+        c["no_brace"].alias("no_brace"),
+        c["no_lorem"].alias("no_lorem"),
+        c["keep"].alias("keep"),
+    )
+
+
+def _c4_columns(text_col: str) -> dict:
+    """The C4/Gopher rule columns, built once so the flags operator and
+    the in-place streaming gate (``c4_keep_expr``) can never drift."""
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda w: w != F.lit(""),
@@ -304,24 +320,31 @@ def c4_quality_filter(
     )
     mean_word_len = F.when(n_words > 0, total_chars / n_words)
     word_count_ok = (n_words >= C4_MIN_WORDS) & (n_words <= C4_MAX_WORDS)
-    mean_len_ok = (
+    mean_len_ok = F.coalesce(
         (mean_word_len >= C4_MIN_MEAN_WORD_LEN)
-        & (mean_word_len <= C4_MAX_MEAN_WORD_LEN)
+        & (mean_word_len <= C4_MAX_MEAN_WORD_LEN),
+        F.lit(False),
     )
     no_brace = ~F.col(text_col).contains("{")
     no_lorem = ~F.lower(F.col(text_col)).contains("lorem ipsum")
-    return df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        word_count_ok.alias("word_count_ok"),
-        F.coalesce(mean_len_ok, F.lit(False)).alias("mean_len_ok"),
-        no_brace.alias("no_brace"),
-        no_lorem.alias("no_lorem"),
-        (
-            word_count_ok & F.coalesce(mean_len_ok, F.lit(False)) & no_brace & no_lorem
-        ).alias("keep"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "word_count_ok": word_count_ok,
+        "mean_len_ok": mean_len_ok,
+        "no_brace": no_brace,
+        "no_lorem": no_lorem,
+        "keep": word_count_ok & mean_len_ok & no_brace & no_lorem,
+    }
+
+
+def c4_keep_expr(text_col: str = "text"):
+    """The C4 keep conjunction as one boolean Column (null text never
+    keeps) — the in-place form of ``c4_quality_filter`` for pipelines
+    that gate rows without needing the per-rule audit columns (the
+    streaming training ingester filters its micro-batch directly
+    instead of computing flags and joining them back on id)."""
+    return F.col(text_col).isNotNull() & _c4_columns(text_col)["keep"]
 
 
 def ngram_novelty(

@@ -43,7 +43,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from sf_epa_data_ingestion_spark.operators.cleaning import c4_quality_filter
+from sf_epa_data_ingestion_spark.operators.cleaning import c4_keep_expr
 from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
 from sf_epa_data_ingestion_spark.operators.quality_model import score_docs_lr
 from sf_epa_data_ingestion_spark.storage.txlog import TxTable
@@ -102,11 +102,12 @@ def training_doc_appender(
         last = table.last_txn(app_id)
         if last is not None and batch_id <= last:
             return  # replayed batch: already durable
-        flags = c4_quality_filter(batch_df, id_col, text_col).select(id_col, "keep")
+        # the C4 gate filters IN PLACE (shared keep expression with
+        # c4_quality_filter) — per-row codegen at scan speed, no flags
+        # join back on id (r11 fixed-cost shave: that join was a shuffle
+        # of the whole micro-batch for a predicate computable inline)
         kept = (
-            batch_df.join(flags, id_col)
-            .filter(F.col("keep"))
-            .drop("keep")
+            batch_df.filter(c4_keep_expr(text_col))
             .withColumn("text_hash", F.md5(normalized_text(F.col(text_col))))
         )
         if quality_model is not None:
