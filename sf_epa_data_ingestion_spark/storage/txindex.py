@@ -252,11 +252,11 @@ def refresh_tx_search_index(
     t = snap._t
     n_buckets = snap.n_buckets
 
-    drifted = {
-        p: (int(snap._versions[p]), t[p].versions()[-1])
-        for p in _PIECES
-        if t[p].versions()[-1] != int(snap._versions[p])
-    }
+    drifted = {}
+    for p in _PIECES:
+        tip = t[p].versions()[-1]  # one log listing per piece
+        if tip != int(snap._versions[p]):
+            drifted[p] = (int(snap._versions[p]), tip)
     if drifted:
         if not recover_torn:
             raise ConcurrentRefreshError(

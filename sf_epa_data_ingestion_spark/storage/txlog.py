@@ -628,7 +628,12 @@ class TxTable:
         written; files added after ``version`` become unreferenced
         garbage for ``vacuum``. Raises if any file of the target
         snapshot has already been vacuumed (the rollback would
-        otherwise read missing data), leaving the log untouched."""
+        otherwise read missing data), leaving the log untouched.
+        Re-added files are validated against the ACTIVE constraints
+        (which a restore never rolls back — they are policy, not data):
+        a constraint added after ``version`` could otherwise be
+        violated by resurrected rows, silently breaking
+        ``set_constraint``'s invalid-data-never-visible invariant."""
         tgt_v, tgt_files, tgt_schema, tgt_stats = self._snapshot_full(version)
         cur_v, cur_files, _cs, _ = self._snapshot_full()
         if cur_v == tgt_v:
@@ -644,6 +649,15 @@ class TxTable:
             )
         add = sorted(set(tgt_files) - set(cur_files))
         remove = sorted(set(cur_files) - set(tgt_files))
+        if add and self.constraints():
+            # only the re-added files can introduce violations: files
+            # that stayed live were validated when written (or by
+            # set_constraint's full scan)
+            self._check_constraints(
+                self.spark.read.schema(tgt_schema).parquet(
+                    *[os.path.join(self.root, f) for f in add]
+                )
+            )
         self._publish(
             cur_v + 1,
             {

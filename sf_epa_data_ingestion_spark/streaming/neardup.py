@@ -233,6 +233,22 @@ def near_dup_monitor_banded(
     parity test."""
     rows_per_band = num_hashes // bands
 
+    # FAIL FAST on the pre-r11 state_sigs schema (id, sig): the r11
+    # bucketed verification appends a __sb column and its pruned read
+    # applies a residual `__sb IN (...)` row filter — legacy rows with
+    # a null __sb would be SILENTLY dropped from verification (missed
+    # pairs, no error). There is no sound in-place migration: recreate
+    # the table with `create_empty("id long, sig array<long>, __sb
+    # int")` and backfill `__sb = pmod(xxhash64(id), n_buckets)`.
+    sig_schema = {f.name for f in state_sigs.read().schema.fields}
+    if "__sb" not in sig_schema:
+        raise ValueError(
+            f"state_sigs table at {state_sigs.root} lacks the __sb "
+            "bucket column (pre-r11 schema); recreate it as 'id long, "
+            "sig array<long>, __sb int' and backfill __sb = "
+            f"pmod(xxhash64(id), {n_buckets}) before resuming"
+        )
+
     def _bb(col):
         return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 

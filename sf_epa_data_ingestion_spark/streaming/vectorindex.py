@@ -365,23 +365,22 @@ def sampled_index_recall(
         .select(F.col(id_col).alias("query_id"), F.col(vec_col))
         .persist()
     )
+    truth = brute_force_topk(
+        corpus_df, probes, k=k, corpus_id=id_col, vec_col=vec_col
+    ).select("query_id", F.col(id_col).alias("__hit")).persist()
     try:
-        truth = brute_force_topk(
-            corpus_df, probes, k=k, corpus_id=id_col, vec_col=vec_col
-        ).select("query_id", F.col(id_col).alias("__hit"))
         got = ivfpq_search(
             table.read(), corpus_df, probes, model["coarse"], model["cq"],
             k=k, corpus_id=id_col, vec_col=vec_col, n_probe=n_probe,
             dim=int(model["dim"]), residual=bool(model["residual"]),
         ).select("query_id", F.col(id_col).alias("__hit"))
-        truth = truth.persist()
         denom = truth.count()
         if not denom:
             return 1.0
         hits = truth.join(got, ["query_id", "__hit"], "left_semi").count()
-        truth.unpersist()
         return hits / denom
     finally:
+        truth.unpersist()
         probes.unpersist()
 
 
@@ -466,6 +465,12 @@ def vector_index_maintainer_gen(
         growth = float(auto_retrain.get("growth", 2.0))
         min_rows = int(auto_retrain.get("min_rows", 1000))
         need = n_now >= min_rows and n_now >= growth * max(1, n_at)
+        # The corpus provider is called AT MOST ONCE per batch and the
+        # same snapshot feeds both the audit and the retrain: a moving
+        # provider re-invoked between the two could hand the retrain a
+        # snapshot lagging the one just audited, tripping the
+        # lagging-snapshot guard on every audited batch thereafter.
+        corpus_df = auto_retrain["corpus"]() if need else None
         # recall-based trigger (r10 VERDICT next-round #5): size growth
         # is a proxy — what drifted inserts actually break is recall.
         # Every recall_every batches, audit the serving path against
@@ -476,8 +481,9 @@ def vector_index_maintainer_gen(
         if not need and floor is not None and n_now >= min_rows:
             every = int(auto_retrain.get("recall_every", 4))
             if (int(batch_id) + 1) % max(1, every) == 0:
+                corpus_df = auto_retrain["corpus"]()
                 rec = sampled_index_recall(
-                    spark, root, auto_retrain["corpus"](),
+                    spark, root, corpus_df,
                     id_col=id_col, vec_col=vec_col,
                     sample=int(auto_retrain.get("recall_sample", 16)),
                     k=int(auto_retrain.get("recall_k", 10)),
@@ -486,7 +492,7 @@ def vector_index_maintainer_gen(
                 need = rec < float(floor)
         if need:
             retrain_vector_index_generation(
-                spark, root, app_id, auto_retrain["corpus"](),
+                spark, root, app_id, corpus_df,
                 id_col=id_col, vec_col=vec_col,
                 n_centroids=int(auto_retrain.get("n_centroids", 16)),
                 residual=bool(model["residual"]),

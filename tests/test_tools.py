@@ -2,7 +2,6 @@
 they get the same regression protection as operators)."""
 
 import json
-import re
 import shutil
 import subprocess
 import sys
@@ -79,9 +78,14 @@ def test_gate_green_at_the_post_grading_round_boundary(tmp_path):
 
 
 def _registry_names():
-    src = open(f"{REPO}/__spark_entry__.py").read()
-    m = re.search(r"def _registry_base\(\).*?return \{(.*?)\n    \}", src, re.S)
-    return re.findall(r'"([a-z0-9_]+)":\s*q_', m.group(1))
+    # import the GATE'S OWN parse (not a copy of its regex): the test
+    # must pin what check_freshness actually checks, so a drift in the
+    # tool's parse fails here instead of silently checking the wrong
+    # membership
+    sys.path.insert(0, f"{REPO}/tools")
+    from check_freshness import registry_names
+
+    return registry_names()
 
 
 def test_source_parse_matches_real_registry_and_order_is_stalest_first():

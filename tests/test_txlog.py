@@ -309,6 +309,17 @@ def test_restore_to_is_metadata_only_rollback(spark, tmp_path, customers):
     t.append(extra)
     assert t.read().count() == customers.count() + 5
 
+    # a CHECK constraint added AFTER the target version still guards
+    # the rollback: re-added files are validated, so a restore can
+    # never resurrect rows the active constraint forbids
+    t.delete_where(F.col("c_custkey") == lo)
+    t.set_constraint("no_lo", f"c_custkey <> {lo}")
+    v_before = t.versions()[-1]
+    with pytest.raises(ValueError, match="no_lo"):
+        t.restore_to(0)  # version 0 contains the forbidden key
+    assert t.versions()[-1] == v_before  # log untouched on refusal
+    t.drop_constraint("no_lo")
+
     # a restore whose target files were vacuumed fails closed
     t.overwrite(customers.limit(10))
     t.vacuum(keep_versions=1, retention_seconds=0)

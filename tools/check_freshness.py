@@ -58,9 +58,14 @@ def main() -> int:
     assume = "--assume-window-green" in argv
     repo_dir = REPO
     if "--repo" in argv:
-        repo_dir = argv[argv.index("--repo") + 1]
-        argv = [a for a in argv if a != repo_dir]
-    args = [a for a in argv if a not in ("--assume-window-green", "--repo")]
+        i = argv.index("--repo")
+        if i + 1 >= len(argv):
+            print("usage: check_freshness.py [round] [--assume-window-green] [--repo DIR]")
+            return 2
+        repo_dir = argv[i + 1]
+        del argv[i:i + 2]  # positional removal: a value that happens to
+        # equal another token must not strip that token too
+    args = [a for a in argv if a != "--assume-window-green"]
 
     last_green = last_green_rounds(repo_dir)
     rounds = graded_rounds(repo_dir)

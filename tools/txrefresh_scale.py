@@ -7,9 +7,10 @@ directory layout, and generation-unit vacuum reclaim, at sf0.1 and (if
 The question this answers: what does the snapshot-isolated host COST
 relative to the in-place directory layout it supersedes as the graded
 serving path — and does its refresh stay O(change) as the corpus grows
-10x? The refresh applies the same 35-row change feed as
-``refresh_scale.py`` (20 updates + 10 inserts + 5 deletes), so the
-refresh-derivative rows are directly comparable across the two hosts.
+10x? The refresh applies the same 55-row change feed as
+``refresh_scale.py`` (20 updates as delete+insert pairs + 10 inserts +
+5 deletes), so the refresh-derivative rows are directly comparable
+across the two hosts.
 
 Usage: python tools/txrefresh_scale.py [runs=2]
 One JSON line on stdout; rows land in SCALE.md by hand.
