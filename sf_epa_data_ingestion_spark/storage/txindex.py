@@ -320,8 +320,11 @@ def refresh_tx_search_index(
     n_inserted = changes.filter(F.col(change_col) == "insert").count()
     n_after = snap.n_docs - n_deleted + n_inserted
 
-    # --- postings: CoW on touched buckets (per-file __tb bounds keep the
-    # delete to those files), maintained rows appended back
+    # --- postings: CoW on touched buckets, delete + maintained append
+    # fused into ONE commit (r11: TxTable.replace_where — half the
+    # piece commits per generation, and with the bucket-aligned layout
+    # the survivor set is empty so the whole mutation is one staged
+    # write)
     touched_part = snap._read(
         "postings", filters=[("__tb", "in", touched_buckets)]
     ).drop("__tb")
@@ -329,9 +332,9 @@ def refresh_tx_search_index(
         touched_part.select("token", "id", "tf"),
         changes, id_col=id_col, text_col=text_col, change_col=change_col,
     ).withColumn("__tb", F.pmod(F.xxhash64(F.col("token")), F.lit(n_buckets)))
-    t["postings"].delete_where(F.col("__tb").isin(touched_buckets))
-    t["postings"].append(
-        maintained.repartitionByRange(max(1, len(touched_buckets)), "__tb")
+    t["postings"].replace_where(
+        F.col("__tb").isin(touched_buckets),
+        maintained.repartitionByRange(max(1, len(touched_buckets)), "__tb"),
     )
 
     # --- doclens: CoW on touched id-buckets (same pruned read as the
@@ -340,9 +343,9 @@ def refresh_tx_search_index(
         touched_dl_probe, changes, id_col=id_col, text_col=text_col,
         change_col=change_col,
     ).withColumn("__ib", F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)))
-    t["doclens"].delete_where(F.col("__ib").isin(touched_ibs))
-    t["doclens"].append(
-        new_dl.repartitionByRange(max(1, len(touched_ibs)), "__ib")
+    t["doclens"].replace_where(
+        F.col("__ib").isin(touched_ibs),
+        new_dl.repartitionByRange(max(1, len(touched_ibs)), "__ib"),
     )
     doclens_after = t["doclens"].read().drop("__ib")
     postings_after = t["postings"].read().drop("__tb")
@@ -386,11 +389,12 @@ def refresh_tx_search_index(
 def vacuum_tx_search_index(spark, path: str, keep_generations: int = 2) -> None:
     """Reclaim piece files not referenced by the newest
     ``keep_generations`` MANIFESTS. The retention unit is generations,
-    not raw txlog versions: one refresh commits to each piece an UNEVEN
-    number of times (postings/doclens get a delete + an append, the
-    vocabulary pieces one overwrite), so a fixed per-table version count
-    would reclaim a still-pinned generation's postings while keeping its
-    stats — a torn snapshot for any reader holding it. Per piece, every
+    not raw txlog versions: refreshes may commit to pieces an UNEVEN
+    number of times (a torn refresh adds restore_to rollback commits;
+    pre-r11 refreshes paid a delete + an append per bucketed piece), so
+    a fixed per-table version count would reclaim a still-pinned
+    generation's postings while keeping its stats — a torn snapshot for
+    any reader holding it. Per piece, every
     version >= the OLDEST retained manifest's pinned version is kept
     (txlog retention is a contiguous newest-N window, and pinned
     versions are monotone across generations). Run only when no reader

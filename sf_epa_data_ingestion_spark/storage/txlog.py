@@ -840,6 +840,44 @@ class TxTable:
         )
         return v + 1
 
+    def replace_where(self, cond, df: DataFrame, txn: dict | None = None) -> int:
+        """DELETE WHERE ``cond`` and append ``df`` in ONE atomic commit
+        (Delta's replaceWhere, generalized to any predicate): files
+        containing matching rows are CoW-discovered, their surviving
+        rows ride the SAME staged write as ``df``, and the removes and
+        adds publish together. On the index-refresh hot path this
+        halves the per-piece commits (and collapses three Spark jobs —
+        survivor rewrite, survivor stats, append stage — into one when
+        the layout is predicate-aligned and survivors are empty), and
+        there is no intermediate tip where the delete is visible
+        without its replacement. ``df`` must match the table schema
+        exactly (no evolution on this path)."""
+        v, live, schema = self._snapshot()
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        self._reject_type_drift(df, schema)
+        if set(df.schema.names) != set(schema.names):
+            raise ValueError(
+                f"replace_where schema mismatch ({sorted(df.schema.names)} "
+                f"vs table {sorted(schema.names)})"
+            )
+        cols = [f.name for f in schema.fields]
+        touched = self._touched_by_predicate(live, schema, cond)
+        out = df.select(*cols)
+        if touched:
+            kept = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in touched]
+            ).filter(~cond).select(*cols)
+            out = kept.unionByName(out)
+        self._check_constraints(out)
+        files, stats = self._stage_with_stats(out)
+        self._publish(
+            v + 1,
+            {"add": files, "remove": touched, "stats": stats},
+            schema.json(),
+            txn=txn,
+        )
+        return v + 1
+
     def update_where(self, cond, set_cols: dict) -> int:
         """UPDATE this table SET col = expr WHERE cond (U2's predicate
         form, CoW): matching rows in touched files get ``set_cols``

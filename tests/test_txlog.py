@@ -349,3 +349,42 @@ def test_nan_bounds_never_prune_matching_files(spark, tmp_path):
 
     assert _may_match({"x": [1.0, float("nan")]}, [("x", "in", [2.5])])
     assert _may_match({"x": [float("nan"), float("nan")]}, [("x", "=", 9.9)])
+
+
+def test_replace_where_is_one_atomic_commit(spark, tmp_path, customers):
+    """replace_where == delete_where + append row-for-row, but in ONE
+    commit: removes and adds publish together, survivors of touched
+    files ride the same staged write, and a predicate matching nothing
+    still appends."""
+    t1 = TxTable(spark, str(tmp_path / "a")).create(
+        customers.repartitionByRange(4, "c_custkey")
+    )
+    t2 = TxTable(spark, str(tmp_path / "b")).create(
+        customers.repartitionByRange(4, "c_custkey")
+    )
+    lo = customers.agg(F.min("c_custkey")).first()[0]
+    cond = F.col("c_custkey") < lo + 50
+    repl = customers.filter(cond).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1.0
+    )
+
+    v_before = t1.versions()[-1]
+    t1.replace_where(cond, repl)
+    assert t1.versions()[-1] == v_before + 1  # exactly one commit
+    rec = t1.history()[-1]
+    assert rec["remove"] and rec["add"]  # removes+adds together
+    t2.delete_where(cond)
+    t2.append(repl)
+    assert _rows(t1.read()) == _rows(t2.read())
+
+    # nothing matches: still appends (delete half is a no-op)
+    extra = customers.limit(3).withColumn(
+        "c_custkey", F.col("c_custkey") + 77_000_000
+    )
+    t1.replace_where(F.col("c_custkey") == -1, extra)
+    assert t1.read().filter(F.col("c_custkey") >= 77_000_000).count() == 3
+
+    # constraints guard the union of survivors + replacement
+    t1.set_constraint("bal_sane", "c_acctbal > -100000")
+    with pytest.raises(ValueError, match="bal_sane"):
+        t1.replace_where(cond, repl.withColumn("c_acctbal", F.lit(-1e9)))
