@@ -335,6 +335,7 @@ def refresh_tx_search_index(
     t["postings"].replace_where(
         F.col("__tb").isin(touched_buckets),
         maintained.repartitionByRange(max(1, len(touched_buckets)), "__tb"),
+        prune_filters=[("__tb", "in", touched_buckets)],
     )
 
     # --- doclens: CoW on touched id-buckets (same pruned read as the
@@ -346,6 +347,7 @@ def refresh_tx_search_index(
     t["doclens"].replace_where(
         F.col("__ib").isin(touched_ibs),
         new_dl.repartitionByRange(max(1, len(touched_ibs)), "__ib"),
+        prune_filters=[("__ib", "in", touched_ibs)],
     )
     doclens_after = t["doclens"].read().drop("__ib")
     postings_after = t["postings"].read().drop("__tb")

@@ -799,12 +799,25 @@ class TxTable:
         return v + 1
 
     def _touched_by_predicate(
-        self, live: list[str], schema: StructType, cond
+        self, live: list[str], schema: StructType, cond,
+        prune_filters=None, stats: dict | None = None,
     ) -> list[str]:
         """Files containing at least one row matching ``cond`` — the
         file-granular CoW discovery for predicate-driven mutations. One
         distributed scan (column-pruned to the predicate's inputs);
-        driver materialization bounded by file count."""
+        driver materialization bounded by file count.
+
+        ``prune_filters`` (the ``read()`` tuple shape) pre-prunes the
+        discovery scan through the committed per-file stats: a file
+        whose bounds prove the filters empty cannot contain a matching
+        row, so it is never opened. SOUNDNESS IS THE CALLER'S CONTRACT:
+        the filters must be implied by ``cond`` (pruning a file that
+        does contain matches would silently skip its rewrite). Without
+        them the discovery is an O(live-files) column-pruned scan per
+        mutation — fine for ad-hoc DML, the wrong constant for a
+        per-micro-batch refresh over a bucketed layout."""
+        if prune_filters and stats is not None:
+            live = [f for f in live if _may_match(stats.get(f), prune_filters)]
         if not live:
             return []
         live_df = self.spark.read.schema(schema).parquet(
@@ -819,13 +832,18 @@ class TxTable:
         touched = {os.path.basename(r["__fp"]) for r in rows}
         return sorted(f for f in live if f in touched)
 
-    def delete_where(self, cond) -> int:
+    def delete_where(self, cond, prune_filters=None) -> int:
         """DELETE FROM this table WHERE cond (U4's predicate half, CoW):
         only files containing matching rows are rewritten without them;
-        untouched files survive. ``cond`` is a Column or SQL string."""
-        v, live, schema = self._snapshot()
+        untouched files survive. ``cond`` is a Column or SQL string.
+        ``prune_filters`` (must be implied by ``cond`` — see
+        ``_touched_by_predicate``) skips files the committed stats
+        prove untouched before the discovery scan opens them."""
+        v, live, schema, stats = self._snapshot_full()
         cond = F.expr(cond) if isinstance(cond, str) else cond
-        touched = self._touched_by_predicate(live, schema, cond)
+        touched = self._touched_by_predicate(
+            live, schema, cond, prune_filters=prune_filters, stats=stats
+        )
         if not touched:
             return v  # nothing matched: no-op, no empty commit
         kept = self.spark.read.schema(schema).parquet(
@@ -840,7 +858,10 @@ class TxTable:
         )
         return v + 1
 
-    def replace_where(self, cond, df: DataFrame, txn: dict | None = None) -> int:
+    def replace_where(
+        self, cond, df: DataFrame, txn: dict | None = None,
+        prune_filters=None,
+    ) -> int:
         """DELETE WHERE ``cond`` and append ``df`` in ONE atomic commit
         (Delta's replaceWhere, generalized to any predicate): files
         containing matching rows are CoW-discovered, their surviving
@@ -851,8 +872,12 @@ class TxTable:
         the layout is predicate-aligned and survivors are empty), and
         there is no intermediate tip where the delete is visible
         without its replacement. ``df`` must match the table schema
-        exactly (no evolution on this path)."""
-        v, live, schema = self._snapshot()
+        exactly (no evolution on this path). ``prune_filters`` (must be
+        implied by ``cond``) skips provably-untouched files before the
+        discovery scan — the per-micro-batch refresh path over a
+        bucketed layout passes its bucket probe here so discovery cost
+        follows the CHANGE, not the corpus."""
+        v, live, schema, stats = self._snapshot_full()
         cond = F.expr(cond) if isinstance(cond, str) else cond
         self._reject_type_drift(df, schema)
         if set(df.schema.names) != set(schema.names):
@@ -861,7 +886,9 @@ class TxTable:
                 f"vs table {sorted(schema.names)})"
             )
         cols = [f.name for f in schema.fields]
-        touched = self._touched_by_predicate(live, schema, cond)
+        touched = self._touched_by_predicate(
+            live, schema, cond, prune_filters=prune_filters, stats=stats
+        )
         out = df.select(*cols)
         if touched:
             kept = self.spark.read.schema(schema).parquet(

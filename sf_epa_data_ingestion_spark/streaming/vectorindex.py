@@ -148,7 +148,15 @@ def vector_index_maintainer(
             .select(F.col(id_col).alias("id")).distinct().collect()
         }
         if deleted_ids:
-            table.delete_where(F.col(id_col).isin(sorted(deleted_ids)))
+            # prune_filters == the cond's own id list, so the discovery
+            # scan opens only files whose committed id bounds admit a
+            # changed id (r11 — this is the txlog min/max skipping the
+            # scale note above promises; before it, discovery was an
+            # O(live-files) scan per batch)
+            table.delete_where(
+                F.col(id_col).isin(sorted(deleted_ids)),
+                prune_filters=[(id_col, "in", sorted(deleted_ids))],
+            )
         inserts = batch_df.filter(F.col(change_col) == "insert")
         enc = encode_ivfpq(
             inserts, coarse, cq, dim, id_col=id_col, vec_col=vec_col,

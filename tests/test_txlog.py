@@ -388,3 +388,36 @@ def test_replace_where_is_one_atomic_commit(spark, tmp_path, customers):
     t1.set_constraint("bal_sane", "c_acctbal > -100000")
     with pytest.raises(ValueError, match="bal_sane"):
         t1.replace_where(cond, repl.withColumn("c_acctbal", F.lit(-1e9)))
+
+
+def test_predicate_mutations_with_prune_filters_match_unpruned(spark, tmp_path, customers):
+    """prune_filters pre-prunes the CoW discovery scan through the
+    committed stats; over a range-clustered layout the pruned and
+    unpruned forms must touch the same files and produce identical
+    tables (the filters are implied by the predicate, so pruning can
+    only skip provably-unmatching files)."""
+    lo = customers.agg(F.min("c_custkey")).first()[0]
+    ids = [int(lo), int(lo) + 1]
+    t1 = TxTable(spark, str(tmp_path / "a")).create(
+        customers.repartitionByRange(8, "c_custkey")
+    )
+    t2 = TxTable(spark, str(tmp_path / "b")).create(
+        customers.repartitionByRange(8, "c_custkey")
+    )
+    t1.delete_where(F.col("c_custkey").isin(ids))
+    t2.delete_where(
+        F.col("c_custkey").isin(ids),
+        prune_filters=[("c_custkey", "in", ids)],
+    )
+    assert _rows(t1.read()) == _rows(t2.read())
+    assert len(t1.history()[-1]["remove"]) == len(t2.history()[-1]["remove"]) == 1
+
+    repl = customers.filter(F.col("c_custkey").isin(ids)).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 9.0
+    )
+    t1.replace_where(F.col("c_custkey").isin(ids), repl)
+    t2.replace_where(
+        F.col("c_custkey").isin(ids), repl,
+        prune_filters=[("c_custkey", "in", ids)],
+    )
+    assert _rows(t1.read()) == _rows(t2.read())
