@@ -13,7 +13,7 @@ third pass finished the job: the "approximate" ops are deterministic too
 (seeded hyperplanes for LSH, fixed-point-sum k-means for IVF, and HLL++'s
 linear-counting branch is a pure function of the distinct-value set), so
 ann_lsh / ann_ivf / approx_profile carry golden-fixture oracles as well —
-ALL 90 queries are value-checked; recall-floor tests additionally bound
+ALL 100 queries are value-checked; recall-floor tests additionally bound
 the approximate ops against their exact counterparts.
 
 Determinism discipline (so order-insensitive value-hashes match):
