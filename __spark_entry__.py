@@ -2553,9 +2553,12 @@ def q_search_bm25_wand_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _tx_search_index_dir(spark, sf_dir)
     )
     qdf = spark.createDataFrame(WAND_BATCH_QUERIES, "query_id long, query_text string")
-    return snap.bm25_maxscore(qdf, k=10).select(
-        "query_id", F.col("id").alias("doc_id"), "score"
-    )
+    # literal query batch: the driver-side term mirror skips the
+    # tokenize+collect job (same _probe_terms shape as the directory
+    # probes; a drift there would fail THIS query's hash compare)
+    return snap.bm25_maxscore(
+        qdf, k=10, terms=_probe_terms(*[t for _, t in WAND_BATCH_QUERIES])
+    ).select("query_id", F.col("id").alias("doc_id"), "score")
 
 
 def _wand_queries_sql() -> str:

@@ -167,24 +167,34 @@ class TxSearchSnapshot:
     def bm25_maxscore(self, queries: DataFrame, k: int = 10,
                       k1: float = 1.2, b: float = 0.75,
                       query_id: str = "query_id",
-                      text_col: str = "query_text") -> DataFrame:
+                      text_col: str = "query_text",
+                      terms: list | None = None) -> DataFrame:
         """WAND-pruned batch BM25 served ENTIRELY from this snapshot:
         the postings probe is bucket-pruned through txlog file skipping
         (``postings_for_terms``), and every statistic (stats, bounds,
         doclens, n_docs) reads at the pinned versions — so results are
         stable under concurrent refreshes, the property the directory
-        layout cannot offer."""
-        # the SAME Spark expression the scorer tokenizes with (one tiny
-        # collect over the query frame) — a hand-rolled Python mirror
-        # would have to track _norm_tokens' JVM semantics forever, and
-        # any divergence silently drops a term's postings from the
-        # pruned probe
-        terms = sorted(
-            r["t"]
-            for r in queries.select(
-                F.explode(search._norm_tokens(F.col(text_col))).alias("t")
-            ).distinct().collect()
-        )
+        layout cannot offer.
+
+        ``terms``: when the query texts are LITERALS the caller already
+        knows their normalized term set (the directory path's
+        ``_probe_terms`` shape) — passing it skips the tokenize+collect
+        job this method otherwise runs over the query frame. Must equal
+        ``_norm_tokens``' output for the same texts: a superset only
+        widens the probe (safe), a subset would silently drop a term's
+        postings from scoring."""
+        if terms is None:
+            # the SAME Spark expression the scorer tokenizes with (one
+            # tiny collect over the query frame) — a hand-rolled Python
+            # mirror would have to track _norm_tokens' JVM semantics
+            # forever, and any divergence silently drops a term's
+            # postings from the pruned probe
+            terms = sorted(
+                r["t"]
+                for r in queries.select(
+                    F.explode(search._norm_tokens(F.col(text_col))).alias("t")
+                ).distinct().collect()
+            )
         return search.bm25_search_many_maxscore(
             self.postings_for_terms(terms),
             self.stats(),

@@ -183,12 +183,20 @@ def semantic_dedup_monitor(
     def write_batch(batch_df, batch_id: int) -> None:
         if (last := state.last_txn(app_id)) is not None and batch_id <= last:
             return  # fully processed (state commits LAST)
-        seen = state.read().select("id", "cid", "u", "ccos")
-        # re-delivery guard (at-least-once upstream): one row per id in
-        # the batch, and ids already in state never re-enter
-        batch_df = batch_df.dropDuplicates([id_col]).join(
-            seen.select(F.col("id").alias(id_col)), id_col, "left_anti"
-        )
+        # brand-new state (metadata-only row_count): the history read,
+        # the re-delivery anti-join, and the cross-batch cogroup side
+        # all operate on a provably empty table — skip them, so batch
+        # 0's plan is its batch-only shape (r11 fixed-cost shave, the
+        # same fast path as the neardup monitors and the ingester)
+        empty_state = state.row_count() == 0
+        batch_df = batch_df.dropDuplicates([id_col])
+        if not empty_state:
+            seen = state.read().select("id", "cid", "u", "ccos")
+            # re-delivery guard (at-least-once upstream): one row per id
+            # in the batch, and ids already in state never re-enter
+            batch_df = batch_df.join(
+                seen.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            )
         enc = _encode_with_ccos(
             batch_df, cents, id_col=id_col, vec_col=vec_col
         ).persist()
@@ -215,10 +223,13 @@ def semantic_dedup_monitor(
         # function) — the same maintenance trade the lexical index's
         # bucket layout makes structurally, wired in rather than left to
         # an operator runbook.
-        hit_cells = sorted(cells_obs.get["cells"] or [])
-        old = state.read(filters=[("cid", "in", hit_cells)]).select(
-            "id", "cid", "u", "ccos"
-        )
+        if empty_state:
+            old = None  # batch-only cogroup below
+        else:
+            hit_cells = sorted(cells_obs.get["cells"] or [])
+            old = state.read(filters=[("cid", "in", hit_cells)]).select(
+                "id", "cid", "u", "ccos"
+            )
 
         # Pair scoring is a per-cell COGROUP with the batch operator's
         # row-blocked numpy matmuls — candidate pairs are NEVER
@@ -289,11 +300,21 @@ def semantic_dedup_monitor(
                 }
             )
 
+        if old is None:
+            # batch 0: no history side — a plain grouped apply (one
+            # exchange) instead of a cogroup against an empty frame
+            no_state = pd.DataFrame({"id": [], "cid": [], "u": [], "ccos": []})
+            scored = enc.groupBy("cid").applyInPandas(
+                lambda key, pdf: per_cell(key, pdf, no_state), pair_schema
+            )
+        else:
+            scored = (
+                enc.groupBy("cid")
+                .cogroup(old.groupBy("cid"))
+                .applyInPandas(per_cell, pair_schema)
+            )
         decisions = (
-            enc.groupBy("cid")
-            .cogroup(old.groupBy("cid"))
-            .applyInPandas(per_cell, pair_schema)
-            .select(
+            scored.select(
                 "cid", "keep_id", "drop_id",
                 F.round("cosine_sim", 6).alias("cosine_sim"),
             )
