@@ -734,34 +734,39 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
 """
 
 
-def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 set operators in ONE graded row (r11 merge of the
+    set_except / set_intersect micro-rows — the multi_grouping /
+    string_suite precedent; the freed slot funds the tx-refresh graded
+    row): EXCEPT and INTERSECT each tagged by an ``op`` column so both
+    engine-supplied set operators stay value-checked."""
     o = _t(spark, sf_dir, "orders")
-    return (
+    ex = (
         o.select("o_custkey")
         .subtract(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+        .select(F.lit("except").alias("op"), "o_custkey")
     )
-
-
-ORACLE_SET_EXCEPT = """
-SELECT o_custkey FROM orders
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-"""
-
-
-def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return (
+    ix = (
         o.filter(F.col("o_orderstatus") == "F")
         .select("o_custkey")
         .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+        .select(F.lit("intersect").alias("op"), "o_custkey")
     )
+    return ex.unionByName(ix)
 
 
-ORACLE_SET_INTERSECT = """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORACLE_SET_OPS = """
+SELECT 'except' AS op, o_custkey FROM (
+  SELECT o_custkey FROM orders
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'intersect' AS op, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
 """
 
 
@@ -2279,6 +2284,61 @@ def _tx_joined_search_index_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _tx_fresh_search_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A tx search index that reached the documents corpus THROUGH a
+    CDC refresh rather than a direct build: generation 1 indexes a
+    deterministically perturbed base (97-stride docs missing, 89-stride
+    texts replaced by stale drafts, 71-stride obsolete extras present),
+    and ONE change feed — inserts for the missing, delete+insert pairs
+    for the stale, full-pre-image deletes for the extras — brings it to
+    exactly ``documents``. The refresh carries a txn marker, so a
+    rebuilt cache converges (re-running the build's refresh is a
+    replay no-op) and the layout always serves generation 2."""
+    def build(tmp):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        missing = docs.filter(F.col("doc_id") % 97 == 0)
+        stale = docs.filter(
+            (F.col("doc_id") % 89 == 0) & (F.col("doc_id") % 97 != 0)
+        )
+        extras = docs.filter(F.col("doc_id") % 71 == 0).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.concat(F.lit("obsolete appendix "), F.col("text")).alias("text"),
+        )
+        base = (
+            docs.filter(F.col("doc_id") % 97 != 0)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 89 == 0,
+                    F.concat(F.lit("stale draft revision "), F.col("text")),
+                ).otherwise(F.col("text")),
+            )
+            .unionByName(extras)
+        )
+        txindex.materialize_tx_search_index(
+            base, tmp, id_col="doc_id", text_col="text"
+        )
+        ct = lambda tag: F.lit(tag).alias("_change_type")
+        feed = (
+            stale.select(
+                "doc_id",
+                F.concat(F.lit("stale draft revision "), F.col("text")).alias("text"),
+                ct("delete"),
+            )
+            .unionByName(stale.select("doc_id", "text", ct("insert")))
+            .unionByName(missing.select("doc_id", "text", ct("insert")))
+            .unionByName(extras.select("doc_id", "text", ct("delete")))
+        )
+        txindex.refresh_tx_search_index(
+            spark, tmp, feed, id_col="doc_id", text_col="text",
+            txn=("tx-fresh-build", 0),
+        )
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            f.write("{}")
+
+    return _materialized_dir(sf_dir, "documents", "tx_search_index_fresh_v1", build)
+
+
 def _probe_terms(*texts: str) -> list:
     """Driver-side mirror of search._norm_tokens for literal query
     strings: lowercase, non-alphanumerics to spaces, whitespace split —
@@ -2556,6 +2616,33 @@ def q_search_bm25_wand_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal query batch: the driver-side term mirror skips the
     # tokenize+collect job (same _probe_terms shape as the directory
     # probes; a drift there would fail THIS query's hash compare)
+    return snap.bm25_maxscore(
+        qdf, k=10, terms=_probe_terms(*[t for _, t in WAND_BATCH_QUERIES])
+    ).select("query_id", F.col("id").alias("doc_id"), "score")
+
+
+def q_search_bm25_wand_tx_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 CDC-refresh correctness GRADED end-to-end (r11): the tx
+    index serving this query was NOT built from the documents corpus —
+    it was built from a perturbed base and brought to the corpus by one
+    ``refresh_tx_search_index`` change batch (inserts + delete/insert
+    update pairs + full-pre-image deletes), so every maintained piece
+    (apply_changes postings, doclens CoW, stats, frontier-exact bounds)
+    plus the atomic manifest cutover sits between the raw data and the
+    ranking. The oracle is the SAME plain full-scoring SQL as
+    search_bm25_wand over ``documents``: any drift in ANY maintenance
+    path fails the hash compare. The build's txn marker makes cache
+    re-runs replay no-ops; the guard below refuses to serve an
+    unrefreshed layout."""
+    snap = txindex.load_tx_search_index(
+        spark, _tx_fresh_search_index_dir(spark, sf_dir)
+    )
+    if snap.gen < 2:
+        raise ValueError(
+            "tx_fresh index is still at generation 1 — the CDC refresh "
+            "this query exists to grade never ran"
+        )
+    qdf = spark.createDataFrame(WAND_BATCH_QUERIES, "query_id long, query_text string")
     return snap.bm25_maxscore(
         qdf, k=10, terms=_probe_terms(*[t for _, t in WAND_BATCH_QUERIES])
     ).select("query_id", F.col("id").alias("doc_id"), "score")
@@ -4171,6 +4258,7 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_ann_tx": q_search_hybrid_ann_tx,
         "search_bm25_wand": q_search_bm25_wand,
         "search_bm25_wand_tx": q_search_bm25_wand_tx,
+        "search_bm25_wand_tx_fresh": q_search_bm25_wand_tx_fresh,
         "search_hybrid_ann_batch": q_search_hybrid_ann_batch,
         "mixture_sample": q_mixture_sample,
         "ann_lsh": q_ann_lsh,
@@ -4241,8 +4329,7 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_suite": q_string_suite,
         "scalar_suite": q_scalar_suite,
         "top_k": q_top_k,
-        "set_except": q_set_except,
-        "set_intersect": q_set_intersect,
+        "set_ops": q_set_ops,
         "lateral_tokenize": q_lateral_tokenize,
         "json_extract": q_json_extract,
         "window_tumbling": q_window_tumbling,
@@ -4292,8 +4379,7 @@ def oracle_sql() -> dict[str, str]:
         "update_from_join": ORACLE_UPDATE_FROM_JOIN,
         "delete_using": ORACLE_DELETE_USING,
         "top_k": ORACLE_TOP_K,
-        "set_except": ORACLE_SET_EXCEPT,
-        "set_intersect": ORACLE_SET_INTERSECT,
+        "set_ops": ORACLE_SET_OPS,
         "lateral_tokenize": ORACLE_LATERAL_TOKENIZE,
         "json_extract": ORACLE_JSON_EXTRACT,
         "window_tumbling": ORACLE_WINDOW_TUMBLING,
@@ -4333,6 +4419,9 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid_ann_batch": ORACLE_SEARCH_HYBRID_ANN_BATCH,
         "search_bm25_wand": ORACLE_SEARCH_BM25_WAND,
         "search_bm25_wand_tx": ORACLE_SEARCH_BM25_WAND,
+        # the CDC-refresh row shares it too: an index brought to the
+        # corpus BY the refresh must rank exactly like one built from it
+        "search_bm25_wand_tx_fresh": ORACLE_SEARCH_BM25_WAND,
         "search_lexical": ORACLE_SEARCH_LEXICAL,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_bm25_batch": ORACLE_SEARCH_BM25_BATCH,
