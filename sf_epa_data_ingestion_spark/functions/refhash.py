@@ -222,6 +222,16 @@ def xxh64_string(s: str, seed: int = 42) -> int:
     return xxh64_bytes(s.encode("utf-8"), seed)
 
 
+def xxh64_long(value: int, seed: int = 42) -> int:
+    """Spark ``XXH64.hashLong`` (= ``F.xxhash64(long_col)``): the 8-byte
+    little-endian block path of ``xxh64_bytes`` — Spark's dedicated
+    hashLong(input, seed) = fmix(rotl(seed+P5+8 ^ round(0, input), 27)
+    * P1 + P4) is exactly the generic block function at length 8, so one
+    implementation serves both. ``value`` is a signed or unsigned 64-bit
+    int (two's complement wrapped)."""
+    return xxh64_bytes((value & _M64).to_bytes(8, "little"), seed)
+
+
 # ---------------------------------------------------------------------------
 # Reference signature pipelines (mirror the dedup operators' expression
 # trees outside the JVM — the basis for the golden signature fixtures)

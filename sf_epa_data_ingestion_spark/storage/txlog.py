@@ -44,6 +44,7 @@ a handful of files, not the table — the same plan shape as Delta's MERGE.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import time
@@ -132,7 +133,72 @@ def _may_match(stats: dict | None, filters) -> bool:
                 return False
         except TypeError:
             continue  # incomparable (schema drift): keep the file
+    bloom = stats.get("__bloom")
+    if isinstance(bloom, dict):
+        for col, op, v in filters:
+            if op not in ("=", "==", "in"):
+                continue  # blooms answer membership, not ranges
+            ent = bloom.get(col)
+            if not isinstance(ent, dict):
+                continue  # column not bloom-indexed in this file
+            values = _in_probe(v) if op == "in" else [v]
+            if not _bloom_may_contain(ent, values):
+                return False
     return True
+
+
+def _bloom_hash_base(value, typ: str) -> int | None:
+    """Driver-side mirror of ``F.xxhash64(col)`` for a probe value —
+    None when the value's Python type cannot be the column's type (a
+    mistyped probe matches no row via the residual filter anyway, but
+    pruning on a wrong-type hash would be UNsound, so don't)."""
+    from sf_epa_data_ingestion_spark.functions.refhash import (
+        xxh64_long, xxh64_string,
+    )
+
+    if typ == "string":
+        return xxh64_string(value) if isinstance(value, str) else None
+    if typ == "long":
+        if isinstance(value, bool) or not isinstance(value, int):
+            return None
+        if not (-(1 << 63) <= value < (1 << 63)):
+            return None  # out of long range: bounds already prune
+        return xxh64_long(value)
+    return None
+
+
+def _bloom_positions_py(value, typ: str, m: int, k: int) -> list[int] | None:
+    """The k bit positions ``_bloom_pos_expr`` sets for ``value`` —
+    pos_i = pmod(xxhash64(value, CAST(i AS LONG)), m), mirrored exactly
+    (seed-chained XXH64; parity pinned in tests/test_bloom.py)."""
+    from sf_epa_data_ingestion_spark.functions.refhash import xxh64_long
+
+    h = _bloom_hash_base(value, typ)
+    if h is None:
+        return None
+    return [xxh64_long(i, seed=h) % m for i in range(k)]
+
+
+def _bloom_may_contain(ent: dict, values) -> bool:
+    """True unless the bitmap PROVES no probe value is in the file.
+    Malformed/unknown entries (future format rev, truncated bitmap)
+    keep the file — skipping must never change results."""
+    try:
+        m, k, typ = int(ent["m"]), int(ent["k"]), ent["t"]
+        bits = base64.b64decode(ent["b"])
+        if len(bits) * 8 < m:
+            return True
+    except (KeyError, TypeError, ValueError):
+        return True
+    for v in values:
+        if v is None:
+            return True  # NULL probe: not prunable here
+        pos = _bloom_positions_py(v, typ, m, k)
+        if pos is None:
+            return True  # untyped/mistyped probe: keep the file
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+            return True  # this value may be present
+    return False
 
 
 class TxTable:
@@ -290,6 +356,128 @@ class TxTable:
         )
         return v + 1
 
+    # -- bloom-filter data skipping ------------------------------------------
+
+    _BLOOM_TYPES = ("string", "long")
+
+    def bloom_config(self) -> dict[str, dict]:
+        """Active bloom-indexed columns: {col: {"m": bits, "k": hashes}}.
+        Latest commit carrying a ``bloom`` map wins (full-map semantics,
+        like constraints)."""
+        out: dict[str, dict] = {}
+        for v in self.versions():
+            c = self._read_commit(v)
+            if "bloom" in c:
+                out = c["bloom"]
+        return out
+
+    def set_bloom(self, col: str, m: int = 8192, k: int = 5,
+                  backfill: bool = True) -> int:
+        """Index ``col`` with a per-file Bloom filter (Delta's
+        ``delta.bloomFilter`` analog): every file written from now on
+        records an ``m``-bit / ``k``-hash bitmap of the column's values
+        in its commit stats, and ``read(filters=[(col, '=', v)])`` /
+        ``('in', values)`` prunes files whose bitmap proves absence —
+        the point-lookup complement to min/max bounds, which are useless
+        on columns with no write-order correlation (a hash-distributed
+        id probes every file's [min, max] range).
+
+        Only string/long columns (the mirror hashes exactly what Spark's
+        ``xxhash64`` hashes for those types; other types would need
+        their own type-tagged mirror). ``m`` must be a multiple of 64;
+        sizing rule of thumb: m ≈ 10 bits per expected distinct value
+        per file keeps the false-positive rate ~1 % at k=5 — false
+        positives only cost an un-pruned file, never correctness.
+
+        ``backfill`` (default) computes bitmaps for the CURRENT live
+        files in one scan and republishes their stats, so existing data
+        prunes immediately; without it only future writes are indexed
+        (absent entries keep their files — always sound)."""
+        v, live, schema, stats = self._snapshot_full()
+        field = {f.name: f for f in schema.fields}.get(col)
+        if field is None:
+            raise ValueError(f"no column {col!r} in {self.root}")
+        typ = field.dataType.typeName()
+        if typ not in self._BLOOM_TYPES:
+            raise ValueError(
+                f"bloom columns must be string or long, {col!r} is {typ}"
+            )
+        if m % 64 or m <= 0 or k <= 0:
+            raise ValueError(f"m must be a positive multiple of 64 (got {m})")
+        cfg = {**self.bloom_config(), col: {"m": int(m), "k": int(k)}}
+        actions: dict = {"add": [], "remove": [], "bloom": cfg}
+        if backfill and live:
+            blooms = self._bloom_stats(live, schema, {col: cfg[col]})
+            patched: dict[str, dict] = {}
+            for f, colmap in blooms.items():
+                ent = dict(stats.get(f) or {})
+                ent["__bloom"] = {**(ent.get("__bloom") or {}), **colmap}
+                patched[f] = ent
+            if patched:
+                actions["stats"] = patched
+        self._publish(v + 1, actions, schema.json())
+        return v + 1
+
+    def drop_bloom(self, col: str) -> int:
+        """Stop bloom-indexing ``col``. Bitmaps already committed stay
+        (they remain sound evidence about their files); only future
+        writes stop paying the indexing job."""
+        v, _, schema, _ = self._snapshot_full()
+        cfg = {c: e for c, e in self.bloom_config().items() if c != col}
+        self._publish(
+            v + 1, {"add": [], "remove": [], "bloom": cfg}, schema.json()
+        )
+        return v + 1
+
+    def _bloom_stats(
+        self, names: list[str], schema: StructType,
+        cfg: dict[str, dict] | None = None,
+    ) -> dict[str, dict]:
+        """Per-file bloom bitmaps for the configured columns — one
+        distributed job per column: explode the k bit positions
+        (``pmod(xxhash64(col, i), m)``, the expression the driver-side
+        probe mirrors), collect the DISTINCT positions per file (agg
+        state bounded by m, never by rows), build the bitmap on the
+        driver. Returns {file: {col: entry}}; files with no non-null
+        values get an all-zeros bitmap (proves absence of everything —
+        sound, and prunes the file for every probe)."""
+        if cfg is None:
+            cfg = self.bloom_config()
+        out: dict[str, dict] = {}
+        if not cfg or not names:
+            return out
+        paths = [os.path.join(self.root, n) for n in names]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        have = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        for col, ent in cfg.items():
+            typ = have.get(col)
+            if typ not in self._BLOOM_TYPES:
+                continue  # pre-evolution writer without the column
+            m, k = int(ent["m"]), int(ent["k"])
+            pos = F.array(*[
+                F.pmod(F.xxhash64(F.col(col), F.lit(int(i)).cast("long")),
+                       F.lit(m))
+                for i in range(k)
+            ])
+            rows = (
+                df.filter(F.col(col).isNotNull())
+                .select(F.col("_metadata.file_path").alias("__fp"),
+                        F.explode(pos).alias("__p"))
+                .groupBy("__fp")
+                .agg(F.collect_set("__p").alias("ps"))
+                .collect()  # bounded by file count x m bits
+            )
+            bysrc = {os.path.basename(r["__fp"]): r["ps"] for r in rows}
+            for n in names:
+                bits = bytearray(m // 8)
+                for p in bysrc.get(n, ()):
+                    bits[p >> 3] |= 1 << (p & 7)
+                out.setdefault(n, {})[col] = {
+                    "m": m, "k": k, "t": typ,
+                    "b": base64.b64encode(bytes(bits)).decode("ascii"),
+                }
+        return out
+
     def _snapshot(self, version: int | None = None) -> tuple[int, list[str], StructType]:
         v, files, schema, _ = self._snapshot_full(version)
         return v, files, schema
@@ -373,6 +561,7 @@ class TxTable:
         for c in cols:
             aggs.append(F.min(c).alias(f"mn__{c}"))
             aggs.append(F.max(c).alias(f"mx__{c}"))
+        schema = df.schema
         df = df.observe(obs, *aggs)
         names = self._stage(df)
         if len(names) != 1:
@@ -388,6 +577,10 @@ class TxTable:
                 # (comparisons with NaN are all False — an 'in' probe
                 # against a NaN max would prune matching files)
             ent[c] = [self._sanitize_bound(mn), self._sanitize_bound(mx)]
+        if self.exists():
+            blooms = self._bloom_stats(names, schema)
+            if names[0] in blooms:
+                ent["__bloom"] = blooms[names[0]]
         return names, {names[0]: ent}
 
     def _file_stats(self, names: list[str]) -> dict[str, dict]:
@@ -428,6 +621,9 @@ class TxTable:
         # or row_count would pay a footer-scan fallback for it forever
         for n in names:
             out.setdefault(n, {"__rows": 0})
+        if self.exists():
+            for n, colmap in self._bloom_stats(names, df.schema).items():
+                out.setdefault(n, {})["__bloom"] = colmap
         return out
 
     # -- public API ---------------------------------------------------------
@@ -674,6 +870,7 @@ class TxTable:
         source: DataFrame,
         on: Sequence[str],
         update_cols: Sequence[str] | None = None,
+        prune_source_keys: int | None = None,
     ) -> int:
         """MERGE INTO this table USING source ON keys — matched rows update
         (source wins), unmatched source rows insert. Same row semantics as
@@ -686,13 +883,36 @@ class TxTable:
         the touched set, so the untouched partition of the table commutes
         with the merge); touched files are re-read, merged, and replaced,
         all under one atomic commit.
+
+        ``prune_source_keys``: the CDC-upsert fast path. When set, the
+        source's DISTINCT per-column key values are collected (up to
+        this many; more disables pruning) and the live file list is
+        pre-pruned through the committed stats — bounds AND bloom
+        bitmaps (``set_bloom`` on the key column makes this prune
+        hash-distributed ids, where bounds never can) — BEFORE the
+        touched-file discovery scan. Sound per file: a file containing
+        no occurrence of any source value of some key column cannot
+        hold a row equal to a source row on all keys. Turns the
+        per-merge discovery from O(table files) into O(files sharing a
+        key value) — the constant that matters when a 100-row upsert
+        lands on a 100 TB table every minute.
         """
         from sf_epa_data_ingestion_spark.operators.mutate import merge_upsert
 
         keys = list(on)
-        v, live, schema = self._snapshot()
+        v, live, schema, stats = self._snapshot_full()
         self._reject_type_drift(source, schema)
         src = source.dropDuplicates(keys)
+
+        if prune_source_keys and live:
+            vals = src.select(*keys).distinct().limit(
+                int(prune_source_keys) + 1
+            ).collect()
+            if len(vals) <= int(prune_source_keys):
+                filters = [
+                    (c, "in", [r[c] for r in vals]) for c in keys
+                ]
+                live = [f for f in live if _may_match(stats.get(f), filters)]
 
         touched: list[str] = []
         if live:
