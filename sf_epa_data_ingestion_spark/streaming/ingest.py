@@ -65,6 +65,7 @@ def training_doc_appender(
     compact_target_files: int = 4,
     compact_vacuum_keep: int | None = None,
     write_partitions: int = 1,
+    dedup_probe_cap: int | None = None,
 ):
     """Build a ``foreachBatch`` callable ingesting documents into ``table``
     (schema: source columns + ``text_hash``) with quality gating, exact
@@ -92,6 +93,23 @@ def training_doc_appender(
     (txsink.maybe_compact_state, change-proportional: compacted
     generations are never rewritten) after the batch's commit, under the
     single-writer discipline. None disables.
+
+    ``dedup_probe_cap``: the trickle-ingestion fast path. When set and a
+    batch carries at most this many distinct digests, the cross-batch
+    anti-join reads the state through
+    ``table.read(filters=[("text_hash", "in", digests)])`` instead of a
+    full scan — md5 digests are uniform, so per-file [min, max] bounds
+    NEVER prune them; with ``table.set_bloom("text_hash")`` the bitmap
+    skips every state file holding none of the batch's digests. Sound
+    for the anti-join: an omitted file contributes no matches by proof,
+    and state rows outside the probe set can't match either. The batch
+    is persisted for the digest collect (it feeds both the probe and
+    the append) and unpersisted after the commit. Choose a cap the
+    ``isin`` residual stays comfortable with (<= a few thousand);
+    larger batches silently fall back to the full scan — so enabling
+    this never regresses the bulk-load shape, it only accelerates the
+    small-batch-into-huge-state one (the 100 TB serving regime: a
+    minutely feed of thousands of docs probing a billion-row state).
     """
     if quality_model is not None and min_score_fp is None:
         from sf_epa_data_ingestion_spark.functions.refhash import QLR_ONE
@@ -131,13 +149,32 @@ def training_doc_appender(
         # write_partitions=1 the append is single-file so its skipping
         # stats ride the write's Observation instead of a separate
         # per-file stats job.
-        if table.row_count() > 0:
-            existing = table.read().select("text_hash").distinct()
-            kept = kept.join(existing, "text_hash", "left_anti")
-        append_once(
-            table, kept.repartition(write_partitions),
-            app_id, batch_id, max_retries,
-        )
+        persisted = None
+        try:
+            if table.row_count() > 0:
+                existing = None
+                if dedup_probe_cap:
+                    persisted = kept = kept.persist()
+                    digests = [
+                        r["text_hash"]
+                        for r in kept.select("text_hash").distinct()
+                        .limit(int(dedup_probe_cap) + 1).collect()
+                    ]
+                    if len(digests) <= int(dedup_probe_cap):
+                        existing = (
+                            table.read(filters=[("text_hash", "in", digests)])
+                            .select("text_hash").distinct()
+                        )
+                if existing is None:
+                    existing = table.read().select("text_hash").distinct()
+                kept = kept.join(existing, "text_hash", "left_anti")
+            append_once(
+                table, kept.repartition(write_partitions),
+                app_id, batch_id, max_retries,
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         maybe_compact_state(
             table, compact_files, target_files=compact_target_files,
             vacuum_keep=compact_vacuum_keep,

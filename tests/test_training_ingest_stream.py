@@ -143,3 +143,55 @@ def test_stream_ingest_model_gate_survives_restart(spark, tmp_path):
     rejected.write.mode("append").parquet(src)
     run_once()
     assert t.read().count() == n_admitted
+
+
+def test_stream_ingest_bloom_probe_path_equivalent_and_pruned(spark, tmp_path):
+    """dedup_probe_cap + set_bloom("text_hash"): the cross-batch anti-join
+    reads the state through a bloom-pruned digest probe. Pinned: (a) the
+    admitted corpus is IDENTICAL to the plain full-scan path, batch by
+    batch; (b) the probe actually prunes state files — md5 digests are
+    uniform, so only the bitmaps can (bounds span the whole hex space);
+    (c) an over-cap batch falls back to the full scan, result unchanged."""
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    schema = docs.withColumn("text_hash", F.lit("")).limit(0)
+
+    t_plain = TxTable(spark, str(tmp_path / "plain")).create(schema)
+    t_bloom = TxTable(spark, str(tmp_path / "bloom")).create(schema)
+    t_bloom.set_bloom("text_hash", m=4096, k=5, backfill=False)
+
+    sink_plain = training_doc_appender(t_plain, "ing-plain", compact_files=None)
+    sink_bloom = training_doc_appender(
+        t_bloom, "ing-bloom", compact_files=None, dedup_probe_cap=500
+    )
+
+    # three waves: seed corpus, then a small trickle batch with dupes +
+    # fresh docs (the probe path), then an over-cap batch (fallback path)
+    wave1 = docs
+    dupes = docs.limit(15).withColumn("doc_id", F.col("doc_id") + 800000)
+    fresh = spark.createDataFrame(
+        [(700001, "bloom probe fresh doc " + "delta epsilon zeta " * 40,
+          "en", "new", 500)],
+        docs.schema,
+    )
+    wave2 = dupes.unionByName(fresh)
+    wave3 = docs.withColumn("doc_id", F.col("doc_id") + 600000)  # all dupes, over cap
+
+    for b, wave in enumerate([wave1, wave2, wave3]):
+        sink_plain(wave, b)
+        sink_bloom(wave, b)
+        a = sorted(tuple(r) for r in t_plain.read().collect())
+        bdata = sorted(tuple(r) for r in t_bloom.read().collect())
+        assert a == bdata, f"wave {b}: bloom path diverged"
+
+    # the fresh doc landed once, dupes never
+    got = t_bloom.read()
+    assert got.filter(F.col("doc_id") == 700001).count() == 1
+    assert got.filter(F.col("doc_id") >= 600000).count() == 1  # only 700001
+    assert got.select("text_hash").distinct().count() == got.count()
+
+    # pruning evidence: a single-digest probe against the multi-file
+    # bloom state scans fewer files than live
+    digest = got.limit(1).collect()[0]["text_hash"]
+    live = t_bloom.read_files()
+    kept = t_bloom.read_files(filters=[("text_hash", "in", [digest])])
+    assert len(live) >= 2 and len(kept) < len(live)
