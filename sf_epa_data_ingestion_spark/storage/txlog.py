@@ -248,15 +248,19 @@ class TxTable:
         actions: dict,
         schema_json: str,
         txn: dict | None = None,
+        op: str | None = None,
     ) -> None:
         """Atomically publish commit ``version``; the exclusive create is
         the linearization point of the whole write. ``txn`` is an optional
         idempotence marker ``{"app": str, "batch": int}`` — the streaming
         sink uses it to make replayed micro-batches no-ops (the same
-        design as Delta's txn/appId action)."""
+        design as Delta's txn/appId action). ``op`` names the logical
+        operation for ``history()`` (Delta's operation field)."""
         os.makedirs(self.log_dir, exist_ok=True)
         doc = {"version": version, "ts": int(time.time() * 1000),
                "schema": schema_json, **actions}
+        if op is not None:
+            doc["op"] = op
         if txn is not None:
             doc["txn"] = txn
         payload = json.dumps(doc, indent=0)
@@ -344,7 +348,7 @@ class TxTable:
         self._publish(
             v + 1,
             {"add": [], "remove": [], "constraints": cons},
-            schema.json(),
+            schema.json(), op="SET CONSTRAINT",
         )
         return v + 1
 
@@ -352,7 +356,7 @@ class TxTable:
         v, live, schema, _ = self._snapshot_full()
         cons = {k: e for k, e in self.constraints().items() if k != name}
         self._publish(
-            v + 1, {"add": [], "remove": [], "constraints": cons}, schema.json()
+            v + 1, {"add": [], "remove": [], "constraints": cons}, schema.json(), op="DROP CONSTRAINT",
         )
         return v + 1
 
@@ -415,7 +419,8 @@ class TxTable:
                 patched[f] = ent
             if patched:
                 actions["stats"] = patched
-        self._publish(v + 1, actions, schema.json())
+        self._publish(v + 1, actions, schema.json(), op="SET BLOOM",
+        )
         return v + 1
 
     def drop_bloom(self, col: str) -> int:
@@ -425,7 +430,7 @@ class TxTable:
         v, _, schema, _ = self._snapshot_full()
         cfg = {c: e for c, e in self.bloom_config().items() if c != col}
         self._publish(
-            v + 1, {"add": [], "remove": [], "bloom": cfg}, schema.json()
+            v + 1, {"add": [], "remove": [], "bloom": cfg}, schema.json(), op="DROP BLOOM",
         )
         return v + 1
 
@@ -491,6 +496,75 @@ class TxTable:
             if t and t.get("app") == app:
                 b = int(t["batch"])
                 best = b if best is None or b > best else best
+        return best
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY analog: one row per commit, from the log
+        alone (metadata-scale; the data files are never opened).
+        ``rows_added`` / ``rows_removed`` come from the committed
+        ``__rows`` stats — NULL where a pre-stats file makes the count
+        unknowable without a scan (absence is reported, never guessed).
+        ``op`` is the writer-stamped operation; commits from before the
+        stamp are classified by their action shape."""
+        rows = []
+        pool: dict[str, dict] = {}  # accumulated per-file stats
+        for v in self.versions():
+            c = self._read_commit(v)
+            add, rem = c.get("add", []), c.get("remove", [])
+            new_stats = c.get("stats", {})
+
+            def _nrows(files, stats_map):
+                total = 0
+                for f in files:
+                    n = (stats_map.get(f) or {}).get("__rows")
+                    if n is None:
+                        return None
+                    total += int(n)
+                return total
+
+            op = c.get("op")
+            if op is None:
+                op = ("CREATE" if v == self.versions()[0]
+                      else "REWRITE" if add and rem
+                      else "APPEND" if add
+                      else "DELETE" if rem
+                      else "METADATA")
+            txn = c.get("txn") or {}
+            rows.append((
+                int(v), int(c.get("ts", 0)), op,
+                len(add), len(rem),
+                _nrows(add, new_stats),
+                _nrows(rem, pool),
+                txn.get("app"),
+                int(txn["batch"]) if "batch" in txn else None,
+            ))
+            for f in rem:
+                pool.pop(f, None)
+            pool.update(new_stats)
+        return self.spark.createDataFrame(
+            rows,
+            "version long, ts_ms long, op string, files_added int, "
+            "files_removed int, rows_added long, rows_removed long, "
+            "txn_app string, txn_batch long",
+        ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+
+    def version_at_time(self, ts) -> int:
+        """Time travel by timestamp (Delta's ``timestampAsOf``): the
+        newest version committed at or before ``ts`` (epoch seconds or a
+        datetime). Raises when ``ts`` predates the table."""
+        ts_ms = int(
+            (ts.timestamp() if hasattr(ts, "timestamp") else float(ts))
+            * 1000
+        )
+        best = None
+        for v in self.versions():
+            if int(self._read_commit(v).get("ts", 0)) <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {ts} in {self.root} "
+                f"(table created later)"
+            )
         return best
 
     def _reject_type_drift(self, df: DataFrame, schema: StructType) -> None:
@@ -636,7 +710,7 @@ class TxTable:
         self._publish(
             0,
             {"add": files, "remove": [], "stats": stats},
-            df.schema.json(),
+            df.schema.json(), op="CREATE",
         )
         return self
 
@@ -653,7 +727,8 @@ class TxTable:
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
         os.makedirs(self.root, exist_ok=True)
-        self._publish(0, {"add": [], "remove": [], "stats": {}}, schema.json())
+        self._publish(0, {"add": [], "remove": [], "stats": {}}, schema.json(), op="CREATE",
+        )
         return self
 
     def read(
@@ -756,7 +831,7 @@ class TxTable:
             v + 1,
             {"add": files, "remove": [], "stats": stats},
             schema.json(),
-            txn=txn,
+            txn=txn, op="APPEND",
         )
         return v + 1
 
@@ -794,7 +869,7 @@ class TxTable:
             v + 1,
             {"add": staged["add"], "remove": [], "stats": staged["stats"]},
             staged["schema_json"],
-            txn=txn,
+            txn=txn, op="APPEND",
         )
         return v + 1
 
@@ -813,7 +888,7 @@ class TxTable:
         self._publish(
             v + 1,
             {"add": files, "remove": live, "stats": self._file_stats(files)},
-            df.schema.json(),
+            df.schema.json(), op="OVERWRITE",
         )
         return v + 1
 
@@ -861,7 +936,7 @@ class TxTable:
                 "remove": remove,
                 "stats": {f: tgt_stats[f] for f in add if f in tgt_stats},
             },
-            tgt_schema.json(),
+            tgt_schema.json(), op="RESTORE",
         )
         return cur_v + 1
 
@@ -946,7 +1021,7 @@ class TxTable:
             v + 1,
             {"add": new_files, "remove": touched,
              "stats": self._file_stats(new_files)},
-            schema.json(),
+            schema.json(), op="MERGE",
         )
         return v + 1
 
@@ -1014,7 +1089,7 @@ class TxTable:
         self._publish(
             v + 1,
             {"add": files, "remove": subset, "stats": self._file_stats(files)},
-            schema.json(),
+            schema.json(), op="OPTIMIZE",
         )
         return v + 1
 
@@ -1074,7 +1149,7 @@ class TxTable:
             v + 1,
             {"add": new_files, "remove": touched,
              "stats": self._file_stats(new_files)},
-            schema.json(),
+            schema.json(), op="DELETE",
         )
         return v + 1
 
@@ -1121,7 +1196,7 @@ class TxTable:
             v + 1,
             {"add": files, "remove": touched, "stats": stats},
             schema.json(),
-            txn=txn,
+            txn=txn, op="REPLACE WHERE",
         )
         return v + 1
 
@@ -1156,7 +1231,7 @@ class TxTable:
             v + 1,
             {"add": new_files, "remove": touched,
              "stats": self._file_stats(new_files)},
-            schema.json(),
+            schema.json(), op="UPDATE",
         )
         return v + 1
 
@@ -1241,7 +1316,9 @@ class TxTable:
 
         return _tagged(added, "insert").unionByName(_tagged(removed, "delete"))
 
-    def history(self) -> list[dict]:
+    def commits(self) -> list[dict]:
+        """The raw commit documents, oldest first — the log itself.
+        ``history()`` is the user-facing tabular view of the same."""
         return [self._read_commit(v) for v in self.versions()]
 
     def vacuum(

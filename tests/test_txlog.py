@@ -64,7 +64,7 @@ def test_merge_is_file_granular(spark, tmp_path, customers):
     before = set(t._snapshot()[1])
     one = customers.limit(1).withColumn("c_mktsegment", F.lit("REWRITTEN"))
     t.merge(one, ["c_custkey"])
-    commit = t.history()[-1]
+    commit = t.commits()[-1]
     assert len(commit["remove"]) == 1
     assert set(commit["remove"]) <= before
     # table contents still correct
@@ -105,7 +105,7 @@ def test_append_overwrite_history_and_time_travel(spark, table, customers):
     # every historical snapshot still reproducible
     assert table.read(version=0).count() == n
     assert table.read(version=1).count() == n + 7
-    assert [c["version"] for c in table.history()] == [0, 1, 2]
+    assert [c["version"] for c in table.commits()] == [0, 1, 2]
 
 
 def test_vacuum_drops_old_generations_keeps_current(spark, table, customers):
@@ -164,7 +164,7 @@ def test_change_feed_from_merge_and_append(spark, tmp_path, customers):
 
 
 def test_commit_files_are_valid_json_log(table):
-    log = table.history()
+    log = table.commits()
     assert log[0]["version"] == 0
     assert log[0]["add"] and not log[0]["remove"]
     # schema is stored with every commit so snapshots are self-describing
@@ -237,7 +237,7 @@ def test_delete_where_is_file_granular_and_exact(spark, tmp_path, customers):
     lo = customers.agg(F.min("c_custkey")).first()[0]
     v = t.delete_where(F.col("c_custkey") <= lo + 3)
     assert v == 1
-    commit = t.history()[-1]
+    commit = t.commits()[-1]
     assert 1 <= len(commit["remove"]) < 8  # only files containing matches
     got = t.read()
     want = customers.filter(F.col("c_custkey") > lo + 3)
@@ -259,7 +259,7 @@ def test_update_where_rewrites_only_matching_rows(spark, tmp_path, customers):
         F.col("c_custkey") == lo,
         {"c_acctbal": "c_acctbal + 100.0", "c_mktsegment": F.lit("VIP")},
     )
-    assert len(t.history()[-1]["remove"]) == 1  # one touched file
+    assert len(t.commits()[-1]["remove"]) == 1  # one touched file
     got = t.read()
     old = customers.filter(F.col("c_custkey") == lo).first()
     new = got.filter(F.col("c_custkey") == lo).first()
@@ -298,8 +298,8 @@ def test_restore_to_is_metadata_only_rollback(spark, tmp_path, customers):
     assert v == t.versions()[-1]
     assert _rows(t.read()) == v0_rows
     # metadata-only: the restore commit stages no new data files
-    assert t.history()[-1]["add"] == [] or all(
-        os.path.exists(os.path.join(t.root, f)) for f in t.history()[-1]["add"]
+    assert t.commits()[-1]["add"] == [] or all(
+        os.path.exists(os.path.join(t.root, f)) for f in t.commits()[-1]["add"]
     )
     # skipping stats survive the round-trip: a pruned probe still works
     probe = t.read(filters=[("c_custkey", "=", int(lo))])
@@ -339,7 +339,7 @@ def test_nan_bounds_never_prune_matching_files(spark, tmp_path):
         [(1, 2.5), (2, float("nan")), (3, 7.0)], "id long, x double"
     ).repartition(1)
     t = TxTable(spark, str(tmp_path / "t")).create(df)
-    stats = t.history()[-1].get("stats", {})
+    stats = t.commits()[-1].get("stats", {})
     for ent in stats.values():
         assert "x" not in ent, f"NaN-tainted bound recorded: {ent}"
     got = t.read(filters=[("x", "in", [2.5])]).filter(F.col("x") == 2.5)
@@ -371,7 +371,7 @@ def test_replace_where_is_one_atomic_commit(spark, tmp_path, customers):
     v_before = t1.versions()[-1]
     t1.replace_where(cond, repl)
     assert t1.versions()[-1] == v_before + 1  # exactly one commit
-    rec = t1.history()[-1]
+    rec = t1.commits()[-1]
     assert rec["remove"] and rec["add"]  # removes+adds together
     t2.delete_where(cond)
     t2.append(repl)
@@ -410,7 +410,7 @@ def test_predicate_mutations_with_prune_filters_match_unpruned(spark, tmp_path, 
         prune_filters=[("c_custkey", "in", ids)],
     )
     assert _rows(t1.read()) == _rows(t2.read())
-    assert len(t1.history()[-1]["remove"]) == len(t2.history()[-1]["remove"]) == 1
+    assert len(t1.commits()[-1]["remove"]) == len(t2.commits()[-1]["remove"]) == 1
 
     repl = customers.filter(F.col("c_custkey").isin(ids)).withColumn(
         "c_acctbal", F.col("c_acctbal") + 9.0
@@ -421,3 +421,45 @@ def test_predicate_mutations_with_prune_filters_match_unpruned(spark, tmp_path, 
         prune_filters=[("c_custkey", "in", ids)],
     )
     assert _rows(t1.read()) == _rows(t2.read())
+
+
+def test_history_and_time_travel(spark, tmp_path, customers):
+    import time as _time
+
+    t = TxTable(spark, str(tmp_path / "hist")).create(customers)
+    n0 = customers.count()
+    t_created = _time.time()
+
+    extra = customers.limit(7).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000)
+    t.append(extra)
+    t.delete_where(F.col("c_custkey") >= 1_000_000)
+    t.compact(target_files=1)
+    t.set_constraint("bal", "c_acctbal IS NOT NULL OR c_acctbal IS NULL")
+
+    h = {r["version"]: r for r in t.history().collect()}
+    assert [h[v]["op"] for v in sorted(h)] == [
+        "CREATE", "APPEND", "DELETE", "OPTIMIZE", "SET CONSTRAINT"]
+    assert h[1]["rows_added"] == 7
+    assert h[1]["files_added"] >= 1 and h[1]["files_removed"] == 0
+    # DELETE's CoW: net row change = -7 (rewritten files minus the dupes)
+    assert h[2]["rows_removed"] - h[2]["rows_added"] == 7
+    assert h[3]["rows_added"] == h[3]["rows_removed"] == n0  # compaction moves, never changes
+    assert h[4]["files_added"] == 0 and h[4]["rows_added"] == 0
+    # timestamps are monotone and real
+    ts = [h[v]["ts_ms"] for v in sorted(h)]
+    assert ts == sorted(ts) and ts[0] > 1_500_000_000_000
+
+    # time travel by timestamp: "now" resolves to the newest version,
+    # the creation instant to an early one, pre-creation raises
+    assert t.version_at_time(_time.time() + 1) == max(h)
+    v_then = t.version_at_time(t_created)
+    assert v_then in (0, 1)  # created just before t_created was taken
+    assert t.read(version=v_then).count() in (n0, n0 + 7)
+    with pytest.raises(ValueError):
+        t.version_at_time(t_created - 3600)
+
+    import datetime
+    assert t.version_at_time(
+        datetime.datetime.now() + datetime.timedelta(seconds=1)
+    ) == max(h)
