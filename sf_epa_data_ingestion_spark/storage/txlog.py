@@ -508,7 +508,8 @@ class TxTable:
         stamp are classified by their action shape."""
         rows = []
         pool: dict[str, dict] = {}  # accumulated per-file stats
-        for v in self.versions():
+        vs = self.versions()  # one listing for the whole replay
+        for v in vs:
             c = self._read_commit(v)
             add, rem = c.get("add", []), c.get("remove", [])
             new_stats = c.get("stats", {})
@@ -524,7 +525,7 @@ class TxTable:
 
             op = c.get("op")
             if op is None:
-                op = ("CREATE" if v == self.versions()[0]
+                op = ("CREATE" if v == vs[0]
                       else "REWRITE" if add and rem
                       else "APPEND" if add
                       else "DELETE" if rem

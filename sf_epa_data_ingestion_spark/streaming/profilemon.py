@@ -170,8 +170,11 @@ def current_profile(state: TxTable) -> DataFrame:
         .agg(
             F.sum("n").alias("rows"),
             F.sum("nulls").alias("nulls"),
+            # allowDifferentLgConfigK: an operator who re-tunes lg_k
+            # mid-stream downgrades the union's precision instead of
+            # breaking every future profile read
             F.hll_sketch_estimate(
-                F.hll_union_agg("sketch", F.lit(False))
+                F.hll_union_agg("sketch", F.lit(True))
             ).alias("distinct_est"),
             F.min("mn").alias("mn"),
             F.max("mx").alias("mx"),
