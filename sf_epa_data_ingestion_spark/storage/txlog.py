@@ -45,6 +45,7 @@ a handful of files, not the table — the same plan shape as Delta's MERGE.
 from __future__ import annotations
 
 import base64
+import functools
 import json
 import os
 import time
@@ -167,16 +168,20 @@ def _bloom_hash_base(value, typ: str) -> int | None:
     return None
 
 
-def _bloom_positions_py(value, typ: str, m: int, k: int) -> list[int] | None:
-    """The k bit positions ``_bloom_pos_expr`` sets for ``value`` —
+@functools.lru_cache(maxsize=65536)
+def _bloom_positions_py(value, typ: str, m: int, k: int) -> tuple | None:
+    """The k bit positions the indexing expression sets for ``value`` —
     pos_i = pmod(xxhash64(value, CAST(i AS LONG)), m), mirrored exactly
-    (seed-chained XXH64; parity pinned in tests/test_bloom.py)."""
+    (seed-chained XXH64; parity pinned in tests/test_bloom.py).
+    Memoized: positions depend only on (value, typ, m, k), but the probe
+    loop evaluates them per FILE — without the cache a 500-digest probe
+    against 1000 files would pay ~3M pure-Python hash calls."""
     from sf_epa_data_ingestion_spark.functions.refhash import xxh64_long
 
     h = _bloom_hash_base(value, typ)
     if h is None:
         return None
-    return [xxh64_long(i, seed=h) % m for i in range(k)]
+    return tuple(xxh64_long(i, seed=h) % m for i in range(k))
 
 
 def _bloom_may_contain(ent: dict, values) -> bool:
@@ -186,14 +191,19 @@ def _bloom_may_contain(ent: dict, values) -> bool:
     try:
         m, k, typ = int(ent["m"]), int(ent["k"]), ent["t"]
         bits = base64.b64decode(ent["b"])
-        if len(bits) * 8 < m:
+        if m <= 0 or k <= 0 or len(bits) * 8 < m:
+            # non-positive m would divide-by-zero (m=0) or negative-index
+            # the bitmap (m<0) and could wrongly prune — malformed: keep
             return True
     except (KeyError, TypeError, ValueError):
         return True
     for v in values:
         if v is None:
             return True  # NULL probe: not prunable here
-        pos = _bloom_positions_py(v, typ, m, k)
+        try:
+            pos = _bloom_positions_py(v, typ, m, k)
+        except TypeError:
+            return True  # unhashable probe value: keep the file
         if pos is None:
             return True  # untyped/mistyped probe: keep the file
         if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
@@ -980,7 +990,14 @@ class TxTable:
         self._reject_type_drift(source, schema)
         src = source.dropDuplicates(keys)
 
+        pruned_src = None
         if prune_source_keys and live:
+            # persist first: the key collect and the later discovery
+            # semi-join MUST see the same source rows — a
+            # non-deterministic or concurrently-changing source plan
+            # re-evaluated across the two jobs could produce a key the
+            # prune never saw, silently skipping its file's rewrite
+            pruned_src = src = src.persist()
             vals = src.select(*keys).distinct().limit(
                 int(prune_source_keys) + 1
             ).collect()
@@ -1015,15 +1032,19 @@ class TxTable:
             if touched
             else self.spark.createDataFrame([], schema)
         )
-        merged = merge_upsert(target_rows, src, keys, update_cols)
-        self._check_constraints(merged)
-        new_files = self._stage(merged)
-        self._publish(
-            v + 1,
-            {"add": new_files, "remove": touched,
-             "stats": self._file_stats(new_files)},
-            schema.json(), op="MERGE",
-        )
+        try:
+            merged = merge_upsert(target_rows, src, keys, update_cols)
+            self._check_constraints(merged)
+            new_files = self._stage(merged)
+            self._publish(
+                v + 1,
+                {"add": new_files, "remove": touched,
+                 "stats": self._file_stats(new_files)},
+                schema.json(), op="MERGE",
+            )
+        finally:
+            if pruned_src is not None:
+                pruned_src.unpersist()
         return v + 1
 
     def compact(

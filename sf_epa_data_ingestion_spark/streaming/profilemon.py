@@ -8,8 +8,10 @@ corpus. This module is that tier:
 
 - ``profile_appender`` — a ``foreachBatch`` sink computing, per column,
   ONE map-side-combinable aggregate row per micro-batch: exact counts
-  (rows, nulls), exact numeric moments (min/max/sum/sum-of-squares —
-  all merge by +/min/max), and a Datasketches HLL sketch of the
+  (rows, nulls), numeric moments (min/max/sum/sum-of-squares — all
+  merge by +/min/max; double-precision, so exact for integer values
+  within 2^53 and correctly rounded beyond), and a Datasketches HLL
+  sketch of the
   column's values (``F.hll_sketch_agg``; sketches merge losslessly via
   ``hll_union_agg``, the property approx_count_distinct's internal
   state never exposes). Appended exactly-once (txn markers via
@@ -65,6 +67,10 @@ def batch_profile_rows(df: DataFrame, batch_id: int, columns=None,
     string image == distinct of the values; Datasketches only ingests
     int/long/string/binary, and profiling cares about cardinality, not
     type identity). Numeric columns also carry exact moments."""
+    # numeric moments are computed in double: exact for counts and for
+    # integer values within double's 2^53 integer-exact range; long
+    # columns beyond that (snowflake-style ids) get correctly-rounded,
+    # not exact, moments — the HLL/count half is unaffected
     cols = list(columns or df.columns)
     types = {f.name: f.dataType.typeName() for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -141,11 +147,20 @@ def profile_appender(
                     fired.append(
                         (int(batch_id), c, "null_rate", rate, hrate)
                     )
-            append_once(
-                alerts,
-                spark.createDataFrame(fired, ALERT_SCHEMA).repartition(1),
-                app_id, batch_id, max_retries,
-            )
+            if fired:
+                # no-alert batches commit NOTHING to the alerts table —
+                # an empty marker append per quiet batch would grow the
+                # log by a commit + an empty file per micro-batch
+                # forever. Replay-safe without the marker: the decision
+                # derives solely from PRE-batch state history, and the
+                # state append (with its own marker) still lands last,
+                # so a crash-replay recomputes the same empty decision.
+                append_once(
+                    alerts,
+                    spark.createDataFrame(fired, ALERT_SCHEMA)
+                    .repartition(1),
+                    app_id, batch_id, max_retries,
+                )
 
         append_once(
             state,
@@ -160,8 +175,10 @@ def current_profile(state: TxTable) -> DataFrame:
     """The corpus profile implied by every batch committed so far —
     one aggregate over the O(columns x batches) state table; the corpus
     itself is never read. Columns: rows/nulls exact, distinct_est (HLL,
-    rsd ~1.04/sqrt(2^lg_k)), mn/mx exact, mean/variance exact from the
-    merged moments (population variance; NULL where no numeric values).
+    rsd ~1.04/sqrt(2^lg_k)), mn/mx and mean/variance from the merged
+    double-precision moments (population variance; NULL where no
+    numeric values; see batch_profile_rows for the 2^53 exactness
+    scope).
     """
     nn = F.col("rows") - F.col("nulls")
     return (

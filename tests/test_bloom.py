@@ -79,14 +79,14 @@ def test_probe_positions_mirror_spark_expression(spark):
         .select("v", pos("v").alias("p")).collect()
     }
     for v in longs:
-        assert _bloom_positions_py(v, "long", m, k) == got[v], v
+        assert list(_bloom_positions_py(v, "long", m, k)) == got[v], v
     got_s = {
         r["v"]: list(r["p"])
         for r in spark.createDataFrame([(s,) for s in strs], "v string")
         .select("v", pos("v").alias("p")).collect()
     }
     for s in strs:
-        assert _bloom_positions_py(s, "string", m, k) == got_s[s], s
+        assert list(_bloom_positions_py(s, "string", m, k)) == got_s[s], s
     # the base hashes themselves (belt and braces for the mirror)
     assert _bloom_positions_py(5, "long", m, 1)[0] == \
         xxh64_long(0, seed=xxh64_long(5)) % m
@@ -291,3 +291,7 @@ def test_malformed_entry_keeps_file():
     assert _bloom_may_contain(ok, [None])           # NULL probe: keep
     assert _bloom_may_contain(ok, ["seven"])        # mistyped: keep
     assert _bloom_may_contain(ok, [1 << 70])        # out of range: keep
+    assert _bloom_may_contain({**ok, "m": 0}, [7])   # m=0: keep, no crash
+    assert _bloom_may_contain({**ok, "m": -256}, [7])  # m<0: keep
+    assert _bloom_may_contain({**ok, "k": 0}, [7])   # k=0: keep
+    assert _bloom_may_contain(ok, [[1, 2]])          # unhashable: keep

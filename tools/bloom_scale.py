@@ -62,7 +62,7 @@ def build(spark, root, n, bloom):
     return t
 
 
-def probe_digests(spark, n, count, offset=0):
+def probe_digests(spark, count, offset=0):
     return [
         r["digest"]
         for r in spark.range(offset, offset + count)
@@ -100,8 +100,8 @@ def main():
             t = build(spark, root, n, bloom)
             row[f"build_{tag}_s"] = round(time.perf_counter() - t0, 3)
 
-            present = probe_digests(spark, n, PROBE_N)          # all hit
-            absent = probe_digests(spark, n, PROBE_N, offset=n + 10_000_000)
+            present = probe_digests(spark, PROBE_N)             # all hit
+            absent = probe_digests(spark, PROBE_N, offset=n + 10_000_000)
 
             row[f"files_scanned_{tag}"] = len(
                 t.read_files(filters=[("digest", "in", present)])

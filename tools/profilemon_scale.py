@@ -69,8 +69,7 @@ def main():
         sink = profile_appender(state, "pm", alerts=alerts,
                                 min_history_rows=1000)
 
-        # feed the corpus in N_BATCHES id-range slices
-        per = n // N_BATCHES + 1
+        # feed the corpus in N_BATCHES doc_id-modulo slices
         t_batches = []
         for b in range(N_BATCHES):
             batch = docs.filter(
