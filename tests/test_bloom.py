@@ -295,3 +295,30 @@ def test_malformed_entry_keeps_file():
     assert _bloom_may_contain({**ok, "m": -256}, [7])  # m<0: keep
     assert _bloom_may_contain({**ok, "k": 0}, [7])   # k=0: keep
     assert _bloom_may_contain(ok, [[1, 2]])          # unhashable: keep
+
+
+def test_graded_bloom_layout_actually_prunes(spark):
+    """The graded row (bloom_point_lookup in __spark_entry__) must not
+    silently degrade into an unpruned scan: on its own materialized
+    layout, the probe keeps strictly fewer files than live, and the
+    absent digest alone keeps (almost) none."""
+    import __spark_entry__ as e
+    from sf_epa_data_ingestion_spark.storage import TxTable
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = e._bloom_docs_dir(spark, sf_dir)
+    t = TxTable(spark, os.path.join(root, "tbl"))
+    live = t.read_files()
+    assert len(live) == 8
+    digests = [
+        r["digest"]
+        for r in e._t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(e.BLOOM_PROBE_IDS))
+        .select(F.md5(F.col("text")).alias("digest")).collect()
+    ]
+    kept = t.read_files(filters=[("digest", "in", digests)])
+    assert 1 <= len(kept) < len(live)
+    kept_absent = t.read_files(
+        filters=[("digest", "in", [e.BLOOM_ABSENT_DIGEST])]
+    )
+    assert len(kept_absent) <= 1
