@@ -78,13 +78,14 @@ _OPS = {
 
 
 def _in_probe(v) -> list:
-    """Normalize an 'in' probe value. A bare str/bytes would silently
-    explode into per-character membership (list("abc") == ['a','b','c'])
-    both here and in _may_match's bound check — wrong results with no
-    error — so treat it as a single-element probe instead."""
-    if isinstance(v, (str, bytes)):
-        return [v]
-    return list(v)
+    """Normalize an 'in' probe value. A bare str/bytes/bytearray would
+    silently explode into per-character membership (list("abc") ==
+    ['a','b','c']; list(bytearray) == ints) both here and in
+    _may_match's bound check — wrong results with no error — so treat
+    it as a single-element probe instead."""
+    if isinstance(v, (str, bytes, bytearray)):
+        return [bytes(v) if isinstance(v, bytearray) else v]
+    return [bytes(x) if isinstance(x, bytearray) else x for x in v]
 
 
 def _may_match(stats: dict | None, filters) -> bool:
@@ -142,7 +143,9 @@ def _may_match(stats: dict | None, filters) -> bool:
             ent = bloom.get(col)
             if not isinstance(ent, dict):
                 continue  # column not bloom-indexed in this file
-            values = _in_probe(v) if op == "in" else [v]
+            values = _in_probe(v) if op == "in" else [
+                bytes(v) if isinstance(v, bytearray) else v
+            ]
             if not _bloom_may_contain(ent, values):
                 return False
     return True
@@ -165,6 +168,12 @@ def _bloom_hash_base(value, typ: str) -> int | None:
         if not (-(1 << 63) <= value < (1 << 63)):
             return None  # out of long range: bounds already prune
         return xxh64_long(value)
+    if typ == "binary":
+        from sf_epa_data_ingestion_spark.functions.refhash import xxh64_bytes
+
+        if isinstance(value, (bytes, bytearray)):
+            return xxh64_bytes(bytes(value))
+        return None
     return None
 
 
@@ -372,7 +381,7 @@ class TxTable:
 
     # -- bloom-filter data skipping ------------------------------------------
 
-    _BLOOM_TYPES = ("string", "long")
+    _BLOOM_TYPES = ("string", "long", "binary")
 
     def bloom_config(self) -> dict[str, dict]:
         """Active bloom-indexed columns: {col: {"m": bits, "k": hashes}}.
@@ -396,9 +405,9 @@ class TxTable:
         on columns with no write-order correlation (a hash-distributed
         id probes every file's [min, max] range).
 
-        Only string/long columns (the mirror hashes exactly what Spark's
-        ``xxhash64`` hashes for those types; other types would need
-        their own type-tagged mirror). ``m`` must be a multiple of 64;
+        Only string/long/binary columns (the mirror hashes exactly what
+        Spark's ``xxhash64`` hashes for those types; other types would
+        need their own type-tagged mirror). ``m`` must be a multiple of 64;
         sizing rule of thumb: m ≈ 10 bits per expected distinct value
         per file keeps the false-positive rate ~1 % at k=5 — false
         positives only cost an un-pruned file, never correctness.
@@ -414,7 +423,7 @@ class TxTable:
         typ = field.dataType.typeName()
         if typ not in self._BLOOM_TYPES:
             raise ValueError(
-                f"bloom columns must be string or long, {col!r} is {typ}"
+                f"bloom columns must be string/long/binary, {col!r} is {typ}"
             )
         if m % 64 or m <= 0 or k <= 0:
             raise ValueError(f"m must be a positive multiple of 64 (got {m})")

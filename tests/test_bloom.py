@@ -322,3 +322,33 @@ def test_graded_bloom_layout_actually_prunes(spark):
         filters=[("digest", "in", [e.BLOOM_ABSENT_DIGEST])]
     )
     assert len(kept_absent) <= 1
+
+
+def test_binary_column_bloom_roundtrip(spark, tmp_path):
+    """Binary digests (the raw-bytes form of the md5/sha state tables)
+    bloom-index and probe like strings: Spark hashes BinaryType as the
+    byte block, mirrored by refhash.xxh64_bytes."""
+    import hashlib
+
+    t = TxTable(spark, str(tmp_path / "bin")).create_empty(
+        "id long, digest binary"
+    )
+    t.set_bloom("digest", m=1024, k=5, backfill=False)
+    files = 4
+    digs = {i: hashlib.md5(str(i).encode()).digest() for i in range(80)}
+    for f in range(files):
+        t.append(spark.createDataFrame(
+            [(i, digs[i]) for i in range(80) if i % files == f],
+            "id long, digest binary").repartition(1))
+    probe = digs[9]
+    kept = t.read_files(filters=[("digest", "=", probe)])
+    assert 1 <= len(kept) < files
+    got = t.read(filters=[("digest", "=", probe)]).collect()
+    assert [r["id"] for r in got] == [9]
+    # bytearray probes normalize instead of exploding per byte
+    got2 = t.read(filters=[("digest", "in", [bytearray(probe)])]).collect()
+    assert [r["id"] for r in got2] == [9]
+    # absent digest prunes everything
+    absent = hashlib.md5(b"absent").digest()
+    assert len(t.read_files(filters=[("digest", "=", absent)])) <= 1
+    assert t.read(filters=[("digest", "=", absent)]).count() == 0
