@@ -232,6 +232,13 @@ class TxTable:
         # the streaming sink's per-batch overhead flat instead of O(n^2)
         # over the log lifetime
         self._commit_cache: dict[int, dict] = {}
+        # latest-map-wins actions (bloom/constraints) resolved
+        # incrementally: {key: (scanned_tip_version, value)}. Every
+        # write path consults both maps, so without this a long-lived
+        # streaming table pays a full O(log) walk per append even with
+        # NO bloom/constraint configured (r11 ADVICE) — with it, each
+        # call walks only the commits published since the last call.
+        self._map_cache: dict[str, tuple[int, dict]] = {}
 
     # -- log plumbing -------------------------------------------------------
 
@@ -274,7 +281,7 @@ class TxTable:
         idempotence marker ``{"app": str, "batch": int}`` — the streaming
         sink uses it to make replayed micro-batches no-ops (the same
         design as Delta's txn/appId action). ``op`` names the logical
-        operation for ``history()`` (Delta's operation field)."""
+        operation for ``describe_history()`` (Delta's operation field)."""
         os.makedirs(self.log_dir, exist_ok=True)
         doc = {"version": version, "ts": int(time.time() * 1000),
                "schema": schema_json, **actions}
@@ -319,16 +326,32 @@ class TxTable:
             schema_json = c.get("schema") or schema_json
         return v, sorted(live), StructType.fromJson(json.loads(schema_json)), stats
 
+    def _latest_map(self, key: str) -> dict:
+        """Latest-commit-wins full-map action (``bloom``/``constraints``),
+        resolved INCREMENTALLY: only commits newer than the last scan are
+        read (commit numbers are append-only monotone, so the cached
+        prefix can never change). Keeps the per-append metadata cost of
+        the constraint + bloom checks O(new commits), not O(log)."""
+        vs = self.versions()
+        tip = vs[-1] if vs else 0
+        cached = self._map_cache.get(key)
+        if cached is not None and cached[0] == tip:
+            return cached[1]
+        lo, out = cached if cached is not None else (0, {})
+        for v in vs:
+            if v <= lo:
+                continue
+            c = self._read_commit(v)
+            if key in c:
+                out = c[key]
+        self._map_cache[key] = (tip, out)
+        return out
+
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints: {name: boolean SQL expr}. The latest
         commit carrying a ``constraints`` map wins (full-map semantics,
         like the schema)."""
-        out: dict[str, str] = {}
-        for v in self.versions():
-            c = self._read_commit(v)
-            if "constraints" in c:
-                out = c["constraints"]
-        return out
+        return self._latest_map("constraints")
 
     def _check_constraints(self, df: DataFrame) -> None:
         cons = self.constraints() if self.exists() else {}
@@ -386,13 +409,12 @@ class TxTable:
     def bloom_config(self) -> dict[str, dict]:
         """Active bloom-indexed columns: {col: {"m": bits, "k": hashes}}.
         Latest commit carrying a ``bloom`` map wins (full-map semantics,
-        like constraints)."""
-        out: dict[str, dict] = {}
-        for v in self.versions():
-            c = self._read_commit(v)
-            if "bloom" in c:
-                out = c["bloom"]
-        return out
+        like constraints). Served by the incremental ``_latest_map``
+        cache: the pre-r12 full-log replay ran on EVERY append/merge/
+        compact even for tables with no bloom configured (r11 ADVICE),
+        doubling per-commit metadata cost for long-lived streaming
+        tables."""
+        return self._latest_map("bloom")
 
     def set_bloom(self, col: str, m: int = 8192, k: int = 5,
                   backfill: bool = True) -> int:
@@ -517,7 +539,7 @@ class TxTable:
                 best = b if best is None or b > best else best
         return best
 
-    def history(self) -> DataFrame:
+    def describe_history(self) -> DataFrame:
         """DESCRIBE HISTORY analog: one row per commit, from the log
         alone (metadata-scale; the data files are never opened).
         ``rows_added`` / ``rows_removed`` come from the committed
@@ -567,6 +589,25 @@ class TxTable:
             "files_removed int, rows_added long, rows_removed long, "
             "txn_app string, txn_batch long",
         ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+
+    def history(self) -> DataFrame:
+        """Deprecated alias of ``describe_history`` (r11 ADVICE: the
+        name ``history()`` previously returned the raw commit-dict list,
+        which now lives under ``commits()``; the tabular DESCRIBE
+        HISTORY view gets the unambiguous name ``describe_history``).
+        Out-of-tree callers indexing ``history()[0]["version"]`` should
+        move to ``commits()``; callers wanting the DataFrame should move
+        to ``describe_history()``."""
+        import warnings
+
+        warnings.warn(
+            "TxTable.history() is deprecated: use describe_history() for "
+            "the DESCRIBE HISTORY DataFrame or commits() for the raw "
+            "commit dicts",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.describe_history()
 
     def version_at_time(self, ts) -> int:
         """Time travel by timestamp (Delta's ``timestampAsOf``): the
@@ -1349,7 +1390,7 @@ class TxTable:
 
     def commits(self) -> list[dict]:
         """The raw commit documents, oldest first — the log itself.
-        ``history()`` is the user-facing tabular view of the same."""
+        ``describe_history()`` is the user-facing tabular view of the same."""
         return [self._read_commit(v) for v in self.versions()]
 
     def vacuum(

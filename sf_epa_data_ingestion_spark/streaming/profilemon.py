@@ -179,6 +179,15 @@ def current_profile(state: TxTable) -> DataFrame:
     double-precision moments (population variance; NULL where no
     numeric values; see batch_profile_rows for the 2^53 exactness
     scope).
+
+    Variance is E[x^2] - E[x]^2 on merged moments — the only mergeable
+    two-pass-free form — and is clamped at 0: for near-constant or
+    large-magnitude columns the two terms are nearly equal and floating
+    cancellation can land epsilon-negative (r11 ADVICE). The clamp fixes
+    the sign, not the precision: when |mean| >> stddev the cancellation
+    also erodes the magnitude's accuracy (relative error ~ eps *
+    mean^2 / variance), so treat tiny variances of huge-mean columns as
+    "near-constant", not as exact measurements.
     """
     nn = F.col("rows") - F.col("nulls")
     return (
@@ -205,7 +214,11 @@ def current_profile(state: TxTable) -> DataFrame:
             "variance",
             F.when(
                 nn > 0,
-                F.col("__ssq") / nn - (F.col("__sm") / nn) * (F.col("__sm") / nn),
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("__ssq") / nn
+                    - (F.col("__sm") / nn) * (F.col("__sm") / nn),
+                ),
             ),
         )
         .drop("__sm", "__ssq")

@@ -437,7 +437,11 @@ def test_history_and_time_travel(spark, tmp_path, customers):
     t.compact(target_files=1)
     t.set_constraint("bal", "c_acctbal IS NOT NULL OR c_acctbal IS NULL")
 
-    h = {r["version"]: r for r in t.history().collect()}
+    h = {r["version"]: r for r in t.describe_history().collect()}
+    # the deprecated alias keeps working but warns (r11 ADVICE: the name
+    # silently changed return type in r11 — now it's an explicit alias)
+    with pytest.warns(DeprecationWarning):
+        assert {r["version"] for r in t.history().collect()} == set(h)
     assert [h[v]["op"] for v in sorted(h)] == [
         "CREATE", "APPEND", "DELETE", "OPTIMIZE", "SET CONSTRAINT"]
     assert h[1]["rows_added"] == 7
