@@ -677,6 +677,7 @@ def hybrid_search_ann(
     n_probe: int = 4,
     dim: int | None = None,
     attr_filters: dict[str, object] | None = None,
+    index_for_cids=None,
 ) -> DataFrame:
     """TRUE hybrid retrieval: lexical candidates UNION ANN semantic
     candidates, fused by reciprocal-rank fusion (RRF, Cormack et al.
@@ -740,6 +741,7 @@ def hybrid_search_ann(
         n_probe=n_probe,
         dim=dim,
         attr_filters=attr_filters,
+        index_for_cids=index_for_cids,
     ).drop("query_id")
 
 
@@ -1353,6 +1355,7 @@ def hybrid_search_ann_many(
     dim: int | None = None,
     attr_filters: dict[str, object] | None = None,
     residual: bool = False,
+    index_for_cids=None,
 ) -> DataFrame:
     """Batch TRUE hybrid retrieval: a DATAFRAME of (query_id, query_text,
     query_vec) rows, each ranked by RRF over a lexical candidate leg
@@ -1414,12 +1417,20 @@ def hybrid_search_ann_many(
     )
     probe = postings.join(broadcast(qterms), "token")
     ann_index = index
+    ann_provider = index_for_cids
     if attr_filters:
         allowed = base.select(F.col(id_col).alias("id"))
         probe = probe.join(allowed, "id", "left_semi")
-        ann_index = index.join(
-            base.select(F.col(id_col)), id_col, "left_semi"
-        )
+        if index_for_cids is not None:
+            # the provider's pruned read still gets the same retrieval-
+            # time id restriction the eager frame would
+            ann_provider = lambda cids: index_for_cids(cids).join(  # noqa: E731
+                base.select(F.col(id_col)), id_col, "left_semi"
+            )
+        else:
+            ann_index = index.join(
+                base.select(F.col(id_col)), id_col, "left_semi"
+            )
     lex = (
         probe.join(broadcast(qstats), "token")
         .groupBy(query_id, "id")
@@ -1446,6 +1457,7 @@ def hybrid_search_ann_many(
         n_probe=n_probe,
         dim=dim,
         residual=residual,
+        index_for_cids=ann_provider,
     )
     semr = ann.select(query_id, id_col, F.col("rank").cast("int").alias("sem_rank"))
 

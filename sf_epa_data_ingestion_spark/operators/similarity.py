@@ -1642,6 +1642,7 @@ def ivfpq_search(
     rerank: int = PQ_RERANK,
     _prepped: DataFrame | None = None,
     residual: bool = False,
+    index_for_cids=None,
 ) -> DataFrame:
     """Query a PREBUILT IVF-PQ index table: ``index`` is the
     (corpus_id, cid, codes) frame a batch ``encode_ivfpq`` or the
@@ -1660,7 +1661,16 @@ def ivfpq_search(
     decoded-residual). The codebooks are GLOBAL (FAISS-shared-codebook
     shape), so the LUT stays per-query; only one extra int64 per probe
     row rides the join. Refinement is the exact raw-vector dot either
-    way."""
+    way.
+
+    ``index_for_cids``: optional ``cids -> DataFrame`` provider invoked
+    with the driver-side probed cell set INSTEAD of filtering ``index``
+    (which may then be None) — the hook a snapshot-pinned txlog host
+    uses to turn the literal ``cid IN`` probe into file skipping
+    (``VectorIndexSnapshot.index_for_cids``), where a plain filter over
+    an eagerly-read frame would only drop rows after the scan.
+    Bit-identical by construction: the provider must return exactly the
+    rows ``index.filter(cid.isin(probed))`` would."""
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     if not coarse or not cq:  # no model (empty/all-NULL corpus at build)
@@ -1672,7 +1682,6 @@ def ivfpq_search(
         raise ValueError(f"dim {dim} not divisible by {m} codebook subspaces")
     dsub = dim // m
     c = _prepped if _prepped is not None else _ivfpq_prep(corpus, corpus_id, vec_col, dim)
-    encoded = index.select(corpus_id, "cid", F.col("codes").alias("__cs"))
 
     # ---- queries: probes + LUT + quantized vector, one row per probe ----
     q_rows = _ivfpq_prep(queries, query_id, vec_col, dim).collect()
@@ -1724,10 +1733,17 @@ def ivfpq_search(
     # (materialize_vector_index) this is a directory-level PartitionFilter
     # — unprobed cells' files are never opened — where the broadcast join
     # alone only filters rows after the scan. Bit-identical: the join key
-    # set is exactly the probed set.
+    # set is exactly the probed set. A snapshot-pinned txlog host passes
+    # ``index_for_cids`` instead, turning the same probe into txlog file
+    # skipping at its pinned version.
     probed_cids = sorted({cid for _, cid, _ in probe_rows})
+    if index_for_cids is not None:
+        pruned = index_for_cids(probed_cids)
+    else:
+        pruned = index.filter(F.col("cid").isin(probed_cids))
+    encoded = pruned.select(corpus_id, "cid", F.col("codes").alias("__cs"))
     joined = (
-        encoded.filter(F.col("cid").isin(probed_cids))
+        encoded
         .join(broadcast(q_probes), "cid")
         .filter(F.col(query_id) != F.col(corpus_id))
         .select(query_id, corpus_id, "__cs", "__cell")

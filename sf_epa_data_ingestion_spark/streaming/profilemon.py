@@ -212,8 +212,11 @@ def current_profile(state: TxTable) -> DataFrame:
         )
         .withColumn(
             "variance",
+            # the __ssq null-guard keeps non-numeric columns NULL:
+            # F.greatest SKIPS nulls, so a bare greatest(0.0, NULL)
+            # would turn "no moments recorded" into variance 0.0
             F.when(
-                nn > 0,
+                (nn > 0) & F.col("__ssq").isNotNull(),
                 F.greatest(
                     F.lit(0.0),
                     F.col("__ssq") / nn

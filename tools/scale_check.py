@@ -24,7 +24,7 @@ from sf_epa_data_ingestion_spark.session import get_spark  # noqa: E402
 # every query that reads only documents/embeddings (the two tables
 # make_sf1.py scales) — the heavy five plus the r5 additions
 HEAVY = [
-    "dedup_clusters", "ngram_jaccard", "dup_spans", "minhash_lsh", "ann_ivf",
+    "dedup_clusters", "ngram_jaccard", "dup_spans", "minhash_lsh", "ann_suite",
     "simhash", "strip_dup_spans", "contamination", "lm_perplexity",
     "sample_to_budget", "search_bm25", "embedding_near_dup", "fingerprint",
     "quality_classifier", "ann_pq",
