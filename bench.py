@@ -115,10 +115,12 @@ def main() -> None:
         else:
             # history-backed: a measurement >1.5x best-ever is suspect.
             # Expensive queries (>2s) get up to 3 extra cold runs so one
-            # sustained burst can't fake a regression; cheap ones get a
-            # single retry (bounds worst-case suite overhead to ~1 extra
-            # pass when the whole host is genuinely slower).
-            while t > max(0.3, 1.5 * best) and runs < (4 if t > 2.0 else 2):
+            # sustained burst can't fake a regression; cheap flagged ones
+            # get min-of-3 (r11 VERDICT next-round #4: ann_ivf and
+            # ann_bruteforce were graded from TWO runs inside one burst —
+            # a third cold run is cheap insurance exactly where the
+            # number is about to be flagged).
+            while t > max(0.3, 1.5 * best) and runs < (4 if t > 2.0 else 3):
                 t2 = time_once(fn)
                 all_runs.append(t2)
                 runs += 1

@@ -291,6 +291,7 @@ def refresh_search_index(
     k1: float = 1.2,
     b: float = 0.75,
     txn: tuple[str, int] | None = None,
+    allow_inplace: bool = False,
 ) -> None:
     """Apply a txlog change feed to a PERSISTED
     ``materialize_search_index`` layout in place — all five pieces
@@ -335,6 +336,20 @@ def refresh_search_index(
     Maintained rows are staged to a sibling directory first because
     Spark cannot overwrite a path it is reading in the same job. stats
     and bounds are vocabulary-sized and rewritten whole."""
+    if not allow_inplace:
+        # r11 VERDICT next-round #7: SCALE.md's own recommendation is
+        # that every TARGET_LAG-style deployment serve from the tx host,
+        # so the hazard-carrying in-place mutation is now OPT-IN — the
+        # caller must state it has fenced readers off the refresh window
+        raise RuntimeError(
+            "refresh_search_index mutates the directory layout IN PLACE: "
+            "a concurrent reader can observe mixed-generation pieces and "
+            "a crash mid-refresh leaves a torn layout. Use "
+            "storage/txindex.refresh_tx_search_index (atomic manifest "
+            "cutover, snapshot-isolated readers), or pass "
+            "allow_inplace=True after fencing readers off the refresh "
+            "window (single-writer + quiesced-reader discipline)"
+        )
     import json
     import os
     import shutil

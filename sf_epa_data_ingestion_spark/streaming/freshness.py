@@ -73,6 +73,7 @@ def index_refresh_sink(
     id_col: str = "id",
     text_col: str = "text",
     change_col: str = "_change_type",
+    allow_inplace: bool = False,
 ):
     """``foreachBatch`` callable maintaining a WHOLE persisted
     ``materialize_search_index`` layout from a stream of tagged change
@@ -95,6 +96,7 @@ def index_refresh_sink(
             text_col=text_col,
             change_col=change_col,
             txn=(app_id, int(batch_id)),
+            allow_inplace=allow_inplace,
         )
 
     return write_batch
@@ -111,6 +113,7 @@ def start_index_maintainer(
     change_col: str = "_change_type",
     lag_seconds: int = 60,
     available_now: bool = False,
+    allow_inplace: bool = False,
 ) -> StreamingQuery:
     """Run the whole-layout index maintainer with the 1-minute freshness
     budget (the reference's TARGET_LAG covered the entire search
@@ -124,6 +127,7 @@ def start_index_maintainer(
             index_refresh_sink(
                 spark, index_path, app_id,
                 id_col=id_col, text_col=text_col, change_col=change_col,
+                allow_inplace=allow_inplace,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -533,14 +533,16 @@ def test_refresh_search_index_rejects_tokenless_delete_image(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="full pre-image"):
         search.refresh_search_index(
-            spark, idx, bad_feed, id_col="doc_id", text_col="text"
+            spark, idx, bad_feed, id_col="doc_id", text_col="text",
+            allow_inplace=True,
         )
 
     ok_feed = spark.createDataFrame(
         [(3, "", "delete")], "doc_id long, text string, _change_type string"
     )
     search.refresh_search_index(
-        spark, idx, ok_feed, id_col="doc_id", text_col="text"
+        spark, idx, ok_feed, id_col="doc_id", text_col="text",
+        allow_inplace=True,
     )
     _p, _st, _dl, n_docs, _nb = search.load_search_index(spark, idx)
     assert n_docs == 2
@@ -607,7 +609,8 @@ def test_refresh_search_index_maintains_persisted_layout(spark, tmp_path):
     }
 
     search.refresh_search_index(
-        spark, idx, changes, id_col="doc_id", text_col="text"
+        spark, idx, changes, id_col="doc_id", text_col="text",
+        allow_inplace=True,
     )
 
     after_postings = _bucket_files("postings")
@@ -722,6 +725,7 @@ def test_index_maintainer_stream_keeps_wand_serving_correct(spark, tmp_path):
     q = start_index_maintainer(
         stream, spark, idx, str(tmp_path / "ckpt"),
         id_col="doc_id", text_col="text", available_now=True,
+        allow_inplace=True,
     )
     q.awaitTermination(120)
 
@@ -755,6 +759,7 @@ def test_index_maintainer_stream_keeps_wand_serving_correct(spark, tmp_path):
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed_dir),
         spark, idx, str(tmp_path / "ckpt2"),
         id_col="doc_id", text_col="text", available_now=True,
+        allow_inplace=True,
     )
     q2.awaitTermination(120)
     assert _json.loads(open(os.path.join(idx, "_meta.json")).read()) == _json.loads(meta_before)
@@ -951,7 +956,8 @@ def test_refresh_bounds_exact_after_delete_heavy_feed(spark, tmp_path):
         [r["doc_id"] for r in victims.collect()]
     ))
     search.refresh_search_index(
-        spark, idx, t.changes(0), id_col="doc_id", text_col="text"
+        spark, idx, t.changes(0), id_col="doc_id", text_col="text",
+        allow_inplace=True,
     )
 
     rebuilt_dir = str(tmp_path / "rebuilt")
@@ -981,3 +987,30 @@ def test_refresh_bounds_exact_after_delete_heavy_feed(spark, tmp_path):
             (r["qid"], r["id"], round(r["score"], 9)) for r in df.collect()
         )
     assert _rows(wand) == _rows(naive)
+
+
+def test_inplace_refresh_is_opt_in(spark, tmp_path):
+    """r11 VERDICT next-round #7: the in-place directory refresh carries
+    a documented concurrent-reader hazard, so it now refuses to run
+    unless the caller explicitly accepts it — the default error points
+    at the transactional host."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    search.materialize_search_index(docs, idx, id_col="doc_id", text_col="text")
+    feed = spark.createDataFrame(
+        [(3, "delta", "insert")], "doc_id long, text string, _change_type string"
+    )
+    with pytest.raises(RuntimeError, match="refresh_tx_search_index"):
+        search.refresh_search_index(
+            spark, idx, feed, id_col="doc_id", text_col="text"
+        )
+    # the layout is untouched by the refusal, and the opt-in works
+    _p, _st, _dl, n0, _nb = search.load_search_index(spark, idx)
+    assert n0 == 2
+    search.refresh_search_index(
+        spark, idx, feed, id_col="doc_id", text_col="text", allow_inplace=True
+    )
+    _p, _st, _dl, n1, _nb = search.load_search_index(spark, idx)
+    assert n1 == 3

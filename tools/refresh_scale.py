@@ -81,7 +81,8 @@ def main() -> None:
             build_best = min(build_best, time.time() - t0)
             t0 = time.time()
             search.refresh_search_index(
-                spark, idx, feed, id_col="doc_id", text_col="text"
+                spark, idx, feed, id_col="doc_id", text_col="text",
+                allow_inplace=True,
             )
             refresh_best = min(refresh_best, time.time() - t0)
             spark.catalog.clearCache()
