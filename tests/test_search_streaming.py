@@ -994,6 +994,8 @@ def test_inplace_refresh_is_opt_in(spark, tmp_path):
     a documented concurrent-reader hazard, so it now refuses to run
     unless the caller explicitly accepts it — the default error points
     at the transactional host."""
+    import pytest
+
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
     )
