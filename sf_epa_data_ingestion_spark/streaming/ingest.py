@@ -128,7 +128,15 @@ def training_doc_appender(
             batch_df.filter(c4_keep_expr(text_col))
             .withColumn("text_hash", F.md5(normalized_text(F.col(text_col))))
         )
+        pinned = []  # persisted frames to release after the commit
         if quality_model is not None:
+            # the model gate's semi-join makes the GATED batch a
+            # self-join: without the persist, both subtrees re-evaluate
+            # the C4 keep expression and the digest md5 over the raw
+            # batch (r12 fixed-cost shave — ~15% of the replay's
+            # per-batch wall-clock at sf0.1)
+            kept = kept.persist()
+            pinned.append(kept)
             weights, bias = quality_model
             scores = score_docs_lr(kept, weights, bias, text_col, id_col).filter(
                 F.col("score_fp") >= F.lit(min_score_fp)
@@ -149,12 +157,15 @@ def training_doc_appender(
         # write_partitions=1 the append is single-file so its skipping
         # stats ride the write's Observation instead of a separate
         # per-file stats job.
-        persisted = None
         try:
             if table.row_count() > 0:
                 existing = None
                 if dedup_probe_cap:
-                    persisted = kept = kept.persist()
+                    # the digest collect and the append both consume the
+                    # post-window frame — persist it so the probe isn't
+                    # paid twice (independent of the gate-stage persist)
+                    kept = kept.persist()
+                    pinned.append(kept)
                     digests = [
                         r["text_hash"]
                         for r in kept.select("text_hash").distinct()
@@ -173,8 +184,8 @@ def training_doc_appender(
                 app_id, batch_id, max_retries,
             )
         finally:
-            if persisted is not None:
-                persisted.unpersist()
+            for df in pinned:
+                df.unpersist()
         maybe_compact_state(
             table, compact_files, target_files=compact_target_files,
             vacuum_keep=compact_vacuum_keep,
