@@ -1283,8 +1283,12 @@ def connected_components(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
     )
+    # NO distinct before the path split (r12): union-find absorbs
+    # duplicate edges as no-ops, so the common driver path skips a whole
+    # dedup shuffle stage of the (tiny) edge list; only the distributed
+    # loop — where duplicate edges would multiply every iteration's join
+    # volume — pays for it, after the split.
     edges = edges.localCheckpoint(eager=False)
 
     n_edges = edges.count()  # also materializes the checkpoint
@@ -1321,6 +1325,9 @@ def connected_components(
             ),
         )
 
+    # the loop's join volume IS duplicate-sensitive — dedup the edge
+    # list once here (the driver path above never pays this shuffle)
+    edges = edges.distinct().localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -1343,6 +1350,36 @@ def connected_components(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # POINTER SHORTCUTTING (r11 VERDICT next-round #6): follow each
+        # node's fresh label through the PREVIOUS round's label map —
+        # component <- prev_label(new_label(id)). Labels are monotone
+        # non-increasing and every label value is itself a labeled node
+        # (labels start as self and only take values from the label
+        # set), so the composition stays inside the component. Joining
+        # the PERSISTED previous map (not the frame just built — a
+        # self-join would execute the neighbor-min aggregate twice per
+        # round) still compounds the horizon geometrically: round i+1
+        # reaches h_i (neighbor hop) + h_i (shortcut) ≈ 2*h_i, turning
+        # the worst case from O(diameter) rounds — an adversarial CHAIN
+        # longer than max_iter returned WRONG labels before; the loop
+        # just ran out — into O(log diameter). Pinned by the 64-node
+        # chain test at max_iter=10.
+        new_labels = (
+            new_labels.join(
+                labels.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("__gp"),
+                ),
+                "component",
+                "left",
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("__gp", F.col("component"))
                 ).alias("component"),
             )
         )
