@@ -467,3 +467,87 @@ def test_history_and_time_travel(spark, tmp_path, customers):
     assert t.version_at_time(
         datetime.datetime.now() + datetime.timedelta(seconds=1)
     ) == max(h)
+
+
+def test_commit_protocol_contract(spark, tmp_path, customers):
+    """r11 VERDICT next-round #8 (stretch): the publish primitive is a
+    ``CommitProtocol``. Contract pins: (1) a crash INSIDE publish —
+    simulated by failing the link step, the non-atomic-rename analog —
+    leaves NO visible commit, so readers stay on the old version and a
+    retry succeeds (never a torn/half commit bricking the number);
+    (2) racing writers serialize through ConcurrentCommitError; (3) the
+    whole table protocol runs unchanged over a conditional-put backend
+    (dict-arbitrated put-if-absent, the object-store shape)."""
+    from sf_epa_data_ingestion_spark.storage.txlog import (
+        ConcurrentCommitError,
+        ConditionalPutCommit,
+        PosixLinkCommit,
+        TxTable,
+    )
+
+    # (1) crash inside publish: HALF the payload written to the temp
+    # name, the link (the atomic visibility step) never happens — the
+    # non-atomic-rename simulation: torn bytes exist on disk, but under
+    # a name no reader treats as a commit
+    class CrashingLink(PosixLinkCommit):
+        def __init__(self):
+            self.crashes_left = 1
+
+        def publish(self, path, payload):
+            if self.crashes_left:
+                self.crashes_left -= 1
+                with open(f"{path}.crashed.tmp", "w") as f:
+                    f.write(payload[: len(payload) // 2])  # torn bytes
+                raise OSError("simulated crash before the commit became visible")
+            super().publish(path, payload)
+
+    t = TxTable(spark, str(tmp_path / "crash"))
+    t.create(customers.limit(10))
+    t._commit_protocol = CrashingLink()  # crash the NEXT publish only
+    v0 = t.versions()[-1]
+    extra = customers.limit(3).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    with pytest.raises(OSError, match="simulated crash"):
+        t.append(extra)
+    # no torn commit VISIBLE: the torn temp is on disk, yet the log
+    # still ends at v0, reads are intact, and the version number is not
+    # bricked — the retry of the SAME number succeeds
+    assert any(f.endswith(".crashed.tmp") for f in os.listdir(t.log_dir))
+    assert t.versions()[-1] == v0
+    assert t.read().count() == 10
+    t.append(extra)
+    assert t.read().count() == 13
+
+    # (2) racing writers: the second publish of one version number loses
+    t2 = TxTable(spark, str(tmp_path / "crash"))
+    with pytest.raises(ConcurrentCommitError):
+        t2._publish(t2.versions()[-1], {"add": [], "remove": []}, "{}")
+
+    # (3) conditional-put backend: dict-arbitrated put-if-absent (the
+    # S3 If-None-Match / GCS ifGenerationMatch=0 shape) carries the full
+    # table protocol — create, append, CoW delete, snapshot read
+    seen: dict[str, str] = {}
+
+    def put_if_absent(path, payload):
+        if path in seen or os.path.exists(path):
+            raise FileExistsError(path)
+        seen[path] = payload
+        # the "store" here is the local fs; the PUT itself is atomic by
+        # the object store's contract, so a plain temp+rename stands in
+        tmp = path + ".put"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.rename(tmp, path)
+
+    tc = TxTable(
+        spark, str(tmp_path / "condput"),
+        commit_protocol=ConditionalPutCommit(put_if_absent),
+    )
+    tc.create(customers.limit(10))
+    tc.append(extra)
+    tc.delete_where(F.col("c_custkey") >= 1_000_000)
+    assert tc.read().count() == 10
+    assert len(seen) == 3  # every commit went through the conditional put
+    with pytest.raises(ConcurrentCommitError):
+        tc._publish(1, {"add": [], "remove": []}, "{}")
