@@ -79,33 +79,23 @@ class GenerationStore:
         won) and record-level atomicity: a crash can never leave a
         torn/empty record whose mere existence would brick ``latest()``
         for every reader while blocking any re-publish of the number
-        (the failure mode of a bare O_EXCL open-then-write)."""
+        (the failure mode of a bare O_EXCL open-then-write). The
+        mechanics are the shared ``storage.txlog.PosixLinkCommit``
+        (r12: one copy of the temp+fsync+link recipe, so the
+        crash-window fixes cannot drift between the commit layer and
+        the pointer layer; its tmp names carry pid + uuid, so two
+        THREADS racing the same generation never share a tmp path)."""
+        from sf_epa_data_ingestion_spark.storage.txlog import PosixLinkCommit
+
         os.makedirs(self.gens_dir, exist_ok=True)
         payload = json.dumps({"gen": gen, **(meta or {})}, indent=0)
-        import uuid
-
         final = os.path.join(self.gens_dir, f"{gen:05d}.json")
-        # pid alone is not unique enough: two THREADS of one process
-        # racing the same generation would share (and truncate) one tmp
-        # path, letting the winning link publish torn bytes
-        tmp = os.path.join(
-            self.gens_dir, f".{gen:05d}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
-        )
-        with open(tmp, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, final)
+            PosixLinkCommit().publish(final, payload)
         except FileExistsError as e:
             raise GenerationAlreadyPublished(
                 f"generation {gen} already published at {self.root}"
             ) from e
-        finally:
-            try:
-                os.unlink(tmp)
-            except FileNotFoundError:
-                pass
 
     def prepare_dir(self, gen: int) -> str:
         """Make (or RESET) generation ``gen``'s build directory. An
