@@ -508,6 +508,44 @@ def init_vector_index_from_layout(
     return table
 
 
+def vacuum_vector_index(
+    spark,
+    root: str,
+    keep_versions: int = 2,
+    retention_seconds: float = 0.0,
+    keep_generations: int = 2,
+) -> dict:
+    """Reclaim the generational vector index's two kinds of garbage —
+    the ``vacuum_tx_search_index`` sibling for the vector tier:
+
+    - RETIRED GENERATIONS: directories of superseded generations beyond
+      the newest ``keep_generations`` (age-guarded by
+      ``retention_seconds`` — a generation retires only once its
+      successor has been published at least that long, so a query that
+      pinned it pre-cutover has had that long to finish);
+    - OLD TXLOG VERSIONS inside the CURRENT generation's index table:
+      every maintainer batch commits a new version whose superseded
+      files stay on disk for snapshot readers; keep the newest
+      ``keep_versions`` (``retention_seconds`` additionally protects
+      files a live ``pin_vector_index`` snapshot may still read).
+
+    A pinned snapshot that outlives either retention fails CLOSED
+    (missing log / missing files raise, never partial rows — pinned by
+    test). Returns {"generations": [...], "files": n} of what was
+    reclaimed. Single-writer discipline: run from the maintainer's
+    writer, between batches."""
+    from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
+
+    retired = GenerationStore(root).retire_below(
+        keep_latest=keep_generations, retention_seconds=retention_seconds
+    )
+    _gen, _model, table = current_vector_index_generation(spark, root)
+    removed = table.vacuum(
+        keep_versions=keep_versions, retention_seconds=retention_seconds
+    )
+    return {"generations": retired, "files": len(removed)}
+
+
 def vector_index_maintainer_gen(
     spark,
     root: str,

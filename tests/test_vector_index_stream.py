@@ -789,3 +789,70 @@ def test_pinned_vector_snapshot_hybrid_stable_mid_refresh(spark, tmp_path):
     corpus.unpersist()
     postings.unpersist()
     stats.unpersist()
+
+
+def test_vacuum_vector_index_reclaims_and_pins_fail_closed(spark, tmp_path):
+    """r12: the generational vector store's vacuum face — old txlog
+    versions inside the current generation AND retired generation
+    directories are reclaimed; a pin that outlives retention fails
+    CLOSED (raises, never partial rows); a fresh pin serves on."""
+    import pytest
+
+    from sf_epa_data_ingestion_spark.streaming.vectorindex import (
+        init_vector_index_generations,
+        pin_vector_index,
+        retrain_vector_index_generation,
+        vacuum_vector_index,
+        vector_index_maintainer_gen,
+    )
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    wave1 = emb.filter(F.col("vec_id") < 200)
+    coarse, cq = similarity.train_ivfpq(wave1, dim=64, n_centroids=8)
+    root = str(tmp_path / "gens")
+    init_vector_index_generations(spark, root, coarse, cq, 64)
+    sink = vector_index_maintainer_gen(spark, root, "vec-vac")
+
+    def _feed(df, bid):
+        sink(df.withColumn("_change_type", F.lit("insert")), bid)
+
+    _feed(wave1, 0)
+    old_pin = pin_vector_index(spark, root)
+    # more batches -> more txlog versions inside generation 1
+    _feed(emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 1)
+    _feed(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), 2)
+    # generation cutover -> generation 1 becomes retirable
+    retrain_vector_index_generation(
+        spark, root, "vec-vac", emb.filter(F.col("vec_id") < 400),
+        n_centroids=8,
+    )
+
+    out = vacuum_vector_index(
+        spark, root, keep_versions=1, retention_seconds=0.0,
+        keep_generations=1,
+    )
+    assert out["generations"] == [1]
+    # the old pin's whole generation directory is gone: fail closed
+    with pytest.raises(Exception):
+        old_pin.index().count()
+    # a fresh pin serves the current generation fully
+    fresh = pin_vector_index(spark, root)
+    assert fresh.gen == 2 and fresh.index().count() == 400
+
+    # within-generation version vacuum: maintain more batches, then keep
+    # only the newest version — a mid-generation stale pin fails closed
+    _feed(emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)), 3)
+    stale = pin_vector_index(spark, root)
+    _feed(emb.filter((F.col("vec_id") >= 450) & (F.col("vec_id") < 500)), 4)
+    out2 = vacuum_vector_index(
+        spark, root, keep_versions=1, retention_seconds=0.0,
+        keep_generations=1,
+    )
+    assert out2["files"] >= 0
+    latest = pin_vector_index(spark, root)
+    assert latest.index().count() == 500
+    if out2["files"]:
+        with pytest.raises(Exception):
+            stale.index().count()
