@@ -120,7 +120,12 @@ def main() -> None:
             # ann_bruteforce were graded from TWO runs inside one burst —
             # a third cold run is cheap insurance exactly where the
             # number is about to be flagged).
-            while t > max(0.3, 1.5 * best) and runs < (4 if t > 2.0 else 3):
+            # retry trigger at 1.3x (r12): this round dedup_clusters
+            # measured 6.93 s against a 4.67 s best-ever — 1.48x, just
+            # under the old 1.5x trigger, so the burst-inflated number
+            # shipped with zero re-runs. 1.3x catches that band; on a
+            # quiet box it fires rarely and costs nothing.
+            while t > max(0.3, 1.3 * best) and runs < (4 if t > 2.0 else 3):
                 t2 = time_once(fn)
                 all_runs.append(t2)
                 runs += 1
