@@ -506,3 +506,45 @@ def test_hybrid_ann_attr_filter_pushed_into_both_legs(spark):
     ).collect()
     post = [r for r in unfiltered if r["id"] >= 100][:8]
     assert len(post) < 8
+
+
+def test_hybrid_ann_index_provider_matches_eager_index(spark):
+    """r12: the ``index_for_cids`` provider path (the generation-pinned
+    txlog host's hook) must be BIT-IDENTICAL to passing the eager index
+    frame — with and without attr_filters (the filtered path wraps the
+    provider with the same retrieval-time id restriction)."""
+    qv = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
+    rows = []
+    for i in range(40):
+        emb = [v + 0.03 * ((-1.0) ** j) * (1 + (i + j) % 5) for j, v in enumerate(qv)]
+        rows.append((i, f"spark join hash doc {i}", "en" if i % 2 else "xx", emb))
+    docs = spark.createDataFrame(
+        rows, "id long, text string, lang string, embedding array<double>"
+    )
+    postings = search.build_postings(docs, id_col="id", text_col="text")
+    stats = search.build_token_stats(postings, n_docs=docs.count())
+    from sf_epa_data_ingestion_spark.operators import similarity
+
+    coarse, cq = similarity.train_ivfpq(
+        docs, corpus_id="id", vec_col="embedding", dim=64
+    )
+    index = similarity.encode_ivfpq(
+        docs, coarse, cq, 64, id_col="id", vec_col="embedding"
+    )
+    provider = lambda cids: index.filter(F.col("cid").isin(list(cids)))  # noqa: E731
+
+    for filters in (None, {"lang": "en"}):
+        eager = sorted(
+            tuple(r) for r in search.hybrid_search_ann(
+                docs, postings, stats, "spark join hash", qv, index,
+                coarse, cq, k=8, dim=64, attr_filters=filters,
+            ).collect()
+        )
+        via_provider = sorted(
+            tuple(r) for r in search.hybrid_search_ann(
+                docs, postings, stats, "spark join hash", qv, None,
+                coarse, cq, k=8, dim=64, attr_filters=filters,
+                index_for_cids=provider,
+            ).collect()
+        )
+        assert eager == via_provider and eager
