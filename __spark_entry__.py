@@ -1576,8 +1576,11 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.append(o.repartition(8, "o_orderkey"))                       # v1
     tbl.delete_where(F.col("o_orderkey") % 5 == 0)                   # v2
-    ts_mid = _time.time()
-    _time.sleep(0.02)  # commit timestamps are ms-granular
+    # the delete commit's OWN recorded timestamp: exact left boundary
+    # (immune to wall-clock steps between the commit and a time.time()
+    # read); the sleep separates v3's ms-granular stamp to the right
+    ts_mid = tbl.commits()[-1]["ts"] / 1000.0
+    _time.sleep(0.02)
     tbl.merge(                                                       # v3
         o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey",
