@@ -1230,11 +1230,19 @@ def connected_components(
     orders of magnitude smaller than the corpus that produced them (256
     pairs from 5k docs at sf0.1; even 100 TB corpora yield edge sets
     bounded by dup density, and the upstream df-caps bound blow-ups).
-    When the deduped edge list holds at most ``driver_edge_threshold``
-    rows it is Arrow-collected (16 B/edge — ~8 MB at the default cap,
-    safe on a 1g driver) and resolved with a driver union-find: identical
-    output, none of the per-iteration scheduling overhead that dominates
-    a joins-loop over a tiny frame. Larger edge sets take the distributed
+    When the edge list holds at most ``driver_edge_threshold`` rows it
+    is Arrow-collected (16 B/edge — ~8 MB at the default cap, safe on a
+    1g driver) and resolved with a driver union-find: identical output,
+    none of the per-iteration scheduling overhead that dominates a
+    joins-loop over a tiny frame. ``driver_edge_threshold`` is measured
+    in NON-DEDUPED DIRECTED edges — 2x the candidate pair count,
+    duplicates included (r12 dropped the pre-split distinct: union-find
+    absorbs duplicate edges as no-ops, so the common path skips a whole
+    shuffle). Callers tuning the threshold against pair counts should
+    budget 2x, plus the input's duplicate ratio; inputs with many
+    duplicate candidate pairs sit closer to the flip point than their
+    distinct pair count suggests, and the driver path's toPandas
+    transfers the duplicate rows too. Larger edge sets take the distributed
     min-label-propagation loop below — the same AQE-sized joins as
     before, the only path whose cost grows with data. The count() that
     picks the path materializes the localCheckpoint the loop needs

@@ -106,13 +106,31 @@ class PosixLinkCommit(CommitProtocol):
     commit layer.)"""
 
     def publish(self, path: str, payload: str) -> None:
-        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        # dot-prefixed tmp name: versions() skips dotfiles, so a crash
+        # between write and the finally-unlink can never leave a name a
+        # log listing might parse, and vacuum() can sweep the orphans by
+        # pattern (r12 ADVICE — the old `<version>.json.<pid>.tmp` names
+        # were orphaned forever: vacuum only reclaimed *.parquet)
+        d, base = os.path.split(path)
+        tmp = os.path.join(d, f".{base}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             f.write(payload)
             f.flush()
             os.fsync(f.fileno())
         try:
             os.link(tmp, path)
+            # directory-entry durability: the payload bytes are fsync'd,
+            # but the NAME lives in the directory — without fsyncing the
+            # directory fd a power loss can un-publish a commit this
+            # writer already observed as durable (r12 ADVICE)
+            try:
+                dfd = os.open(d or ".", os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+            except OSError:
+                pass  # non-POSIX dir-fsync (or denied): best effort
         finally:
             try:
                 os.unlink(tmp)
@@ -417,7 +435,11 @@ class TxTable:
         cached = self._map_cache.get(key)
         if cached is not None and cached[0] == tip:
             return cached[1]
-        lo, out = cached if cached is not None else (0, {})
+        # cursor starts at -1 so commit version 0 is scanned too (r12
+        # ADVICE: `lo = 0` skipped the CREATE commit — harmless while
+        # bloom/constraints only publish at v>=1, wrong the day a path
+        # writes these maps into the CREATE commit)
+        lo, out = cached if cached is not None else (-1, {})
         for v in vs:
             if v <= lo:
                 continue
@@ -1503,4 +1525,20 @@ class TxTable:
                 except OSError:
                     continue
                 removed.append(f)
+        # sweep commit-publish tmp orphans (r12 ADVICE): a writer that
+        # crashed between the tmp write and the finally-unlink leaves a
+        # dot-prefixed `.<version>.json.<pid>.<hex>.tmp` in the log dir —
+        # invisible to versions(), but disk garbage forever without this.
+        # The same retention window guards an in-flight publisher.
+        if os.path.isdir(self.log_dir):
+            for f in os.listdir(self.log_dir):
+                if f.startswith(".") and f.endswith(".tmp"):
+                    path = os.path.join(self.log_dir, f)
+                    try:
+                        if os.path.getmtime(path) > cutoff:
+                            continue
+                        os.remove(path)
+                    except OSError:
+                        continue
+                    removed.append(os.path.join(_LOG_DIR, f))
         return sorted(removed)

@@ -512,7 +512,7 @@ def vacuum_vector_index(
     spark,
     root: str,
     keep_versions: int = 2,
-    retention_seconds: float = 0.0,
+    retention_seconds: float = 3600.0,
     keep_generations: int = 2,
 ) -> dict:
     """Reclaim the generational vector index's two kinds of garbage —
@@ -531,8 +531,13 @@ def vacuum_vector_index(
 
     A pinned snapshot that outlives either retention fails CLOSED
     (missing log / missing files raise, never partial rows — pinned by
-    test). Returns {"generations": [...], "files": n} of what was
-    reclaimed. Single-writer discipline: run from the maintainer's
+    test). The default ``retention_seconds`` matches ``TxTable.vacuum``'s
+    1 h window so the documented live-reader protection holds WITHOUT
+    explicit opt-in (r12 ADVICE: the old 0.0 default reclaimed a
+    just-superseded generation with zero grace, failing any concurrent
+    ``pin_vector_index`` reader mid-query); pass 0 only when no reader
+    can be mid-pin. Returns {"generations": [...], "files": n} of what
+    was reclaimed. Single-writer discipline: run from the maintainer's
     writer, between batches."""
     from sf_epa_data_ingestion_spark.streaming.generations import GenerationStore
 

@@ -27,12 +27,20 @@ def test_check_freshness_passes_for_the_prepared_round():
 def test_check_freshness_fails_when_grading_rounds_are_skipped():
     # With the self-ordering registry a single missed round self-heals
     # (the stale block simply heads the next window), so the gate only
-    # goes red on a REAL evidence gap: two consecutive rounds with no
-    # grading leaves the freshest block >MAX_STALE rounds old and
-    # outside the derived window.
-    r = _run("14")
+    # goes red on a REAL evidence gap: MAX_STALE consecutive rounds with
+    # no grading leaves the freshest block >MAX_STALE rounds old and
+    # outside the derived window. The probe round is DERIVED from the
+    # files on disk (r12 VERDICT #1: a hardcoded `14` encoded "two
+    # skipped rounds" only at the r11 tree — the moment the driver
+    # dropped CORRECTNESS_r12.json it meant ONE skipped round, which the
+    # gate correctly absorbs, and the assertion went stale).
+    sys.path.insert(0, REPO)
+    from sf_epa_data_ingestion_spark.registry import MAX_STALE, graded_rounds
+
+    probe = max(graded_rounds(REPO)) + MAX_STALE + 1
+    r = _run(str(probe))
     assert r.returncode == 1, r.stdout + r.stderr
-    assert "STALE at round 14" in r.stdout
+    assert f"STALE at round {probe}" in r.stdout
 
 
 def test_rotation_would_survive_the_next_round_gate():
