@@ -963,6 +963,209 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def _arrival_feed(batches, feed_dir: str) -> None:
+    """Write each DataFrame as ONE parquet file under ``feed_dir`` with
+    strictly increasing mtimes, so a ``maxFilesPerTrigger=1`` readStream
+    replays them as deterministic micro-batches in feed order.
+    FileStreamSource orders files by modification time at MILLISECOND
+    granularity — two sub-ms writes would tie and the batch order (hence
+    which rows are 'late') would be engine-arbitrary, so the mtimes are
+    pinned 10 s apart explicitly."""
+    import glob as _glob
+    import time as _time
+
+    base = _time.time() - 3600.0
+    for i, b in enumerate(batches):
+        before = set(_glob.glob(os.path.join(feed_dir, "*.parquet")))
+        b.coalesce(1).write.mode("append").parquet(feed_dir)
+        new = set(_glob.glob(os.path.join(feed_dir, "*.parquet"))) - before
+        assert len(new) == 1, f"expected 1 new feed file, got {len(new)}"
+        for p in new:
+            os.utime(p, (base + 10.0 * i, base + 10.0 * i))
+
+
+def q_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics graded from a REAL Structured
+    Streaming replay (r12 VERDICT next-round #4: ``window_agg`` grades
+    the batch form; the watermarked trigger path — the semantics that
+    only exist in streaming mode — was pytest-only). The events table is
+    replayed as THREE deterministic micro-batches (event_id % 3, via a
+    3-file ``maxFilesPerTrigger=1`` feed) through the watermarked 1 h
+    tumbling aggregation (streaming/events.tumbling_counts, 37 min
+    delay) with availableNow and APPEND output.
+
+    Spark >= 3.4 runs TWO watermark values per micro-batch
+    (SPARK-42376): the LATE-EVENTS filter uses the PREVIOUS batch's
+    watermark while EVICTION/emission uses the current one — pinned
+    empirically on this build (a 2-batch feed drops NOTHING, because
+    batch 1's late-filter watermark is still the epoch; batch 2 is the
+    first to face a real one). So three batches is the minimum feed that
+    exercises an actual drop: batch 2's rows are filtered against
+    max(batch-0 ts) − 37 min, which by then sits near the corpus tail —
+    most of batch 2 lands in closed windows and must be DROPPED, while
+    its tail-window rows must be ADMITTED; append mode then emits
+    exactly the windows the final watermark closes. The oracle
+    re-derives the whole contract in SQL — the batch-0 watermark, the
+    admitted row set, the final-watermark emission cut, at Spark's
+    millisecond watermark granularity (EventTimeStatsAccum floors event
+    times to ms) — so a late filter run against the wrong batch's
+    watermark, a drop/emit boundary off by one window, or a no-data
+    final flush that never ran all flip the hash. Scale: state is
+    O(open windows x types); dropped rows never touch state. 37 min
+    (not an hour divisor) keeps both watermarks strictly inside a
+    window, so the <=-vs-< boundaries can never be data-ambiguous."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    tag = _uuid.uuid4().hex[:12]
+    root = os.path.join(tempfile.gettempdir(), f"late_replay_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    feed = os.path.join(root, "feed")
+    _arrival_feed(
+        [
+            e.filter(F.col("event_id") % 3 == 0),
+            e.filter(F.col("event_id") % 3 == 1),
+            e.filter(F.col("event_id") % 3 == 2),
+        ],
+        feed,
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    name = f"late_data_replay_{tag}"
+    q = (
+        ev.tumbling_counts(stream, width="1 hour", delay="37 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+
+
+# The streaming contract re-derived in SQL, at Spark's ms watermark
+# granularity (epoch_ms == the EventTimeStatsAccum floor). Two-watermark
+# semantics (SPARK-42376, empirically pinned on this build):
+#   wm0 = max(batch-0 ts) − 37 min  -> the LATE-EVENTS filter batch 2
+#         faces (previous batch's watermark: batch 1's eviction value,
+#         computed from batch-0 stats); batches 0/1 face the epoch.
+#   rows admitted: all of batches 0 and 1, plus batch-2 rows whose
+#   WINDOW END is still after wm0 (a late row is dropped only when its
+#   window is already closed under wm0);
+#   wmf = max(all ts) − 37 min      -> append-mode emission cut: only
+#   windows with end <= wmf have been finalized when availableNow
+#   drains (dropped rows still advance the watermark — the stats node
+#   sits before the stateful operator).
+ORACLE_LATE_DATA_REPLAY = """
+WITH b0 AS (
+  SELECT * FROM events WHERE event_id % 3 = 0
+), wm0 AS (
+  SELECT epoch_ms(max(ts)) - 37*60*1000 AS wm FROM b0
+), wmf AS (
+  SELECT epoch_ms(max(ts)) - 37*60*1000 AS wm FROM events
+), admitted AS (
+  SELECT ts, event_type, value FROM events WHERE event_id % 3 IN (0, 1)
+  UNION ALL
+  SELECT e.ts, e.event_type, e.value
+  FROM events e, wm0
+  WHERE e.event_id % 3 = 2
+    AND epoch_ms(date_trunc('hour', e.ts) + INTERVAL 1 HOUR) > wm0.wm
+)
+SELECT date_trunc('hour', a.ts) AS window_start, a.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(a.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM admitted a, wmf
+WHERE epoch_ms(date_trunc('hour', a.ts) + INTERVAL 1 HOUR) <= wmf.wm
+GROUP BY 1, 2
+"""
+
+
+def q_running_user_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (applyInPandasWithState) graded
+    end-to-end (r12 VERDICT next-round #5: the one streaming operator
+    family with no graded row). The events table is replayed as two
+    deterministic micro-batches (even event_ids, then odd — so most
+    users' state is genuinely UPDATED across the batch boundary, not
+    created once) through ``running_user_stats`` (streaming/stateful.py)
+    with availableNow and UPDATE output into a memory sink; the graded
+    projection takes each user's LAST emission (max n_events — the
+    running count strictly increases, so it identifies the final state).
+    The oracle is one SQL groupBy over the full feed: per-user event
+    count, exact value sum, newest timestamp. State that leaked across
+    users, double-counted a batch, or failed to carry across micro-
+    batches flips the hash. ``value`` is fed as floor(value*100) — an
+    integer-valued double — so the running pandas sum is order-free
+    exact and bit-equal to the oracle's one-shot SUM (the
+    profile_stream_replay moments discipline). State store footprint is
+    O(distinct users) scalars — the 100 TB shape."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from sf_epa_data_ingestion_spark.streaming.stateful import running_user_stats
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    tag = _uuid.uuid4().hex[:12]
+    root = os.path.join(tempfile.gettempdir(), f"userstats_replay_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    feed = os.path.join(root, "feed")
+    _arrival_feed(
+        [
+            e.filter(F.col("event_id") % 2 == 0).drop("event_id"),
+            e.filter(F.col("event_id") % 2 == 1).drop("event_id"),
+        ],
+        feed,
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    name = f"running_user_stats_{tag}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "last_ts")
+    )
+
+
+ORACLE_RUNNING_USER_STATS = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(floor(value * 100)) AS DOUBLE) AS total_value,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (north star)
 # ---------------------------------------------------------------------------
@@ -1602,6 +1805,73 @@ ORACLE_TIME_TRAVEL = """
 SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM orders
 WHERE o_orderkey % 5 <> 0
+"""
+
+
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TxTable.changes()`` — the row-level change data feed — graded
+    DIRECTLY (r12 VERDICT next-round #2: the substrate under every graded
+    maintenance path — search_bm25_wand_tx_fresh's CDC refresh, the
+    vector maintainer, the monitors — was itself only pytest-pinned; a
+    row-attribution bug that happened to preserve index aggregates would
+    have slipped the net). Same fixture shape as ``time_travel``: append
+    (v1) -> CoW DELETE of keys %5==0 (v2) -> MERGE upserting even keys
+    (v3), then return ``changes(1, 3)``: every v1 row image must come
+    back tagged ``delete`` (all v1 files are rewritten in-window — every
+    hash-partitioned file of >=150 orders contains a %5 key, so the
+    delete touches all 8; validated at every graded SF on the frozen
+    testdata) and the final table state must come back tagged ``insert``
+    (files added in-window and still live; the delete's survivor
+    rewrites that the merge then replaced cancel out — Delta CDF's
+    net-change semantics, txlog.py:1407-1446). A feed that leaked a
+    cancelled intermediate file, attributed a surviving row to the wrong
+    side, or dropped a rewritten file's old images flips the hash.
+    Scale: the feed is file-action metadata + scans of exactly the
+    in-window files — never a table diff. Reference anchor: the
+    incremental discipline (epa_ingestion.py:454-456) whose scale-out
+    form IS the change feed."""
+    import shutil
+    import tempfile
+
+    from sf_epa_data_ingestion_spark.storage import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"txlog_cdf_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = TxTable(spark, os.path.join(root, "orders_cdf")).create_empty(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    tbl.append(o.repartition(8, "o_orderkey"))                       # v1
+    tbl.delete_where(F.col("o_orderkey") % 5 == 0)                   # v2
+    tbl.merge(                                                       # v3
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("T").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        ),
+        on=["o_orderkey"],
+    )
+    return tbl.changes(1, 3)
+
+
+# the row-level feed re-derived independently: deletes = every v1 row
+# image (the base append); inserts = the final table state (post-delete
+# survivors, even keys updated to status 'T' / price+1.0, and the
+# v2-deleted even keys re-inserted by the merge). A CDC consumer
+# replaying delete-then-insert against the v1 snapshot must land exactly
+# on v3 — which is precisely what this oracle states.
+ORACLE_CHANGE_FEED = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'T' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+       'insert' AS _change_type
+FROM orders
+WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 2 <> 0)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete' AS _change_type
+FROM orders
 """
 
 
@@ -2272,6 +2542,54 @@ WHERE {_HASH_UNIT_SQL.format(k="d.doc_id")} < r.rate
 """
 
 
+def q_hash_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 merge of the sample_hash + stratified_sample +
+    temperature_resample micro-rows (the ann_suite precedent — three
+    graded rows over the same documents table and the same
+    hash-to-unit-interval primitive become one window slot, freeing two
+    for the late_data_replay and running_user_stats_replay rows, r12
+    VERDICT next-round #4/#5). All three sampling surfaces still execute
+    end-to-end in the one graded row, tagged by ``method``: the flat
+    content-deterministic 20% sample, the per-language quota sample, and
+    the mC4 temperature rebalance. Each leg's plan is unchanged from its
+    standalone row — the union is the only addition. n_chars is cast to
+    double in both engines so the union's nulls never coerce pandas
+    dtypes engine-dependently. (train_val_test stays standalone: split
+    TAGGING is a different operator family from sampling.)"""
+    h = q_sample_hash(spark, sf_dir).select(
+        F.lit("hash").alias("method"),
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    s = q_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("double").alias("n_chars"),
+    )
+    t = q_temperature_resample(spark, sf_dir).select(
+        F.lit("temperature").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("double").alias("n_chars"),
+    )
+    return h.unionByName(s).unionByName(t)
+
+
+# each leg's oracle verbatim, method-tagged (the ann_suite recipe)
+ORACLE_HASH_SAMPLE_SUITE = f"""
+SELECT 'hash' AS method, doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars
+FROM ({ORACLE_SAMPLE_HASH})
+UNION ALL
+SELECT 'stratified' AS method, doc_id, lang, CAST(NULL AS DOUBLE) AS n_chars
+FROM ({ORACLE_STRATIFIED_SAMPLE})
+UNION ALL
+SELECT 'temperature' AS method, doc_id, lang, CAST(NULL AS DOUBLE) AS n_chars
+FROM ({ORACLE_TEMPERATURE_RESAMPLE})
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document boilerplate removal: drop every "line"
     occurring > 900 times corpus-wide from all documents, reassembling
@@ -2712,6 +3030,51 @@ WITH toks AS (
 )
 SELECT doc_id, score FROM hits
 QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 10
+"""
+
+
+def q_lexical_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 merge of the search_postings + search_lexical micro-rows
+    (the ann_suite precedent — two graded rows sharing one persisted
+    token-bucketed index fixture become one window slot, freeing one for
+    the change_feed row, r12 VERDICT next-round #2). Both operator
+    surfaces still execute end-to-end in the one graded row, tagged by
+    ``op``: the postings+stats index join (the index CONTENT check) and
+    the bucket-pruned TF-IDF top-k probe (the retrieval check). Each
+    leg's plan is unchanged from its standalone row — the union is the
+    only addition. tf/df are cast to double in both engines so the
+    union's nulls never coerce pandas dtypes engine-dependently."""
+    p = q_search_postings(spark, sf_dir).select(
+        F.lit("postings").alias("op"),
+        "token",
+        "doc_id",
+        F.col("tf").cast("double").alias("tf"),
+        F.col("df").cast("double").alias("df"),
+        "idf",
+        F.lit(None).cast("double").alias("score"),
+    )
+    lx = q_search_lexical(spark, sf_dir).select(
+        F.lit("lexical").alias("op"),
+        F.lit(None).cast("string").alias("token"),
+        "doc_id",
+        F.lit(None).cast("double").alias("tf"),
+        F.lit(None).cast("double").alias("df"),
+        F.lit(None).cast("double").alias("idf"),
+        "score",
+    )
+    return p.unionByName(lx)
+
+
+# each leg's oracle verbatim, op-tagged (the ann_suite recipe)
+ORACLE_LEXICAL_SUITE = f"""
+SELECT 'postings' AS op, token, doc_id, CAST(tf AS DOUBLE) AS tf,
+       CAST(df AS DOUBLE) AS df, idf, CAST(NULL AS DOUBLE) AS score
+FROM ({ORACLE_SEARCH_POSTINGS})
+UNION ALL
+SELECT 'lexical' AS op, CAST(NULL AS VARCHAR) AS token, doc_id,
+       CAST(NULL AS DOUBLE) AS tf, CAST(NULL AS DOUBLE) AS df,
+       CAST(NULL AS DOUBLE) AS idf, score
+FROM ({ORACLE_SEARCH_LEXICAL})
 """
 
 
@@ -4575,6 +4938,12 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_suite": q_ann_suite,
         "profile_stream_replay": q_profile_stream_replay,
         "time_travel": q_time_travel,
+    # r13 new graded rows (r12 VERDICT #2/#4/#5): the row-level change
+    # data feed, watermark late-data semantics from a real streaming
+    # replay, and applyInPandasWithState running state
+        "change_feed": q_change_feed,
+        "late_data_replay": q_late_data_replay,
+        "running_user_stats_replay": q_running_user_stats_replay,
         "minhash_lsh": q_minhash_lsh,
         "dup_spans": q_dup_spans,
     # multi_grouping is the r10 merge of grouping_sets + rollup_agg +
@@ -4620,8 +4989,9 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "approx_profile": q_approx_profile,
         "ann_ivfpq": q_ann_ivfpq,
-        "search_lexical": q_search_lexical,
-        "search_postings": q_search_postings,
+    # lexical_suite is the r13 merge of search_postings + search_lexical
+    # (both surfaces execute in the one graded row)
+        "lexical_suite": q_lexical_suite,
         "ann_pq": q_ann_pq,
         "quality_classifier": q_quality_classifier,
         "search_bm25": q_search_bm25,
@@ -4632,7 +5002,6 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "update_from_join": q_update_from_join,
         "delete_using": q_delete_using,
-        "sample_hash": q_sample_hash,
         "percentiles": q_percentiles,
         "heavy_hitters": q_heavy_hitters,
         "semi_join": q_semi_join,
@@ -4647,9 +5016,11 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_agg": q_window_agg,
         "session_windows": q_session_windows,
         "quality_score": q_quality_score,
-        "stratified_sample": q_stratified_sample,
+    # hash_sample_suite is the r13 merge of sample_hash +
+    # stratified_sample + temperature_resample (all three sampling
+    # surfaces execute in the one graded row)
+        "hash_sample_suite": q_hash_sample_suite,
         "priority_sample": q_priority_sample,
-        "temperature_resample": q_temperature_resample,
         "line_dedup": q_line_dedup,
         "train_val_test": q_train_val_test,
         "lang_id": q_lang_id,
@@ -4704,6 +5075,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_suite": ORACLE_ANN_SUITE,
         "profile_stream_replay": ORACLE_PROFILE_STREAM,
         "time_travel": ORACLE_TIME_TRAVEL,
+        "change_feed": ORACLE_CHANGE_FEED,
+        "late_data_replay": ORACLE_LATE_DATA_REPLAY,
+        "running_user_stats_replay": ORACLE_RUNNING_USER_STATS,
         "ann_pq": ORACLE_ANN_PQ,
         "ann_ivfpq": ORACLE_ANN_IVFPQ,
         "approx_profile": ORACLE_APPROX_PROFILE,
@@ -4711,16 +5085,14 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ORACLE_LANG_ID,
         "quality_score": ORACLE_QUALITY_SCORE,
         "token_count": ORACLE_TOKEN_COUNT,
-        "sample_hash": ORACLE_SAMPLE_HASH,
+        "hash_sample_suite": ORACLE_HASH_SAMPLE_SUITE,
         "train_val_test": ORACLE_TRAIN_VAL_TEST,
-        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "priority_sample": ORACLE_PRIORITY_SAMPLE,
-        "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
         "line_dedup": ORACLE_LINE_DEDUP,
         "column_profile": ORACLE_COLUMN_PROFILE,
         "percentiles": ORACLE_PERCENTILES,
         "heavy_hitters": ORACLE_HEAVY_HITTERS,
-        "search_postings": ORACLE_SEARCH_POSTINGS,
+        "lexical_suite": ORACLE_LEXICAL_SUITE,
         "search_hybrid_ann": ORACLE_SEARCH_HYBRID_ANN,
         # same oracles on purpose: one logical retrieval query, two
         # physical hosts (directory layout vs transactional snapshot) —
@@ -4733,7 +5105,6 @@ def oracle_sql() -> dict[str, str]:
         # the CDC-refresh row shares it too: an index brought to the
         # corpus BY the refresh must rank exactly like one built from it
         "search_bm25_wand_tx_fresh": ORACLE_SEARCH_BM25_WAND,
-        "search_lexical": ORACLE_SEARCH_LEXICAL,
         "search_bm25": ORACLE_SEARCH_BM25,
         "search_bm25_batch": ORACLE_SEARCH_BM25_BATCH,
         "search_hybrid_batch": ORACLE_SEARCH_HYBRID_BATCH,

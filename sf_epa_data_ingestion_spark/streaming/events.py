@@ -27,10 +27,14 @@ def with_watermark(events: DataFrame, ts_col: str = "ts", delay: str = "10 minut
     return events.withWatermark(ts_col, delay) if events.isStreaming else events
 
 
-def tumbling_counts(events: DataFrame, width: str = "1 hour", ts_col: str = "ts") -> DataFrame:
-    """Per-type counts/sums in tumbling event-time windows."""
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", ts_col: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """Per-type counts/sums in tumbling event-time windows. ``delay`` is
+    the watermark's late-data bound (streaming inputs only — batch
+    inputs pass through ``with_watermark`` unchanged)."""
     return (
-        with_watermark(events, ts_col)
+        with_watermark(events, ts_col, delay)
         .groupBy(F.window(ts_col, width).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
