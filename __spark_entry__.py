@@ -4367,6 +4367,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a registry row: bench-time decomposition probe (r12 VERDICT
+    next-round #3). dedup_clusters = PPJoin candidate generation (this
+    sub-plan — identical to the one feeding resolve_duplicates) + the
+    resolve stage. bench.py times this probe right next to the full row
+    so a driver-vs-builder discrepancy shows WHICH stage absorbed the
+    time (SCALE.md's r12-close decomposition said the floor is the
+    candidate join; this measures it under the same host conditions as
+    the flagged number instead of arguing from a quiet box)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, k=12, threshold=0.30).select("id_a", "id_b")
+
+
 ORACLE_DEDUP_CLUSTERS = r"""
 WITH RECURSIVE norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents

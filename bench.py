@@ -40,6 +40,7 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     noise: dict[str, dict] = {}
+    decomposition: dict | None = None
 
     # Per-query best-ever history (committed, min across past local runs
     # and driver rounds at sf0.1). A measurement far above a query's
@@ -68,10 +69,30 @@ def main() -> None:
     entrymod.q_window_dedup_latest(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    def time_once(fn) -> float:
+    def loadavg() -> float | None:
+        # 1-minute /proc/loadavg: the box shows bursty external CPU
+        # steal, and a flagged bench number without the host-load
+        # context has cost three rounds of driver-vs-builder argument
+        # over dedup_clusters (r12 VERDICT next-round #3) — record the
+        # evidence at measurement time instead.
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except (OSError, ValueError):
+            return None
+
+    run_loads: dict[str, list] = {}
+
+    def time_once(fn, track: str | None = None) -> float:
+        la0 = loadavg()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - t0
+        if track is not None:
+            run_loads.setdefault(track, []).append(
+                {"sec": round(elapsed, 3), "load_before": la0,
+                 "load_after": loadavg()}
+            )
         # Isolate queries: drop persisted intermediates (several operators
         # persist() shared subtrees) so every timing is against a cold
         # cache and the heap doesn't accumulate a suite's worth of blocks.
@@ -90,7 +111,7 @@ def main() -> None:
 
     for name, fn in qs.items():
         best = hist.get(name)
-        t = time_once(fn)
+        t = time_once(fn, track=name)
         all_runs = [t]
         # The box shows bursty external load (host-level CPU steal: the
         # same query measures 4s on a quiet machine and 40s during a
@@ -105,7 +126,7 @@ def main() -> None:
             # no history: re-run slow queries up to 3 total, stop when a
             # re-run stops improving >20%
             while t > 2.0 and runs < 3:
-                t2 = time_once(fn)
+                t2 = time_once(fn, track=name)
                 all_runs.append(t2)
                 runs += 1
                 improved = t2 < t * 0.8
@@ -126,7 +147,7 @@ def main() -> None:
             # shipped with zero re-runs. 1.3x catches that band; on a
             # quiet box it fires rarely and costs nothing.
             while t > max(0.3, 1.3 * best) and runs < (4 if t > 2.0 else 3):
-                t2 = time_once(fn)
+                t2 = time_once(fn, track=name)
                 all_runs.append(t2)
                 runs += 1
                 t = min(t, t2)
@@ -139,7 +160,29 @@ def main() -> None:
             # The flag reports evidence either way — it does not decide.
             noise[name] = {"runs": runs, "best_ever": best,
                            "ratio": round(t / best, 2),
-                           "stable": bool(runs > 1 and max(all_runs) <= min(all_runs) * 1.2)}
+                           "stable": bool(runs > 1 and max(all_runs) <= min(all_runs) * 1.2),
+                           "loadavg": run_loads.get(name, [])}
+        if name == "dedup_clusters":
+            # r12 VERDICT next-round #3: three rounds of driver-vs-
+            # builder discrepancy on this row (8.21 s driver min-of-4 vs
+            # 4.15 s builder quiet min-of-4 at one tree). Decompose it AT
+            # BENCH TIME, adjacent to the measurement it explains: the
+            # PPJoin candidate stage (the sub-plan SCALE.md's r12-close
+            # study named as the row's floor, shared with ngram_jaccard)
+            # timed separately, so the next flagged number shows whether
+            # the inflation sits in candidate generation or in resolve —
+            # and the per-run loadavg shows whether the host was quiet.
+            ps = time_once(
+                entrymod.q_dedup_clusters_pairs_stage,
+                track="dedup_clusters_pairs_stage",
+            )
+            decomposition = {
+                "full_s": timings[name],
+                "pairs_stage_s": round(ps, 3),
+                "resolve_derived_s": round(max(0.0, timings[name] - ps), 3),
+                "full_runs": run_loads.get(name, []),
+                "pairs_stage_runs": run_loads.get("dedup_clusters_pairs_stage", []),
+            }
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
     # Fold fresh minima back into the committed history so the noise
@@ -186,6 +229,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "noise_suspects": noise,
+        "dedup_clusters_decomposition": decomposition,
     }
     # The driver stores only the LAST 2000 chars of stdout, and the full
     # per-query map is ~3000 chars — round 4's headline total was lost to
