@@ -551,3 +551,129 @@ def test_commit_protocol_contract(spark, tmp_path, customers):
     assert len(seen) == 3  # every commit went through the conditional put
     with pytest.raises(ConcurrentCommitError):
         tc._publish(1, {"add": [], "remove": []}, "{}")
+
+
+def _condput_contention_worker(root: str, writer_id: int, n_commits: int,
+                               results_path: str, barrier_path: str) -> None:
+    """Subprocess body for the multi-process conditional-put race (module
+    level so multiprocessing can spawn it). Each worker publishes through
+    ``ConditionalPutCommit`` over a FILESYSTEM put-if-absent (os.link's
+    EEXIST is the shared-FS stand-in for S3's If-None-Match 412) and, on
+    losing a version number, retries cleanly at the next one — the
+    optimistic-concurrency loop an object-store deployment runs."""
+    import json
+    import os
+    import time
+
+    from sf_epa_data_ingestion_spark.storage.txlog import ConditionalPutCommit
+
+    def put_if_absent(path, payload):
+        d, base = os.path.split(path)
+        tmp = os.path.join(d, f".{base}.{os.getpid()}.cput.tmp")
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # atomic + exclusive on one FS namespace
+        finally:
+            os.unlink(tmp)
+
+    # start barrier: maximize overlap so version numbers genuinely race
+    while not os.path.exists(barrier_path):
+        time.sleep(0.001)
+
+    proto = ConditionalPutCommit(put_if_absent)
+    pad = "x" * 200_000  # big enough that a torn write would be visible
+    wins = []
+    v = 0
+    while len(wins) < n_commits:
+        path = os.path.join(root, f"{v:012d}.json")
+        payload = json.dumps(
+            {"writer": writer_id, "seq": len(wins), "v": v, "pad": pad}
+        )
+        try:
+            proto.publish(path, payload)
+            wins.append(v)
+        except FileExistsError:
+            pass  # lost this version: re-read the tip (v+1) and retry
+        v += 1
+    with open(results_path, "w") as f:
+        json.dump(wins, f)
+
+
+def test_conditional_put_commit_multiprocess_contention(tmp_path):
+    """r12 VERDICT next-round #7: the commit-protocol contract under REAL
+    multi-process contention (the in-process dict arbitration of
+    test_commit_protocol_contract can't see cross-process races). Four OS
+    processes race ``put_if_absent`` on one shared directory while a
+    concurrent scanner reads every visible commit; pins that (1) every
+    version number has exactly ONE winner, (2) losers retry cleanly and
+    all workers finish their quota, (3) the scanner never observes a torn
+    payload (every visible file parses and carries the full pad), and
+    (4) no tmp garbage survives the run."""
+    import glob
+    import multiprocessing as mp
+    import threading
+
+    root = tmp_path / "condput_race"
+    root.mkdir()
+    n_workers, n_commits = 4, 6
+    barrier = str(tmp_path / "go")
+
+    ctx = mp.get_context("fork")
+    procs, result_paths = [], []
+    for w in range(n_workers):
+        rp = str(tmp_path / f"wins_{w}.json")
+        result_paths.append(rp)
+        p = ctx.Process(
+            target=_condput_contention_worker,
+            args=(str(root), w, n_commits, rp, barrier),
+        )
+        p.start()
+        procs.append(p)
+
+    # concurrent scanner: list-and-parse everything visible, repeatedly,
+    # while the writers race — a torn or partially-visible commit fails
+    # here, not just at the end
+    torn: list[str] = []
+    stop = threading.Event()
+
+    def scan():
+        while not stop.is_set():
+            for f in glob.glob(str(root / "*.json")):
+                try:
+                    doc = json.loads(open(f).read())
+                    if len(doc.get("pad", "")) != 200_000:
+                        torn.append(f"short pad in {f}")
+                except (OSError, ValueError) as exc:
+                    torn.append(f"{f}: {exc}")
+
+    scanner = threading.Thread(target=scan, daemon=True)
+    scanner.start()
+    open(barrier, "w").close()  # drop the start barrier
+
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0, f"worker exit {p.exitcode}"
+    stop.set()
+    scanner.join(30)
+
+    assert not torn, torn[:5]
+
+    wins_by_writer = [json.load(open(rp)) for rp in result_paths]
+    assert all(len(w) == n_commits for w in wins_by_writer)
+    all_wins = sorted(v for w in wins_by_writer for v in w)
+    # exactly one winner per version: no double-award across processes
+    assert len(all_wins) == len(set(all_wins)) == n_workers * n_commits
+    # the files on disk are exactly the winners' versions, each naming
+    # the writer that claims it
+    files = sorted(glob.glob(str(root / "*.json")))
+    assert len(files) == n_workers * n_commits
+    for f in files:
+        doc = json.loads(open(f).read())
+        v = int(os.path.basename(f)[: -len(".json")])
+        assert doc["v"] == v
+        assert v in wins_by_writer[doc["writer"]]
+    # no tmp orphans: every publish cleaned up, winner or loser
+    assert not glob.glob(str(root / ".*tmp"))
