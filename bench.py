@@ -237,9 +237,16 @@ def main() -> None:
     # document to BENCH_LOCAL.json, print it for human runs, then print a
     # compact summary (headline fields + the 5 slowest queries) as the
     # FINAL stdout line so the driver's tail always parses.
+    # the canonical sf0.1 run owns BENCH_LOCAL.json; other scales (the
+    # sf1 sweep) write their own artifact instead of clobbering it
+    if sf == 0.1:
+        out_name = "BENCH_LOCAL.json"
+    else:
+        tag = f"{int(sf)}" if sf == int(sf) else f"{sf:g}".replace(".", "_")
+        out_name = f"BENCH_SF{tag}_LOCAL.json"
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as f:
+                               out_name), "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass

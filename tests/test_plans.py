@@ -93,7 +93,14 @@ def test_line_dedup_is_aggregate_not_window(spark):
 
 
 def test_temperature_resample_broadcasts_rates(spark):
-    p = plan_of(spark, "temperature_resample")
+    # the r13 hash_sample_suite merge carries the temperature leg; pin
+    # the leg's own plan (the union adds nothing to the join strategy)
+    import io as _io, contextlib as _contextlib
+    df = entry.q_temperature_resample(spark, SF)
+    buf = _io.StringIO()
+    with _contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     # the per-group rate table joins back via broadcast: the corpus itself
     # is never shuffled (scan -> broadcast-join -> filter)
     assert "BroadcastHashJoin" in p

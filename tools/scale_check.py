@@ -29,8 +29,9 @@ HEAVY = [
     "sample_to_budget", "search_bm25", "embedding_near_dup", "fingerprint",
     "quality_classifier", "ann_pq",
     # r7: the rest of the search family (index materialized per query,
-    # like the graded queries do)
-    "search_postings", "search_lexical", "search_hybrid", "ann_ivfpq",
+    # like the graded queries do); r13: postings+lexical merged into
+    # lexical_suite
+    "lexical_suite", "search_hybrid", "ann_ivfpq",
     # r7 batch retrieval + shard writer
     "search_bm25_batch", "search_hybrid_batch", "train_shards",
     # r8: WAND-pruned batch BM25 + true-hybrid (both served from the
