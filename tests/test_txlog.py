@@ -677,3 +677,29 @@ def test_conditional_put_commit_multiprocess_contention(tmp_path):
         assert v in wins_by_writer[doc["writer"]]
     # no tmp orphans: every publish cleaned up, winner or loser
     assert not glob.glob(str(root / ".*tmp"))
+
+
+def test_vacuum_sweeps_stale_publish_tmp_orphans(spark, tmp_path, customers):
+    """r12 ADVICE: a writer that crashes between the commit-tmp write and
+    the finally-unlink leaves a dot-prefixed tmp in the log dir —
+    invisible to versions() (dotfiles skipped), but garbage forever
+    before the sweep. vacuum must reclaim ones older than the retention
+    window and keep fresh ones (a possibly-in-flight publisher)."""
+    t = TxTable(spark, str(tmp_path / "sweep"))
+    t.create(customers.limit(5))
+
+    stale = os.path.join(t.log_dir, ".000000000042.json.999.dead.tmp")
+    fresh = os.path.join(t.log_dir, ".000000000043.json.998.live.tmp")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = __import__("time").time() - 7200
+    os.utime(stale, (old, old))
+
+    v0 = t.versions()
+    removed = t.vacuum(keep_versions=1, retention_seconds=3600)
+    assert any(f.endswith(".dead.tmp") for f in removed)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # inside the retention window
+    assert t.versions() == v0  # the log itself untouched
+    assert t.read().count() == 5
