@@ -1166,6 +1166,92 @@ GROUP BY user_id
 """
 
 
+def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (dropDuplicatesWithinWatermark —
+    streaming/dedup.dedup_stream) graded end-to-end: the last streaming
+    operator family with no graded row after r13's late_data_replay /
+    running_user_stats_replay. The feed is three availableNow
+    micro-batches: batch 0 carries ONE row per content digest (the
+    keep-lowest-doc_id representative, so the emitted row is
+    deterministic — within-batch representative choice is the one thing
+    the operator leaves arbitrary), batches 1 and 2 replay a planted
+    duplicate copy of every doc_id%7==0 document under shifted ids
+    (+1M, +2M — the training_ingest_replay planting convention). Every
+    planted digest already has cross-batch STATE, so batches 1 and 2
+    must be dropped ENTIRELY; synthetic event times span 10 min under a
+    2 h horizon, so no row is ever late and no state is evicted
+    mid-replay — what is graded is exactly the cross-batch dedup state.
+    The oracle is the batch exact-dedup derivation (keep min doc_id per
+    md5-of-normalized-text digest) — pinning the module's contract that
+    a batch backfill and the live stream dedupe IDENTICALLY
+    (streaming/dedup.py docstring). A digest mismatch vs the batch
+    operator, a state miss re-emitting a planted copy, or an eviction
+    firing inside the horizon all flip the hash. Scale: state is
+    O(arrival rate x horizon) per executor, never corpus-sized."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from sf_epa_data_ingestion_spark.streaming import dedup as sdedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = sdedup.with_content_key(docs)
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    ts = F.timestamp_micros(
+        F.lit(base_us) + F.pmod(F.col("doc_id"), F.lit(600)) * F.lit(1_000_000)
+    )
+    uniq = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", ts.alias("ts"), "text")
+    )
+    sub = uniq.filter(F.col("doc_id") % 7 == 0)
+    tag = _uuid.uuid4().hex[:12]
+    root = os.path.join(tempfile.gettempdir(), f"dedup_stream_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    feed = os.path.join(root, "feed")
+    _arrival_feed(
+        [
+            uniq,
+            sub.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)),
+            sub.withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000)),
+        ],
+        feed,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    name = f"dedup_stream_{tag}"
+    q = (
+        sdedup.dedup_stream(stream, ts_col="ts", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select("doc_id", "text_hash")
+
+
+# the batch exact-dedup derivation: one keeper per digest, lowest id —
+# the planted +1M/+2M copies must appear NOWHERE (cross-batch state
+# dropped them), and the kept row per digest is batch 0's
+# keep-lowest representative.
+ORACLE_DEDUP_STREAM_REPLAY = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, text_hash FROM keyed GROUP BY text_hash
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (north star)
 # ---------------------------------------------------------------------------
@@ -3508,6 +3594,47 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) <=
 """
 
 
+def q_batch_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 merge of the search_bm25_batch + search_hybrid_batch
+    micro-rows (the ann_suite precedent — the two batch-retrieval
+    surfaces share the queries-as-a-DataFrame shape; one window slot
+    freed for the dedup_stream_replay row). Both surfaces still execute
+    end-to-end in the one graded row, tagged by ``op``: WAND-free batch
+    BM25 over BATCH_QUERIES and the alpha-blended hybrid batch over
+    HYBRID_BATCH_QUERIES (attribute-filtered, broadcast query vectors).
+    Each leg's plan is unchanged from its standalone row — the union is
+    the only addition (lex/sem legs null-padded as DOUBLE on both
+    engines, the lexical_suite dtype discipline)."""
+    b = q_search_bm25_batch(spark, sf_dir).select(
+        F.lit("bm25").alias("op"),
+        "query_id",
+        "doc_id",
+        F.lit(None).cast("double").alias("lex_score"),
+        F.lit(None).cast("double").alias("sem_score"),
+        "score",
+    )
+    h = q_search_hybrid_batch(spark, sf_dir).select(
+        F.lit("hybrid").alias("op"),
+        "query_id",
+        F.col("id").alias("doc_id"),
+        "lex_score",
+        "sem_score",
+        "score",
+    )
+    return b.unionByName(h)
+
+
+# each leg's oracle verbatim, op-tagged (the ann_suite recipe)
+ORACLE_BATCH_SEARCH_SUITE = f"""
+SELECT 'bm25' AS op, query_id, doc_id, CAST(NULL AS DOUBLE) AS lex_score,
+       CAST(NULL AS DOUBLE) AS sem_score, score
+FROM ({ORACLE_SEARCH_BM25_BATCH})
+UNION ALL
+SELECT 'hybrid' AS op, query_id, id AS doc_id, lex_score, sem_score, score
+FROM ({ORACLE_SEARCH_HYBRID_BATCH})
+"""
+
+
 def q_search_hybrid_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 TRUE hybrid retrieval (r8): lexical candidates UNION IVF-PQ
     semantic candidates, reciprocal-rank fused. ``search_hybrid`` builds
@@ -4957,6 +5084,7 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_feed": q_change_feed,
         "late_data_replay": q_late_data_replay,
         "running_user_stats_replay": q_running_user_stats_replay,
+        "dedup_stream_replay": q_dedup_stream_replay,
         "minhash_lsh": q_minhash_lsh,
         "dup_spans": q_dup_spans,
     # multi_grouping is the r10 merge of grouping_sets + rollup_agg +
@@ -5045,8 +5173,9 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "chunk_documents": q_chunk_documents,
         "anti_join": q_anti_join,
-        "search_bm25_batch": q_search_bm25_batch,
-        "search_hybrid_batch": q_search_hybrid_batch,
+    # batch_search_suite is the r13 merge of search_bm25_batch +
+    # search_hybrid_batch (both batch-retrieval surfaces execute)
+        "batch_search_suite": q_batch_search_suite,
         "train_shards": q_train_shards,
         "semdedup_stream_replay": q_semdedup_stream_replay,
     }
@@ -5119,8 +5248,8 @@ def oracle_sql() -> dict[str, str]:
         # corpus BY the refresh must rank exactly like one built from it
         "search_bm25_wand_tx_fresh": ORACLE_SEARCH_BM25_WAND,
         "search_bm25": ORACLE_SEARCH_BM25,
-        "search_bm25_batch": ORACLE_SEARCH_BM25_BATCH,
-        "search_hybrid_batch": ORACLE_SEARCH_HYBRID_BATCH,
+        "batch_search_suite": ORACLE_BATCH_SEARCH_SUITE,
+        "dedup_stream_replay": ORACLE_DEDUP_STREAM_REPLAY,
         "train_shards": ORACLE_TRAIN_SHARDS,
         "search_hybrid": ORACLE_SEARCH_HYBRID,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

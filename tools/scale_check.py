@@ -32,8 +32,8 @@ HEAVY = [
     # like the graded queries do); r13: postings+lexical merged into
     # lexical_suite
     "lexical_suite", "search_hybrid", "ann_ivfpq",
-    # r7 batch retrieval + shard writer
-    "search_bm25_batch", "search_hybrid_batch", "train_shards",
+    # r7 batch retrieval (r13: merged into batch_search_suite) + shard writer
+    "batch_search_suite", "train_shards",
     # r8: WAND-pruned batch BM25 + true-hybrid (both served from the
     # persisted indexes; first run per corpus pays the one-time build)
     "search_bm25_wand", "search_hybrid_ann",
