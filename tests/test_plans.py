@@ -18,12 +18,15 @@ import __spark_entry__ as entry
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(spark, name: str) -> str:
-    df = entry.queries()[name](spark, SF)
+def plan_of_df(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def plan_of(spark, name: str) -> str:
+    return plan_of_df(entry.queries()[name](spark, SF))
 
 
 def test_filter_pushdown_and_pruning(spark):
@@ -95,12 +98,7 @@ def test_line_dedup_is_aggregate_not_window(spark):
 def test_temperature_resample_broadcasts_rates(spark):
     # the r13 hash_sample_suite merge carries the temperature leg; pin
     # the leg's own plan (the union adds nothing to the join strategy)
-    import io as _io, contextlib as _contextlib
-    df = entry.q_temperature_resample(spark, SF)
-    buf = _io.StringIO()
-    with _contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    p = buf.getvalue()
+    p = plan_of_df(entry.q_temperature_resample(spark, SF))
     # the per-group rate table joins back via broadcast: the corpus itself
     # is never shuffled (scan -> broadcast-join -> filter)
     assert "BroadcastHashJoin" in p
@@ -218,7 +216,9 @@ def test_ivfpq_probe_is_equijoin_no_cartesian(spark):
 
 
 def test_bm25_batch_broadcasts_query_terms(spark):
-    p = plan_of(spark, "search_bm25_batch")
+    # the r13 batch_search_suite merge carries the bm25-batch leg; pin
+    # the leg's own plan (the union adds nothing to the join strategy)
+    p = plan_of_df(entry.q_search_bm25_batch(spark, SF))
     # term pruning is a broadcast join of the distinct (query, token) set
     # onto the postings — the join IS the pushdown when terms are data;
     # corpus-sized sides never cartesian
