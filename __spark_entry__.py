@@ -963,6 +963,32 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Scoped shuffle-partition override for the streaming replays. The
+    replay feeds are 1-3 small files, and a stateful query's state-store
+    parallelism is pinned into the checkpoint from the FIRST micro-batch's
+    plan — at the session default (32 locally, 200 on a vanilla driver
+    session) every micro-batch pays that many state checkpoints of pure
+    overhead for fixture-sized state (measured: late_data_replay 3.06 ->
+    2.35 s, dedup_stream_replay 3.04 -> 2.07 s min-of-3 quiet at sf0.1).
+    Hold the override through awaitTermination (restoring right after
+    start() could race the first batch's planning); values are unchanged
+    — only state/shuffle fan-out. At production scale the session default
+    is correct — this is a replay-fixture knob, not an engine default."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return scope()
+
+
 def _arrival_feed(batches, feed_dir: str) -> None:
     """Write each DataFrame as ONE parquet file under ``feed_dir`` with
     strictly increasing mtimes, so a ``maxFilesPerTrigger=1`` readStream
@@ -1039,16 +1065,17 @@ def q_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(feed)
     )
     name = f"late_data_replay_{tag}"
-    q = (
-        ev.tumbling_counts(stream, width="1 hour", delay="37 minutes")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    with _replay_shuffle_partitions(spark):
+        q = (
+            ev.tumbling_counts(stream, width="1 hour", delay="37 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     return spark.table(name).select(
         "window_start", "event_type", "n_events", "sum_value"
     )
@@ -1138,16 +1165,17 @@ def q_running_user_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(feed)
     )
     name = f"running_user_stats_{tag}"
-    q = (
-        running_user_stats(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    with _replay_shuffle_partitions(spark):
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(name)
@@ -1225,16 +1253,17 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(feed)
     )
     name = f"dedup_stream_{tag}"
-    q = (
-        sdedup.dedup_stream(stream, ts_col="ts", watermark="2 hours")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    with _replay_shuffle_partitions(spark):
+        q = (
+            sdedup.dedup_stream(stream, ts_col="ts", watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     return spark.table(name).select("doc_id", "text_hash")
 
 
