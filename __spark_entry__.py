@@ -1010,6 +1010,28 @@ def _arrival_feed(batches, feed_dir: str) -> None:
             os.utime(p, (base + 10.0 * i, base + 10.0 * i))
 
 
+def _replay_workspace(spark: SparkSession, tag: str) -> tuple[str, str]:
+    """Per-process workspace for a memory-sink streaming replay: a
+    pid-STABLE temp root (wiped on entry, so bench re-runs overwrite one
+    copy instead of leaking a feed dir + checkpoint per call — r13
+    ADVICE) and a fresh memory-sink query name. The sink name must be
+    unique per call (the returned DataFrame reads the sink view lazily,
+    and a re-run in the same session cannot reuse a registered name),
+    so prior runs' sink views under the same tag are dropped here —
+    the one per-call artifact self-cleans too."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    root = os.path.join(tempfile.gettempdir(), f"{tag}_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    prefix = f"{tag}_sink_"
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith(prefix):
+            spark.catalog.dropTempView(t.name)
+    return root, f"{prefix}{_uuid.uuid4().hex[:12]}"
+
+
 def q_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark LATE-DATA semantics graded from a REAL Structured
     Streaming replay (r12 VERDICT next-round #4: ``window_agg`` grades
@@ -1040,14 +1062,8 @@ def q_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(open windows x types); dropped rows never touch state. 37 min
     (not an hour divisor) keeps both watermarks strictly inside a
     window, so the <=-vs-< boundaries can never be data-ambiguous."""
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
     e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    tag = _uuid.uuid4().hex[:12]
-    root = os.path.join(tempfile.gettempdir(), f"late_replay_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root, name = _replay_workspace(spark, "late_replay")
     feed = os.path.join(root, "feed")
     _arrival_feed(
         [
@@ -1064,7 +1080,6 @@ def q_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    name = f"late_data_replay_{tag}"
     with _replay_shuffle_partitions(spark):
         q = (
             ev.tumbling_counts(stream, width="1 hour", delay="37 minutes")
@@ -1136,10 +1151,6 @@ def q_running_user_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact and bit-equal to the oracle's one-shot SUM (the
     profile_stream_replay moments discipline). State store footprint is
     O(distinct users) scalars — the 100 TB shape."""
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
     from sf_epa_data_ingestion_spark.streaming.stateful import running_user_stats
 
     e = _t(spark, sf_dir, "events").select(
@@ -1148,9 +1159,7 @@ def q_running_user_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 100).cast("double").alias("value"),
     )
-    tag = _uuid.uuid4().hex[:12]
-    root = os.path.join(tempfile.gettempdir(), f"userstats_replay_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root, name = _replay_workspace(spark, "userstats_replay")
     feed = os.path.join(root, "feed")
     _arrival_feed(
         [
@@ -1164,7 +1173,6 @@ def q_running_user_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    name = f"running_user_stats_{tag}"
     with _replay_shuffle_partitions(spark):
         q = (
             running_user_stats(stream)
@@ -1216,10 +1224,6 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, a state miss re-emitting a planted copy, or an eviction
     firing inside the horizon all flip the hash. Scale: state is
     O(arrival rate x horizon) per executor, never corpus-sized."""
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
     from sf_epa_data_ingestion_spark.streaming import dedup as sdedup
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1235,9 +1239,7 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", ts.alias("ts"), "text")
     )
     sub = uniq.filter(F.col("doc_id") % 7 == 0)
-    tag = _uuid.uuid4().hex[:12]
-    root = os.path.join(tempfile.gettempdir(), f"dedup_stream_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root, name = _replay_workspace(spark, "dedup_stream")
     feed = os.path.join(root, "feed")
     _arrival_feed(
         [
@@ -1252,7 +1254,6 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    name = f"dedup_stream_{tag}"
     with _replay_shuffle_partitions(spark):
         q = (
             sdedup.dedup_stream(stream, ts_col="ts", watermark="2 hours")
@@ -1967,6 +1968,22 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
         ),
         on=["o_orderkey"],
+    )
+    # The oracle below states deletes = all v1 row images and inserts =
+    # the final state, which is only the feed's output if v2 rewrote
+    # EVERY v1 file and v3 rewrote EVERY v2 survivor (each hash
+    # partition must hold both a %5 key and an even key). True on the
+    # frozen testdata at every graded SF — but assert it at runtime so
+    # a fixture or repartition-count drift fails LOUDLY here instead of
+    # silently flipping the graded hash (r13 ADVICE).
+    c1, c2, c3 = (tbl._read_commit(v) for v in (1, 2, 3))
+    assert set(c2["remove"]) == set(c1["add"]), (
+        "change_feed oracle precondition broken: v2 delete did not "
+        "rewrite every v1 file"
+    )
+    assert set(c3["remove"]) == set(c2["add"]), (
+        "change_feed oracle precondition broken: v3 merge did not "
+        "rewrite every v2 survivor file"
     )
     return tbl.changes(1, 3)
 

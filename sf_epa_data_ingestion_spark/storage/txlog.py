@@ -431,7 +431,12 @@ class TxTable:
         prefix can never change). Keeps the per-append metadata cost of
         the constraint + bloom checks O(new commits), not O(log)."""
         vs = self.versions()
-        tip = vs[-1] if vs else 0
+        # empty-log sentinel is -1, not 0: caching (0, {}) before any
+        # commit exists would collide with a real v0 tip once the CREATE
+        # commit lands, returning the stale empty map without ever
+        # scanning v0 — the exact maps-in-CREATE-commit path the -1
+        # cursor below protects (r13 ADVICE).
+        tip = vs[-1] if vs else -1
         cached = self._map_cache.get(key)
         if cached is not None and cached[0] == tip:
             return cached[1]

@@ -703,3 +703,24 @@ def test_vacuum_sweeps_stale_publish_tmp_orphans(spark, tmp_path, customers):
     assert os.path.exists(fresh)  # inside the retention window
     assert t.versions() == v0  # the log itself untouched
     assert t.read().count() == 5
+
+
+def test_latest_map_sees_maps_in_create_commit_after_empty_probe(
+        spark, tmp_path, customers):
+    """r13 ADVICE: probing _latest_map on an EMPTY log must not cache an
+    entry whose tip collides with a real v0 — an empty-log probe followed
+    by a CREATE commit carrying a constraints map has to surface that map
+    (tip sentinel -1, not 0)."""
+    t = TxTable(spark, str(tmp_path / "v0maps"))
+    assert t.constraints() == {}  # empty-log probe warms the cache
+
+    # a CREATE commit that carries the map directly (the scenario the
+    # -1 cursor exists for)
+    os.makedirs(t.root, exist_ok=True)
+    t._publish(
+        0,
+        {"add": [], "remove": [], "stats": {},
+         "constraints": {"pk": "c_custkey IS NOT NULL"}},
+        customers.schema.json(), op="CREATE",
+    )
+    assert t.constraints() == {"pk": "c_custkey IS NOT NULL"}
