@@ -3282,18 +3282,25 @@ def q_search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning is a broadcast join against the distinct (query, token) set
     (the join IS the pushdown when terms are data); one window ranks all
     queries. Single-query parity with bm25_search pinned in
-    tests/test_search_ops.py."""
-    d = _t(spark, sf_dir, "documents")
-    n = d.count()
-    postings = search.build_postings(d, id_col="doc_id", text_col="text").persist()
-    stats = search.build_token_stats(postings, n_docs=n)
-    # doc lengths come from the PERSISTED postings (the fallback path):
-    # a live doc_lengths subplan re-tokenizes the corpus once per
-    # consumer (doclen + avgdl) — measured 7.4s vs 1.1s at sf1. The
-    # doclens= parameter is for a MATERIALIZED index-side table.
+    tests/test_search_ops.py.
+
+    r14 (r13 VERDICT next-round #1): served from the PERSISTED
+    token-bucketed index like every scalar retrieval row — this was the
+    last lexical leg paying a live build_postings + corpus count per
+    query, the wrong serving shape for the batch-eval path MOST likely
+    to run repeatedly at 100 TB. The batch terms are literal constants,
+    so the probe bucket-prunes driver-side (prune_postings_probe) on
+    top of the broadcast (query, token) join; doclens/avgdl come from
+    the materialized doclens table (scoring-identical — the index is
+    built by the same build_postings plan; oracle unchanged)."""
+    root = _search_index_dir(spark, sf_dir)
+    postings, stats, doclens, n_docs, nb = search.load_search_index(spark, root)
+    pruned = search.prune_postings_probe(
+        postings, _probe_terms(*[t for _, t in BATCH_QUERIES]), nb
+    )
     qdf = spark.createDataFrame(BATCH_QUERIES, "query_id long, query_text string")
     return search.bm25_search_many(
-        postings, stats, qdf, n_docs=n, k=10
+        pruned, stats, qdf, n_docs=n_docs, doclens=doclens, k=10
     ).select("query_id", F.col("id").alias("doc_id"), "score")
 
 
@@ -3569,19 +3576,25 @@ def q_search_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector) rows ranked in one plan — broadcast term-set pruning for the
     lexical pool, broadcast query vectors for the semantic blend, one
     window pair for candidates + final ranks. Single-query parity with
-    hybrid_search pinned in tests/test_search_ops.py."""
-    d = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    docs = d.join(emb, d["doc_id"] == emb["vec_id"], "inner").select(
-        F.col("doc_id").alias("id"), "text", "lang", "embedding"
+    hybrid_search pinned in tests/test_search_ops.py.
+
+    r14 (r13 VERDICT next-round #1): the lexical leg reads the
+    PERSISTED joined-corpus index (df/idf are corpus-relative, so the
+    joined layout, not the whole-documents one — the q_search_hybrid
+    precedent verbatim) with a driver-side bucket-pruned probe over the
+    batch's literal terms, instead of a live build_postings + corpus
+    count per run. Scoring-identical, oracle unchanged."""
+    docs = _joined_docs(spark, sf_dir)
+    root = _joined_search_index_dir(spark, sf_dir)
+    postings, stats, _dl, _n, nb = search.load_search_index(spark, root)
+    pruned = search.prune_postings_probe(
+        postings, _probe_terms(*[t for _, t, _ in HYBRID_BATCH_QUERIES]), nb
     )
-    postings = search.build_postings(docs, id_col="id", text_col="text").persist()
-    stats = search.build_token_stats(postings, n_docs=docs.count())
     qdf = spark.createDataFrame(
         HYBRID_BATCH_QUERIES, "query_id long, query_text string, query_vec array<double>"
     )
     return search.hybrid_search_many(
-        docs, postings, stats, qdf, attr_filters={"lang": "en"}, k=10
+        docs, pruned, stats, qdf, attr_filters={"lang": "en"}, k=10
     ).select("query_id", "id", "lex_score", "sem_score", "score")
 
 
