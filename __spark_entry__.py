@@ -963,19 +963,36 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
-def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
-    """Scoped shuffle-partition override for the streaming replays. The
-    replay feeds are 1-3 small files, and a stateful query's state-store
-    parallelism is pinned into the checkpoint from the FIRST micro-batch's
-    plan — at the session default (32 locally, 200 on a vanilla driver
-    session) every micro-batch pays that many state checkpoints of pure
-    overhead for fixture-sized state (measured: late_data_replay 3.06 ->
-    2.35 s, dedup_stream_replay 3.04 -> 2.07 s min-of-3 quiet at sf0.1).
-    Hold the override through awaitTermination (restoring right after
-    start() could race the first batch's planning); values are unchanged
-    — only state/shuffle fan-out. At production scale the session default
-    is correct — this is a replay-fixture knob, not an engine default."""
+def _replay_shuffle_partitions(spark: SparkSession, feed_dir: str | None = None):
+    """Scoped shuffle-partition override for the streaming replays,
+    SCALE-AWARE since r14 (r13 VERDICT next-round #2). A stateful
+    query's state-store parallelism is pinned into the checkpoint from
+    the FIRST micro-batch's plan — at the session default (32 locally,
+    200 on a vanilla driver session) every micro-batch pays that many
+    state checkpoints of pure overhead for fixture-sized state
+    (measured: late_data_replay 3.06 -> 2.35 s, dedup_stream_replay
+    3.04 -> 2.07 s min-of-3 quiet at sf0.1) — but a FIXED pin of 8 was
+    the sf1 close sweep's worst derivative (running_user_stats_replay
+    5.14x: 10x distinct users squeezed through 8 state partitions). So
+    the pin is derived from the feed already written to disk: small
+    feeds (<= 4 MB — everything up to sf0.1) keep 8; larger feeds take
+    the session's default parallelism, the production posture. Disk
+    bytes, not a row count: the feed files exist by the time this is
+    entered, so sizing costs a stat() walk, never a Spark job. Hold the
+    override through awaitTermination (restoring right after start()
+    could race the first batch's planning); values are unchanged at
+    every scale — only state/shuffle fan-out."""
     import contextlib
+    import glob as _glob
+
+    n = 8
+    if feed_dir is not None:
+        feed_bytes = sum(
+            os.path.getsize(p)
+            for p in _glob.glob(os.path.join(feed_dir, "*.parquet"))
+        )
+        if feed_bytes > 4 * 1024 * 1024:
+            n = spark.sparkContext.defaultParallelism
 
     @contextlib.contextmanager
     def scope():
@@ -1080,7 +1097,7 @@ def q_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    with _replay_shuffle_partitions(spark):
+    with _replay_shuffle_partitions(spark, feed):
         q = (
             ev.tumbling_counts(stream, width="1 hour", delay="37 minutes")
             .writeStream.format("memory")
@@ -1173,7 +1190,7 @@ def q_running_user_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    with _replay_shuffle_partitions(spark):
+    with _replay_shuffle_partitions(spark, feed):
         q = (
             running_user_stats(stream)
             .writeStream.format("memory")
@@ -1254,7 +1271,7 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    with _replay_shuffle_partitions(spark):
+    with _replay_shuffle_partitions(spark, feed):
         q = (
             sdedup.dedup_stream(stream, ts_col="ts", watermark="2 hours")
             .writeStream.format("memory")
