@@ -31,9 +31,43 @@ import __spark_entry__ as entrymod  # noqa: E402
 from sf_epa_data_ingestion_spark.session import get_spark  # noqa: E402
 
 
+def _loadavg1() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    # Quiet-box gate (r13 VERDICT next-round #4): two same-tree sf1 runs
+    # moved 198->222 s purely on host load, and adjudicating that cost a
+    # round of driver-vs-builder argument. The artifact now RECORDS a
+    # start-of-suite loadavg verdict against a bound; a close-of-round
+    # run sets SPARK_GRAFT_REQUIRE_QUIET=1 and the bench REFUSES to
+    # produce a committable artifact on a busy box — up front, before
+    # burning a suite's worth of wall-clock. The gate samples BEFORE any
+    # Spark work starts: loadavg measured mid-suite is dominated by the
+    # bench's own 32 threads and says nothing about external steal.
+    load_bound = float(os.environ.get("SPARK_GRAFT_LOAD_BOUND", "4.0"))
+    la_start = _loadavg1()
+    quiet = la_start is not None and la_start <= load_bound
+    if os.environ.get("SPARK_GRAFT_REQUIRE_QUIET") == "1" and not quiet:
+        print(
+            json.dumps(
+                {
+                    "error": "box not quiet for a close-of-round artifact",
+                    "loadavg_start": la_start,
+                    "bound": load_bound,
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(2)
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -69,17 +103,12 @@ def main() -> None:
     entrymod.q_window_dedup_latest(spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    def loadavg() -> float | None:
-        # 1-minute /proc/loadavg: the box shows bursty external CPU
-        # steal, and a flagged bench number without the host-load
-        # context has cost three rounds of driver-vs-builder argument
-        # over dedup_clusters (r12 VERDICT next-round #3) — record the
-        # evidence at measurement time instead.
-        try:
-            with open("/proc/loadavg") as f:
-                return float(f.read().split()[0])
-        except (OSError, ValueError):
-            return None
+    # 1-minute /proc/loadavg per run: the box shows bursty external CPU
+    # steal, and a flagged bench number without the host-load context
+    # has cost three rounds of driver-vs-builder argument over
+    # dedup_clusters (r12 VERDICT next-round #3) — record the evidence
+    # at measurement time instead.
+    loadavg = _loadavg1
 
     run_loads: dict[str, list] = {}
 
@@ -230,6 +259,12 @@ def main() -> None:
         "sf": sf,
         "noise_suspects": noise,
         "dedup_clusters_decomposition": decomposition,
+        "quiet_box": {
+            "loadavg_start": la_start,
+            "bound": load_bound,
+            "quiet": quiet,
+            "gated": os.environ.get("SPARK_GRAFT_REQUIRE_QUIET") == "1",
+        },
     }
     # The driver stores only the LAST 2000 chars of stdout, and the full
     # per-query map is ~3000 chars — round 4's headline total was lost to

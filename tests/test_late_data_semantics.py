@@ -126,3 +126,30 @@ def test_third_batch_faces_batch_zero_watermark(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert dropped == 1
+    # Pin the ACTUAL watermark values the engine reports (r13 VERDICT
+    # next-round #6): progress for batch N carries the watermark in
+    # effect DURING it, computed from batches < N. So batch 1's
+    # reported value is exactly the graded oracle's wm0 — the
+    # late-filter value batch 2 faces under SPARK-42376's
+    # previous-batch rule (max batch-0 ts − 37 min = 09:23) — and the
+    # last progress carries wmf, the append-mode emission cut
+    # (max all ts − 37 min = 11:23). If a Spark upgrade changes
+    # watermark propagation, these name the semantic that moved instead
+    # of a bare oracle-hash mismatch in the driver gate.
+    wms = {
+        p["batchId"]: p.get("eventTime", {}).get("watermark")
+        for p in q.recentProgress
+    }
+    assert wms.get(1) == "2024-01-01T09:23:00.000Z", (
+        f"batch-1 watermark moved (got {wms.get(1)}): the late filter "
+        "batch 2 faces is no longer the previous batch's watermark "
+        "derived from batch-0 stats — the graded late_data_replay "
+        "oracle's wm0 derivation no longer matches this Spark build"
+    )
+    assert q.lastProgress["eventTime"]["watermark"] == (
+        "2024-01-01T11:23:00.000Z"
+    ), (
+        "final watermark moved: the oracle's wmf emission cut "
+        "(max event time − delay, ms-floored) no longer matches this "
+        "Spark build"
+    )
