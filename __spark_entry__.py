@@ -788,6 +788,68 @@ WHERE NOT EXISTS (SELECT 1 FROM customer c
 """
 
 
+def q_mutation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 + U6 + U8 hash-graded in one row (r13 VERDICT next-round #5 —
+    the last reference-surface mutation family that lived only in
+    pytest): the delete-then-insert-from-chunker-CTE rechunk
+    (epa_ingestion.py:744-766), ADD COLUMN IF NOT EXISTS
+    (epa_ingestion.py:797-805), and CREATE OR REPLACE VIEW
+    (epa_ingestion.py:432,484), composed exactly as the reference's
+    stage 9 pipeline does (plans/pipeline.rechunk) but over the graded
+    documents fixture so every step is SQL-re-derivable:
+
+    - U8: the corpus is served through a temp view that is created
+      TWICE — an empty decoy replaced by the real frame — so the graded
+      result proves the REPLACE won, not just that a view resolves.
+    - U5: chunks are built for the whole corpus at version 1, then the
+      doc_id %4 == 0 subset is rechunked — its stale chunks DELETED
+      (delete_using) and fresh ones INSERTED from the chunker
+      (chunk_documents, the reference's chunker-CTE INSERT) at
+      version 2. The version column makes the delete+insert observable:
+      a failed delete doubles those docs' rows, a failed insert drops
+      them, a mis-scoped delete flips other docs' version tags.
+    - U6: add_columns_if_absent adds ``review_status`` (genuinely
+      missing -> typed null column) and ``version`` (already present ->
+      MUST be a no-op; a blind add would null it out and flip the hash).
+
+    Oracle: the same pipeline stated in SQL over the content-addressed
+    golden chunk fixture (the q_chunk_documents discipline — the
+    recursive splitter itself is not SQL-expressible; what this row
+    grades on top of chunk_documents is the mutation composition).
+    Scale: delete is a broadcast anti-join on the rechunk keys, the
+    chunker is Arrow-batched per partition with no shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutate.create_or_replace_view(spark, "mutation_suite_docs", d.limit(0))
+    mutate.create_or_replace_view(spark, "mutation_suite_docs", d)
+    docs = spark.table("mutation_suite_docs")
+    chunks_v1 = text.chunk_documents(
+        docs, text_col="text", chunk_size=128, overlap=32
+    ).withColumn("version", F.lit(1).cast("long"))
+    to_rechunk = docs.filter(F.col("doc_id") % 4 == 0)
+    kept = mutate.delete_using(chunks_v1, to_rechunk.select("doc_id"), ["doc_id"])
+    fresh = text.chunk_documents(
+        to_rechunk, text_col="text", chunk_size=128, overlap=32
+    ).withColumn("version", F.lit(2).cast("long"))
+    out = kept.unionByName(fresh)
+    out = mutate.add_columns_if_absent(
+        out, {"review_status": "string", "version": "long"}
+    )
+    return out.select("doc_id", "chunk_index", "chunk", "version", "review_status")
+
+
+# the whole mutation pipeline re-stated: every doc's chunks from the
+# golden fixture, rechunked docs (%4 == 0) at version 2, the rest at
+# version 1, plus the U6-added null review_status column
+ORACLE_MUTATION_SUITE = r"""
+SELECT d.doc_id, f.chunk_index, f.chunk,
+       CAST(CASE WHEN d.doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+       CAST(NULL AS VARCHAR) AS review_status
+FROM documents d
+JOIN '/root/repo/tests/fixtures/golden_chunks_128_32.parquet' f
+  ON md5(d.text) = f.text_md5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / set operations
 # ---------------------------------------------------------------------------
@@ -838,6 +900,53 @@ SELECT 'intersect' AS op, o_custkey FROM (
   INTERSECT
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 )
+"""
+
+
+def q_scalar_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 merge of the scalar_suite + set_ops micro-rows (the
+    lexical_suite / hash_sample_suite recipe — both sub-second rows over
+    the same orders scan; the freed slot funds the mutation_suite graded
+    row, r13 VERDICT next-round #5). Every leg's plan is unchanged and
+    still executes: the F2/F4/F7/F8 scalar projections op-tagged
+    'scalar', the engine-supplied EXCEPT/INTERSECT legs keeping their
+    own tags. Null-padded numeric columns are cast to DOUBLE on both
+    engines (the established union-dtype discipline)."""
+    sc = q_scalar_suite(spark, sf_dir).select(
+        F.lit("scalar").alias("op"),
+        F.col("o_orderkey").cast("double").alias("o_orderkey"),
+        "od",
+        "path",
+        "prio_uc",
+        "prio3",
+        F.col("prio_len").cast("double").alias("prio_len"),
+        F.lit(None).cast("double").alias("o_custkey"),
+    )
+    so = q_set_ops(spark, sf_dir).select(
+        "op",
+        F.lit(None).cast("double").alias("o_orderkey"),
+        F.lit(None).cast("string").alias("od"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("string").alias("prio_uc"),
+        F.lit(None).cast("string").alias("prio3"),
+        F.lit(None).cast("double").alias("prio_len"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    )
+    return sc.unionByName(so)
+
+
+# each leg's oracle verbatim, null-padded (the batch_search_suite shape)
+ORACLE_SCALAR_SET_SUITE = f"""
+SELECT 'scalar' AS op, CAST(o_orderkey AS DOUBLE) AS o_orderkey, od, path,
+       prio_uc, prio3, CAST(prio_len AS DOUBLE) AS prio_len,
+       CAST(NULL AS DOUBLE) AS o_custkey
+FROM ({ORACLE_SCALAR_SUITE})
+UNION ALL
+SELECT op, CAST(NULL AS DOUBLE) AS o_orderkey, CAST(NULL AS VARCHAR) AS od,
+       CAST(NULL AS VARCHAR) AS path, CAST(NULL AS VARCHAR) AS prio_uc,
+       CAST(NULL AS VARCHAR) AS prio3, CAST(NULL AS DOUBLE) AS prio_len,
+       CAST(o_custkey AS DOUBLE) AS o_custkey
+FROM ({ORACLE_SET_OPS})
 """
 
 
@@ -5225,9 +5334,11 @@ def _registry_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_computed_key": q_join_computed_key,
         "filter_project": q_filter_project,
         "string_suite": q_string_suite,
-        "scalar_suite": q_scalar_suite,
+    # scalar_set_suite is the r14 merge of scalar_suite + set_ops (both
+    # legs execute); the freed slot funds the mutation_suite graded row
+        "scalar_set_suite": q_scalar_set_suite,
+        "mutation_suite": q_mutation_suite,
         "top_k": q_top_k,
-        "set_ops": q_set_ops,
         "lateral_tokenize": q_lateral_tokenize,
         "json_extract": q_json_extract,
         "window_agg": q_window_agg,
@@ -5270,7 +5381,8 @@ def oracle_sql() -> dict[str, str]:
         "group_collect": ORACLE_GROUP_COLLECT,
         "filter_project": ORACLE_FILTER_PROJECT,
         "string_suite": ORACLE_STRING_SUITE,
-        "scalar_suite": ORACLE_SCALAR_SUITE,
+        "scalar_set_suite": ORACLE_SCALAR_SET_SUITE,
+        "mutation_suite": ORACLE_MUTATION_SUITE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
         # same oracle on purpose: the txlog backend must reproduce the
         # plain merge_upsert result exactly (one logical MERGE, two
@@ -5280,7 +5392,6 @@ def oracle_sql() -> dict[str, str]:
         "update_from_join": ORACLE_UPDATE_FROM_JOIN,
         "delete_using": ORACLE_DELETE_USING,
         "top_k": ORACLE_TOP_K,
-        "set_ops": ORACLE_SET_OPS,
         "lateral_tokenize": ORACLE_LATERAL_TOKENIZE,
         "json_extract": ORACLE_JSON_EXTRACT,
         "window_agg": ORACLE_WINDOW_AGG,
