@@ -40,11 +40,32 @@ def test_replay_shuffle_partitions_scoped_restore(spark):
     exception — a leaked 8 would silently shrink every later query's
     shuffle fan-out for the rest of the session."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    with entry._replay_shuffle_partitions(spark, 8):
+    with entry._replay_shuffle_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
 
     with pytest.raises(RuntimeError, match="boom"):
-        with entry._replay_shuffle_partitions(spark, 8):
+        with entry._replay_shuffle_partitions(spark):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_replay_shuffle_partitions_scale_aware(spark, tmp_path):
+    """r14: the pin derives from feed bytes on disk — fixture-sized
+    feeds (<= 4 MB) keep the measured-optimal 8; larger feeds take the
+    session's default parallelism (the production posture; the fixed 8
+    was the sf1 sweep's worst derivative). Values are unaffected — this
+    only sizes state/shuffle fan-out."""
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "a.parquet").write_bytes(b"x" * 1024)
+    with entry._replay_shuffle_partitions(spark, str(small)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+    big = tmp_path / "big"
+    big.mkdir()
+    (big / "a.parquet").write_bytes(b"x" * (5 * 1024 * 1024))
+    with entry._replay_shuffle_partitions(spark, str(big)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            spark.sparkContext.defaultParallelism
+        )
