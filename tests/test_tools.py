@@ -113,3 +113,24 @@ def test_source_parse_matches_real_registry_and_order_is_stalest_first():
     assert sorted(parsed) == sorted(real)
     expected = stalest_first(parsed, last_green_rounds(REPO))
     assert real == expected
+
+
+def test_bench_refuses_close_artifact_on_busy_box():
+    """r14 quiet-box gate: with SPARK_GRAFT_REQUIRE_QUIET=1 and a bound
+    the current box cannot meet, bench.py must refuse BEFORE starting
+    any Spark work (exit 2, structured error on stdout) — a committed
+    close artifact produced on a loaded box is exactly the
+    driver-vs-builder ambiguity the gate exists to end."""
+    import os
+
+    env = {**os.environ,
+           "SPARK_GRAFT_REQUIRE_QUIET": "1",
+           "SPARK_GRAFT_LOAD_BOUND": "-1.0"}
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/bench.py"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=60,
+    )
+    assert r.returncode == 2, r.stdout + r.stderr
+    doc = json.loads(r.stdout.strip().splitlines()[-1])
+    assert doc["error"].startswith("box not quiet")
+    assert doc["bound"] == -1.0  # unmeetable: loadavg is never negative
