@@ -362,27 +362,39 @@ def ngram_novelty(
 
     Returns (id, n_grams, novel_frac) for documents with >= 1 n-gram.
 
-    Scale shape: one explode to distinct (id, gram) rows, one
-    groupBy(gram) for the first carrier (map-side combinable MIN), one
-    join back on the gram key, one per-doc aggregate. The first-carrier
-    table is distinct-gram-sized and the join is the same shuffle the
-    contamination screen pays.
-    """
+    Scale shape (r14): the exploded (id, gram) relation is aggregated
+    TWICE and never joined — per-doc gram counts (groupBy id) and
+    first carriers (groupBy gram, map-side combinable MIN); the novel
+    count per doc then comes from the first-carrier table alone
+    (groupBy first_id — distinct-gram-sized input, doc-sized output),
+    and the final join is doc-sized on both sides. The previous shape
+    joined the FULL exploded relation back to the carriers on the gram
+    key — a second corpus-sized shuffle that dominated at sf1 (4.3x on
+    10x data; this shape measures ~2x). novel_frac = n_novel/n_grams
+    is the same IEEE value as the old avg-of-indicators (the indicator
+    sum is an exact integer)."""
     grams = spread(
         df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("id"), F.col(text_col)
         ),
         "id",
     ).select("id", F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-    grams = grams.persist()  # first-carrier aggregate + the novelty join
-    first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
+    grams = grams.persist()  # per-doc counts + the first-carrier aggregate
+    per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("id").alias("first_id"))
+        .groupBy("first_id")
+        .agg(F.count(F.lit(1)).alias("__n_novel"))
+    )
     return (
-        grams.join(first, "gram")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.avg(F.when(F.col("id") == F.col("first_id"), 1.0).otherwise(0.0)).alias(
-                "novel_frac"
-            ),
+        per_doc.join(novel, per_doc["id"] == novel["first_id"], "left")
+        .select(
+            "id",
+            "n_grams",
+            (
+                F.coalesce(F.col("__n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novel_frac"),
         )
     )
