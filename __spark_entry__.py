@@ -1359,22 +1359,28 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = F.timestamp_micros(
         F.lit(base_us) + F.pmod(F.col("doc_id"), F.lit(600)) * F.lit(1_000_000)
     )
+    # persist: the three feed writes below otherwise each recompute the
+    # digest + keep-lowest window over the whole corpus (the feed build
+    # was 3x the corpus scan at sf1)
     uniq = (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("doc_id", ts.alias("ts"), "text")
-    )
+    ).persist()
     sub = uniq.filter(F.col("doc_id") % 7 == 0)
     root, name = _replay_workspace(spark, "dedup_stream")
     feed = os.path.join(root, "feed")
-    _arrival_feed(
-        [
-            uniq,
-            sub.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)),
-            sub.withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000)),
-        ],
-        feed,
-    )
+    try:
+        _arrival_feed(
+            [
+                uniq,
+                sub.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)),
+                sub.withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000)),
+            ],
+            feed,
+        )
+    finally:
+        uniq.unpersist()
     stream = (
         spark.readStream.schema("doc_id long, ts timestamp, text string")
         .option("maxFilesPerTrigger", 1)
