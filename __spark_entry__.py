@@ -1150,7 +1150,12 @@ def _replay_workspace(spark: SparkSession, tag: str) -> tuple[str, str]:
     import uuid as _uuid
 
     root = os.path.join(tempfile.gettempdir(), f"{tag}_{os.getpid()}")
-    shutil.rmtree(root, ignore_errors=True)
+    # no ignore_errors: a silently-failed wipe would leave stale feed
+    # files that the maxFilesPerTrigger=1 readStream replays as extra
+    # micro-batches — flipping the graded hash with no visible error.
+    # A failed wipe must fail HERE instead.
+    if os.path.lexists(root):
+        shutil.rmtree(root)
     prefix = f"{tag}_sink_"
     for t in spark.catalog.listTables():
         if t.isTemporary and t.name.startswith(prefix):
@@ -2108,15 +2113,19 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frozen testdata at every graded SF — but assert it at runtime so
     # a fixture or repartition-count drift fails LOUDLY here instead of
     # silently flipping the graded hash (r13 ADVICE).
+    # explicit raises, not assert statements: the loud-failure guard
+    # must survive PYTHONOPTIMIZE/-O, where asserts are stripped
     c1, c2, c3 = (tbl._read_commit(v) for v in (1, 2, 3))
-    assert set(c2["remove"]) == set(c1["add"]), (
-        "change_feed oracle precondition broken: v2 delete did not "
-        "rewrite every v1 file"
-    )
-    assert set(c3["remove"]) == set(c2["add"]), (
-        "change_feed oracle precondition broken: v3 merge did not "
-        "rewrite every v2 survivor file"
-    )
+    if set(c2["remove"]) != set(c1["add"]):
+        raise AssertionError(
+            "change_feed oracle precondition broken: v2 delete did not "
+            "rewrite every v1 file"
+        )
+    if set(c3["remove"]) != set(c2["add"]):
+        raise AssertionError(
+            "change_feed oracle precondition broken: v3 merge did not "
+            "rewrite every v2 survivor file"
+        )
     return tbl.changes(1, 3)
 
 

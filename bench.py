@@ -54,12 +54,21 @@ def main() -> None:
     # bench's own 32 threads and says nothing about external steal.
     load_bound = float(os.environ.get("SPARK_GRAFT_LOAD_BOUND", "4.0"))
     la_start = _loadavg1()
-    quiet = la_start is not None and la_start <= load_bound
-    if os.environ.get("SPARK_GRAFT_REQUIRE_QUIET") == "1" and not quiet:
+    # three-valued: True (measured quiet), False (measured busy), None
+    # (loadavg unreadable) — conflating unknown with busy would make the
+    # committed artifact claim the box was measurably loaded when the
+    # load was simply unmeasurable
+    quiet = None if la_start is None else la_start <= load_bound
+    if os.environ.get("SPARK_GRAFT_REQUIRE_QUIET") == "1" and quiet is not True:
         print(
             json.dumps(
                 {
-                    "error": "box not quiet for a close-of-round artifact",
+                    "error": (
+                        "box not quiet for a close-of-round artifact"
+                        if quiet is False
+                        else "loadavg unreadable; cannot certify a "
+                        "close-of-round artifact"
+                    ),
                     "loadavg_start": la_start,
                     "bound": load_bound,
                 }
