@@ -1072,6 +1072,16 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+#: Feed-size boundary between "fixture-scale replay" (state-partition
+#: pin of 8) and "production-scale replay" (session conf left alone).
+#: 4 MB covers every feed up to sf0.1 with margin; the sf1 feeds are
+#: tens of MB. A future fixture-size change that crosses this line
+#: flips every replay row's state layout, so the boundary is pinned by
+#: tests/test_tools.py::test_replay_pin_feed_size_boundary (r14 VERDICT
+#: next-round #6).
+REPLAY_FIXTURE_FEED_BYTES = 4 * 1024 * 1024
+
+
 def _replay_shuffle_partitions(spark: SparkSession, feed_dir: str | None = None):
     """Scoped shuffle-partition override for the streaming replays,
     SCALE-AWARE since r14 (r13 VERDICT next-round #2). A stateful
@@ -1084,29 +1094,37 @@ def _replay_shuffle_partitions(spark: SparkSession, feed_dir: str | None = None)
     the sf1 close sweep's worst derivative (running_user_stats_replay
     5.14x: 10x distinct users squeezed through 8 state partitions). So
     the pin is derived from the feed already written to disk: small
-    feeds (<= 4 MB — everything up to sf0.1) keep 8; larger feeds take
-    the session's default parallelism, the production posture. Disk
-    bytes, not a row count: the feed files exist by the time this is
-    entered, so sizing costs a stat() walk, never a Spark job. Hold the
-    override through awaitTermination (restoring right after start()
-    could race the first batch's planning); values are unchanged at
-    every scale — only state/shuffle fan-out."""
+    feeds (<= REPLAY_FIXTURE_FEED_BYTES — everything up to sf0.1) keep
+    8; for larger feeds the session conf is NOT touched at all (r14
+    ADVICE: overriding to defaultParallelism silently substituted the
+    local core count for a cluster session's configured
+    spark.sql.shuffle.partitions — the production posture is the
+    session's own setting, so the large-feed branch now yields without
+    setting anything). Disk bytes, not a row count: the feed files
+    exist by the time this is entered, so sizing costs a stat() walk,
+    never a Spark job. Hold the override through awaitTermination
+    (restoring right after start() could race the first batch's
+    planning); values are unchanged at every scale — only state/shuffle
+    fan-out."""
     import contextlib
     import glob as _glob
 
-    n = 8
+    pin: int | None = 8
     if feed_dir is not None:
         feed_bytes = sum(
             os.path.getsize(p)
             for p in _glob.glob(os.path.join(feed_dir, "*.parquet"))
         )
-        if feed_bytes > 4 * 1024 * 1024:
-            n = spark.sparkContext.defaultParallelism
+        if feed_bytes > REPLAY_FIXTURE_FEED_BYTES:
+            pin = None  # production-scale feed: the session conf rules
 
     @contextlib.contextmanager
     def scope():
+        if pin is None:
+            yield
+            return
         old = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        spark.conf.set("spark.sql.shuffle.partitions", str(pin))
         try:
             yield
         finally:

@@ -52,7 +52,22 @@ def main() -> None:
     # burning a suite's worth of wall-clock. The gate samples BEFORE any
     # Spark work starts: loadavg measured mid-suite is dominated by the
     # bench's own 32 threads and says nothing about external steal.
-    load_bound = float(os.environ.get("SPARK_GRAFT_LOAD_BOUND", "4.0"))
+    load_bound_raw = os.environ.get("SPARK_GRAFT_LOAD_BOUND", "4.0")
+    try:
+        load_bound = float(load_bound_raw)
+    except ValueError:
+        # r14 ADVICE: a malformed env value must follow the gate's own
+        # structured-JSON error contract, not crash with a traceback.
+        print(
+            json.dumps(
+                {
+                    "error": "malformed SPARK_GRAFT_LOAD_BOUND (not a float)",
+                    "value": load_bound_raw,
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(2)
     la_start = _loadavg1()
     # three-valued: True (measured quiet), False (measured busy), None
     # (loadavg unreadable) — conflating unknown with busy would make the

@@ -51,11 +51,12 @@ def test_replay_shuffle_partitions_scoped_restore(spark):
 
 
 def test_replay_shuffle_partitions_scale_aware(spark, tmp_path):
-    """r14: the pin derives from feed bytes on disk — fixture-sized
-    feeds (<= 4 MB) keep the measured-optimal 8; larger feeds take the
-    session's default parallelism (the production posture; the fixed 8
-    was the sf1 sweep's worst derivative). Values are unaffected — this
-    only sizes state/shuffle fan-out."""
+    """r14/r15: the pin derives from feed bytes on disk — fixture-sized
+    feeds (<= REPLAY_FIXTURE_FEED_BYTES) keep the measured-optimal 8;
+    for larger feeds the session conf is left completely UNTOUCHED (r14
+    ADVICE: an override to defaultParallelism would substitute the
+    local core count for a cluster session's configured value). Values
+    are unaffected — this only sizes state/shuffle fan-out."""
     small = tmp_path / "small"
     small.mkdir()
     (small / "a.parquet").write_bytes(b"x" * 1024)
@@ -65,7 +66,42 @@ def test_replay_shuffle_partitions_scale_aware(spark, tmp_path):
     big = tmp_path / "big"
     big.mkdir()
     (big / "a.parquet").write_bytes(b"x" * (5 * 1024 * 1024))
-    with entry._replay_shuffle_partitions(spark, str(big)):
-        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
-            spark.sparkContext.defaultParallelism
-        )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    # whatever the session has configured must genuinely apply — set a
+    # sentinel value no derivation would produce and assert it survives
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        with entry._replay_shuffle_partitions(spark, str(big)):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_replay_pin_feed_size_boundary(spark, tmp_path):
+    """r14 VERDICT next-round #6: the fixture/production boundary is the
+    NAMED constant REPLAY_FIXTURE_FEED_BYTES, pinned AT the boundary —
+    a feed of exactly that many bytes still takes the fixture pin of 8;
+    one byte more leaves the session conf alone. A silent fixture-size
+    change that crosses this line would flip every replay row's state
+    layout; this test makes that flip loud."""
+    assert entry.REPLAY_FIXTURE_FEED_BYTES == 4 * 1024 * 1024
+
+    at = tmp_path / "at_boundary"
+    at.mkdir()
+    # split across two files: the walk must SUM, not per-file max
+    (at / "a.parquet").write_bytes(b"x" * (entry.REPLAY_FIXTURE_FEED_BYTES - 100))
+    (at / "b.parquet").write_bytes(b"x" * 100)
+    with entry._replay_shuffle_partitions(spark, str(at)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+    over = tmp_path / "over_boundary"
+    over.mkdir()
+    (over / "a.parquet").write_bytes(b"x" * (entry.REPLAY_FIXTURE_FEED_BYTES + 1))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        with entry._replay_shuffle_partitions(spark, str(over)):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -123,9 +123,14 @@ def test_bench_refuses_close_artifact_on_busy_box():
     driver-vs-builder ambiguity the gate exists to end."""
     import os
 
+    # SF dir pointed at a path that cannot exist (r14 ADVICE): if the
+    # gate ever regresses past the refusal, bench.py fails FAST on the
+    # missing data dir instead of starting Spark and timing out this
+    # test at 60 s.
     env = {**os.environ,
            "SPARK_GRAFT_REQUIRE_QUIET": "1",
-           "SPARK_GRAFT_LOAD_BOUND": "-1.0"}
+           "SPARK_GRAFT_LOAD_BOUND": "-1.0",
+           "SPARK_GRAFT_SF_DIR": "/nonexistent/sf0.1"}
     r = subprocess.run(
         [sys.executable, f"{REPO}/bench.py"],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=60,
@@ -134,3 +139,23 @@ def test_bench_refuses_close_artifact_on_busy_box():
     doc = json.loads(r.stdout.strip().splitlines()[-1])
     assert doc["error"].startswith("box not quiet")
     assert doc["bound"] == -1.0  # unmeetable: loadavg is never negative
+
+
+def test_bench_rejects_malformed_load_bound_with_structured_error():
+    """r14 ADVICE: a malformed SPARK_GRAFT_LOAD_BOUND must produce the
+    gate's structured-JSON error + exit 2, not an uncaught ValueError
+    traceback."""
+    import os
+
+    env = {**os.environ,
+           "SPARK_GRAFT_LOAD_BOUND": "not-a-float",
+           "SPARK_GRAFT_SF_DIR": "/nonexistent/sf0.1"}
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/bench.py"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=60,
+    )
+    assert r.returncode == 2, r.stdout + r.stderr
+    doc = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "malformed SPARK_GRAFT_LOAD_BOUND" in doc["error"]
+    assert doc["value"] == "not-a-float"
+    assert "Traceback" not in r.stderr
