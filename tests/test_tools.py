@@ -85,6 +85,69 @@ def test_gate_green_at_the_post_grading_round_boundary(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_zero_slack_warning_fires_on_window_displacement(tmp_path):
+    """r14 VERDICT next-round #1: registry churn that displaces a graded
+    row from the window must WARN at the round that created the hazard
+    (rc stays 0 — the state is legal, just slack-free). Fabricate it:
+    52 rows graded r1, 48 graded r2 — at r3 the window takes 50 of the
+    52 age-2 rows and the 2 lexically-last sit outside at exactly
+    max_stale."""
+    names = sorted(_registry_names())
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps({q: green for q in names[:52]}))
+    (tmp_path / "CORRECTNESS_r2.json").write_text(
+        json.dumps({q: green for q in names[52:]}))
+
+    r = _run("--repo", str(tmp_path))
+    assert r.returncode == 0, r.stdout + r.stderr
+    displaced = names[50:52]  # stalest_first tiebreak is name order
+    for q in displaced:
+        assert f"WARN zero-slack: {q} (age 2)" in r.stdout, r.stdout
+    assert r.stdout.count("WARN zero-slack") == 2
+    assert "fresh at round 3" in r.stdout
+
+
+def test_overdue_rescued_warning_fires_past_the_stale_line(tmp_path):
+    """A row aged PAST max_stale is green only because stalest_first
+    leads the window with it — that rescue must be loud. Fabricate the
+    r14 churn outcome: 2 rows last graded r1, everything else r2/r3;
+    at r4 the two are age 3 > max_stale and head the window."""
+    names = sorted(_registry_names())
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps({q: green for q in names[:2]}))
+    (tmp_path / "CORRECTNESS_r2.json").write_text(
+        json.dumps({q: green for q in names[2:52]}))
+    (tmp_path / "CORRECTNESS_r3.json").write_text(
+        json.dumps({q: green for q in names[52:]}))
+
+    r = _run("--repo", str(tmp_path))
+    assert r.returncode == 0, r.stdout + r.stderr
+    for q in names[:2]:
+        assert f"WARN overdue-rescued: {q} (age 3" in r.stdout, r.stdout
+    assert r.stdout.count("WARN overdue-rescued") == 2
+
+
+def test_no_warnings_in_the_steady_state(tmp_path):
+    """The alternating 50/50 rotation (every row age 1 or 2, the age-2
+    half exactly the window) is the designed steady state — the
+    warnings must stay silent there or they become noise."""
+    names = sorted(_registry_names())
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps({q: green for q in names[:50]}))
+    (tmp_path / "CORRECTNESS_r2.json").write_text(
+        json.dumps({q: green for q in names[50:]}))
+
+    r = _run("--repo", str(tmp_path))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WARN" not in r.stdout
+
+
 def _registry_names():
     # import the GATE'S OWN parse (not a copy of its regex): the test
     # must pin what check_freshness actually checks, so a drift in the

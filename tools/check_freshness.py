@@ -105,6 +105,34 @@ def main() -> int:
             for o in offenders:
                 print(f"  {o}")
             return 1
+        if step == 0:
+            # Zero-slack warnings (r14 VERDICT next-round #1): registry
+            # churn (merges / new never-graded rows) displaces graded
+            # rows from the window, silently aging them toward the
+            # stale line. The gate stays green because stalest_first
+            # rescues them next round — but a SECOND churn before then
+            # would strand them. Warn (rc stays 0) the moment a row has
+            # no slack left, so the churn that created the hazard is
+            # the commit that hears about it, not a later round.
+            for q in sorted(names):
+                newest = sim.get(q)
+                if not newest:
+                    continue
+                age = rnd - newest
+                if q not in window and age >= MAX_STALE:
+                    print(
+                        f"WARN zero-slack: {q} (age {age}) sits OUTSIDE the "
+                        f"r{rnd} window and crosses max_stale at r{rnd + 1} — "
+                        "it depends entirely on leading the next window; "
+                        "avoid further registry churn until it re-grades"
+                    )
+                elif q in window and age > MAX_STALE:
+                    print(
+                        f"WARN overdue-rescued: {q} (age {age} > max_stale "
+                        f"{MAX_STALE}) is green only because stalest_first "
+                        f"leads the r{rnd} window with it — prior registry "
+                        "churn aged it past the line"
+                    )
         for q in window:
             sim[q] = max(sim.get(q, 0), rnd)
 
