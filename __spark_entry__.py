@@ -2446,6 +2446,23 @@ def q_semdedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.read()
 
 
+def q_semdedup_replay_assign_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only stage probe (NOT a registry row): the ASSIGN half of
+    q_semdedup_stream_replay — frozen-model load + planted-union corpus
+    build + encode_with_ccos over the full corpus, with none of the
+    state probe / pair scoring / txlog commits. Timed separately by
+    bench.py so the row's three-round upward drift (3.56 -> 3.83 ->
+    4.30 s) decomposes into assign vs probe+pairs+commit (r14 VERDICT
+    next-round #3, the dedup_clusters recipe)."""
+    from sf_epa_data_ingestion_spark.streaming.semdedup import _encode_with_ccos
+
+    _index, cents, _meta = similarity.load_ivf_index(
+        spark, _semdedup_index_dir(spark, sf_dir)
+    )
+    corpus = _semdedup_corpus(spark, sf_dir)
+    return _encode_with_ccos(corpus, cents)
+
+
 # Corpus construction mirrors ORACLE_EMBEDDING_NEAR_DUP (same planted
 # union); assignment + centroids join from the corpus-hash-guarded
 # fixtures; unit vectors re-derive in SQL exactly like ORACLE_ANN_IVF.
@@ -2889,6 +2906,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator itself is delimiter-generic."""
     d = _t(spark, sf_dir, "documents")
     return cleaning.dedup_lines(d, "doc_id", "text", max_freq=900, delimiter=" ")
+
+
+def q_line_dedup_banned_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only stage probe (NOT a registry row): the banned-set half
+    of q_line_dedup — explode + map-side-combined groupBy on the token
+    value. Timed separately by bench.py so the sf1 derivative (5.11x at
+    r14, the sweep's worst row) decomposes into banned-set vs
+    rewrite+reassembly instead of one opaque number (r14 VERDICT
+    next-round #2, the dedup_clusters recipe)."""
+    d = _t(spark, sf_dir, "documents")
+    return cleaning.banned_lines(d, "text", max_freq=900, delimiter=" ")
 
 
 ORACLE_LINE_DEDUP = """

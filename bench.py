@@ -30,6 +30,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from sf_epa_data_ingestion_spark.session import get_spark  # noqa: E402
 
+#: Bench-only stage probes (none are registry rows): rows whose single
+#: wall-clock number has previously needed adjudication get their named
+#: sub-plans timed right next to the full measurement, so a flagged
+#: number or a scale derivative decomposes on the spot instead of
+#: starting a round of driver-vs-builder forensics.
+STAGE_PROBES: dict[str, list] = {
+    # PPJoin candidate generation vs union-find resolve (r12 #3)
+    "dedup_clusters": [("pairs_stage", entrymod.q_dedup_clusters_pairs_stage)],
+    # banned-set build vs rewrite+reassembly (r14 #2: sf1 5.11x)
+    "line_dedup": [("banned_stage", entrymod.q_line_dedup_banned_stage)],
+    # frozen-model assign vs state-probe+pairs+txlog commits (r14 #3)
+    "semdedup_stream_replay": [
+        ("assign_stage", entrymod.q_semdedup_replay_assign_stage)
+    ],
+    # per-leg serving cost vs union overhead (r14 #5: the ~0.8 s chase)
+    "batch_search_suite": [
+        ("bm25_leg", entrymod.q_search_bm25_batch),
+        ("hybrid_leg", entrymod.q_search_hybrid_batch),
+    ],
+}
+
 
 def _loadavg1() -> float | None:
     try:
@@ -99,6 +120,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     noise: dict[str, dict] = {}
     decomposition: dict | None = None
+    stage_decompositions: dict[str, dict] = {}
 
     # Per-query best-ever history (committed, min across past local runs
     # and driver rounds at sf0.1). A measurement far above a query's
@@ -215,26 +237,45 @@ def main() -> None:
                            "ratio": round(t / best, 2),
                            "stable": bool(runs > 1 and max(all_runs) <= min(all_runs) * 1.2),
                            "loadavg": run_loads.get(name, [])}
-        if name == "dedup_clusters":
-            # r12 VERDICT next-round #3: three rounds of driver-vs-
-            # builder discrepancy on this row (8.21 s driver min-of-4 vs
-            # 4.15 s builder quiet min-of-4 at one tree). Decompose it AT
-            # BENCH TIME, adjacent to the measurement it explains: the
-            # PPJoin candidate stage (the sub-plan SCALE.md's r12-close
-            # study named as the row's floor, shared with ngram_jaccard)
-            # timed separately, so the next flagged number shows whether
-            # the inflation sits in candidate generation or in resolve —
-            # and the per-run loadavg shows whether the host was quiet.
-            ps = time_once(
-                entrymod.q_dedup_clusters_pairs_stage,
-                track="dedup_clusters_pairs_stage",
-            )
-            decomposition = {
+        probes = STAGE_PROBES.get(name)
+        if probes:
+            # Stage decomposition AT BENCH TIME, adjacent to the
+            # measurement it explains (the dedup_clusters recipe, r12
+            # VERDICT next-round #3; generalized r15 to the rows whose
+            # one wall-clock number left a scale derivative or a drift
+            # unexplained — r14 VERDICT next-round #2/#3/#5). Each named
+            # sub-plan is timed cold like the full row; the remainder is
+            # DERIVED (full - sum of stages) and can legitimately go
+            # negative where stages re-pay shared setup the full row
+            # pays once (e.g. both batch-search legs load the same
+            # persisted index) — the stage numbers, not the remainder,
+            # are the signal there.
+            stages = {}
+            for sname, sfn in probes:
+                stages[sname] = round(time_once(sfn, track=f"{name}:{sname}"), 3)
+            stage_decompositions[name] = {
                 "full_s": timings[name],
-                "pairs_stage_s": round(ps, 3),
-                "resolve_derived_s": round(max(0.0, timings[name] - ps), 3),
+                "stages_s": stages,
+                "remainder_derived_s": round(
+                    timings[name] - sum(stages.values()), 3
+                ),
                 "full_runs": run_loads.get(name, []),
-                "pairs_stage_runs": run_loads.get("dedup_clusters_pairs_stage", []),
+                "stage_runs": {
+                    s: run_loads.get(f"{name}:{s}", []) for s, _ in probes
+                },
+            }
+        if name == "dedup_clusters":
+            # legacy artifact key, kept so round-over-round diffs of the
+            # dedup_clusters decomposition stay one jq path
+            d = stage_decompositions[name]
+            decomposition = {
+                "full_s": d["full_s"],
+                "pairs_stage_s": d["stages_s"]["pairs_stage"],
+                "resolve_derived_s": round(
+                    max(0.0, d["full_s"] - d["stages_s"]["pairs_stage"]), 3
+                ),
+                "full_runs": d["full_runs"],
+                "pairs_stage_runs": d["stage_runs"]["pairs_stage"],
             }
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
@@ -283,6 +324,7 @@ def main() -> None:
         "sf": sf,
         "noise_suspects": noise,
         "dedup_clusters_decomposition": decomposition,
+        "stage_decompositions": stage_decompositions,
         "quiet_box": {
             "loadavg_start": la_start,
             "bound": load_bound,

@@ -194,12 +194,46 @@ def contamination_screen(
     )
 
 
+def banned_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    max_freq: int = 1,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """The corpus-wide banned-line set behind ``dedup_lines``: every
+    non-blank line occurring more than ``max_freq`` times. Split out so
+    the bench can time the banned-set stage (explode + map-side-combined
+    groupBy on the line value) separately from the rewrite — the
+    dedup_clusters stage-decomposition recipe (r14 VERDICT next-round
+    #2). One column ``__line``."""
+    parts = F.split(F.col(text_col), re.escape(delimiter), -1)
+    lines = df.select(F.posexplode(parts).alias("__pos", "__line"))
+    return (
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_freq)
+        .select("__line")
+    )
+
+
+#: Largest banned-line set the rewrite ships to executors as an InSet
+#: literal (the scan-speed path). Boilerplate is structurally tiny —
+#: each banned line costs > max_freq corpus occurrences, so the set
+#: size is bounded by corpus_lines / max_freq — but the bound keeps an
+#: adversarial corpus (everything duplicated) from pulling an unbounded
+#: set to the driver: above it the fully-distributed explode path runs
+#: instead.
+BANNED_INLINE_MAX = 65536
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_freq: int = 1,
     delimiter: str = "\n",
+    inline_max: int = BANNED_INLINE_MAX,
 ) -> DataFrame:
     """C4-style cross-document line deduplication: remove every line whose
     exact content occurs more than ``max_freq`` times across the whole
@@ -216,30 +250,56 @@ def dedup_lines(
 
     Scale notes (100 TB): the banned-line set is built with a groupBy on
     the line value — partial (map-side) aggregation collapses each
-    executor's duplicate lines before the shuffle, and only lines, not
-    documents, move. The membership test is a left_anti equi-join that
-    Catalyst turns into a broadcast when the banned set is small (the
-    common case: boilerplate is a tiny fraction of distinct lines);
-    otherwise it degrades gracefully to a shuffled anti-join on the line
-    key. A window (count OVER partition-by-line) would compute the same
-    thing with NO partial aggregation and one reducer per distinct line
-    — pathological on skewed boilerplate — which is why this is
-    aggregate+join, not window. Reassembly is one groupBy(id) with an
-    array_sort(collect_list(struct(pos, line))) — sort-in-array, no
-    per-group window sort.
+    executor's duplicate lines before the shuffle, and only distinct
+    lines, not documents, move. The REWRITE is two-tier (r15, from the
+    r14 sf1 sweep where this row's 5.11x derivative was the worst):
+
+    - Fast path (the structural common case — every banned line costs
+      > ``max_freq`` corpus occurrences, so the set is tiny): collect
+      the banned set to the driver through a ``limit(inline_max + 1)``
+      guard (bounded memory, never an unbounded pull) and rewrite each
+      document with one codegen'd projection —
+      ``array_join(filter(split(text), NOT line IN <set>))``. The IN
+      over >10 literals compiles to an O(1) hash-set probe (InSet), so
+      the rewrite runs at scan speed with ZERO shuffles and no join:
+      the explode / collect_list reassembly round-trip (corpus-sized
+      shuffle) and the doc-sized final join disappear. Measured at sf1:
+      the exploded path moved the 2.7M-token relation through two
+      exchanges just to reassemble strings it could rewrite in place.
+    - Fallback (banned set > ``inline_max``): the fully-distributed
+      explode → broadcast-able left_anti join → groupBy(id) with
+      array_sort(collect_list(struct(pos, line))) reassembly — the
+      shape that holds when an adversarial corpus makes the banned set
+      itself data-scale. A window (count OVER partition-by-line) would
+      lose map-side combining on skewed boilerplate, which is why the
+      banned build is aggregate-based either way.
     """
     # split's pattern arg is a regex; escape so the delimiter is literal
     parts = F.split(F.col(text_col), re.escape(delimiter), -1)
+    banned = banned_lines(df, text_col, max_freq=max_freq, delimiter=delimiter)
+
+    if inline_max > 0:
+        # limit BEFORE collect: if the set exceeds the bound the driver
+        # sees at most inline_max + 1 rows, detects the overflow, and
+        # falls through to the distributed path
+        sample = [r[0] for r in banned.limit(inline_max + 1).collect()]
+        if len(sample) <= inline_max:
+            if sample:
+                keep = lambda t: ~t.isin(sample)  # noqa: E731 — InSet probe
+            else:
+                keep = lambda t: F.lit(True)  # noqa: E731
+            # blank lines are never banned (trim-filtered upstream), so
+            # the InSet probe keeps them exactly like the anti-join does
+            return df.select(
+                F.col(id_col),
+                F.coalesce(
+                    F.array_join(F.filter(parts, keep), delimiter), F.lit("")
+                ).alias(text_col),
+            )
+
     lines = df.select(
         F.col(id_col),
         F.posexplode(parts).alias("__pos", "__line"),
-    )
-    banned = (
-        lines.filter(F.trim(F.col("__line")) != "")
-        .groupBy("__line")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_freq)
-        .select("__line")
     )
     # blank lines never appear in `banned`, so the anti-join keeps them
     kept = lines.join(banned, "__line", "left_anti")

@@ -143,6 +143,53 @@ def test_dedup_lines_max_freq_and_delimiter(spark):
     assert out1 == {1: "", 2: "", 3: "d"}
 
 
+def test_dedup_lines_fast_path_equals_distributed_path(spark):
+    """r15: the InSet fast path (banned set collected through the
+    limit(inline_max+1) guard, rewrite as one codegen'd projection) must
+    be row-identical to the distributed explode/anti-join/reassembly
+    path on every edge the operator owns: NULL text, blank lines,
+    all-banned docs, banned lines that are substrings of kept ones, and
+    a multi-char delimiter. inline_max=0 forces the fallback."""
+    docs = spark.createDataFrame(
+        [
+            (1, "boiler::keep::boiler"),
+            (2, "boiler::"),            # trailing empty token survives
+            (3, None),                  # NULL text -> ''
+            (4, "boiler"),              # everything banned -> ''
+            (5, "boilerplate::boiler"),  # substring must NOT match
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(max_freq=2, delimiter="::")
+    fast = {r["doc_id"]: r["text"]
+            for r in cleaning.dedup_lines(docs, "doc_id", "text", **kw).collect()}
+    dist = {r["doc_id"]: r["text"]
+            for r in cleaning.dedup_lines(docs, "doc_id", "text",
+                                          inline_max=0, **kw).collect()}
+    assert fast == dist
+    # 'boiler' occurs 4x > 2 -> banned; 'boilerplate' and blanks survive
+    assert fast == {1: "keep", 2: "", 3: "", 4: "", 5: "boilerplate", 6: ""}
+
+    # overflow guard: inline_max=1 with 1 banned line stays on the fast
+    # path; inline_max so small the set overflows must fall back — both
+    # identical either way
+    tiny = {r["doc_id"]: r["text"]
+            for r in cleaning.dedup_lines(docs, "doc_id", "text",
+                                          inline_max=1, **kw).collect()}
+    assert tiny == fast
+    many = spark.createDataFrame(
+        [(i, f"w{i} dup{i % 3}") for i in range(9)], "doc_id long, text string"
+    )
+    over = {r["doc_id"]: r["text"]
+            for r in cleaning.dedup_lines(many, "doc_id", "text", max_freq=2,
+                                          delimiter=" ", inline_max=2).collect()}
+    ref = {r["doc_id"]: r["text"]
+           for r in cleaning.dedup_lines(many, "doc_id", "text", max_freq=2,
+                                         delimiter=" ", inline_max=0).collect()}
+    assert over == ref  # 3 banned lines > inline_max=2 -> fallback ran
+
+
 def test_ngram_novelty_first_carrier_attribution(spark):
     from sf_epa_data_ingestion_spark.operators.cleaning import ngram_novelty
 
