@@ -1202,19 +1202,41 @@ def materialize_search_index(
         json.dump({"n_docs": n, "n_buckets": n_buckets}, f)
 
 
+#: Session-scoped memo of opened index layouts. A serving tier holds
+#: its index frames open for the process lifetime — reopening three
+#: parquet readers per query costs ~0.3 s of pure driver/py4j plan
+#: construction (profiled r15: the batch_search_suite row spent more
+#: wall on spark.read.parquet round-trips than on any executor stage).
+#: Keyed by (Spark application, real path, _meta.json mtime_ns) so a
+#: rebuilt layout — tests rewrite them in place under tmp dirs — is
+#: reopened, never served stale. DataFrames are immutable plans, so
+#: sharing them across calls in one session is safe.
+_INDEX_CACHE: dict = {}
+
+
 def load_search_index(spark, path: str):
     """Read a ``materialize_search_index`` layout: returns
     (postings, stats, doclens, n_docs, n_buckets). ``postings`` carries
     the ``__tb`` partition column — pass it through
     ``prune_postings_probe`` so literal term probes prune buckets.
     The max-score bounds table is read separately
-    (``spark.read.parquet(path + "/bounds")``) by callers that prune."""
+    (``spark.read.parquet(path + "/bounds")``) by callers that prune.
+    Opened layouts are memoized per session (see ``_INDEX_CACHE``)."""
     import json
     import os
 
-    with open(os.path.join(path, "_meta.json")) as f:
+    meta_path = os.path.join(path, "_meta.json")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(path),
+        os.stat(meta_path).st_mtime_ns,
+    )
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(meta_path) as f:
         meta = json.load(f)
-    return (
+    out = (
         spark.read.parquet(os.path.join(path, "postings")),
         spark.read.parquet(os.path.join(path, "stats")),
         # __ib is maintenance-internal (refresh_search_index's id-bucket
@@ -1223,6 +1245,12 @@ def load_search_index(spark, path: str):
         int(meta["n_docs"]),
         int(meta["n_buckets"]),
     )
+    if len(_INDEX_CACHE) >= 8:  # a serving tier holds a handful of
+        # layouts (per-corpus + tx generations); bound the memo so
+        # test churn through tmp-dir layouts can't grow it unbounded
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    _INDEX_CACHE[key] = out
+    return out
 
 
 def prune_postings_probe(postings: DataFrame, terms: list[str], n_buckets: int) -> DataFrame:

@@ -54,6 +54,16 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
 
 
+#: Session-scoped memo of table scans. Each load_table call costs a
+#: pyarrow footer probe + a spark.read.parquet py4j round-trip (~90 ms
+#: of pure driver time, profiled r15) — a 100-query suite pays that
+#: hundreds of times for the same ten static tables. Keyed by (Spark
+#: application, real path, path mtime_ns) so a rewritten table is
+#: reopened, never served stale; DataFrames are immutable plans, so
+#: sharing across calls in one session is safe. Bounded FIFO.
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Columnar scan; filters/projections push down.
 
@@ -61,18 +71,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     table) are read via ``spark.sql.legacy.parquet.nanosAsLong`` and the
     raw nanos are truncated to microsecond TIMESTAMP_NTZ — the same
     floor-truncation DuckDB applies, so oracle values line up exactly.
+    Opened tables are memoized per session (see ``_TABLE_CACHE``).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.realpath(path),
+            os.stat(path).st_mtime_ns,
+        )
+    except OSError:
+        key = None  # missing path: let spark.read raise its own error
+    if key is not None:
+        hit = _TABLE_CACHE.get(key)
+        if hit is not None:
+            df, had_nanos = hit
+            if had_nanos:
+                # the legacy-nanos conf is consulted when the scan
+                # executes, not when the plan was built — re-assert it
+                # so a cached frame survives an intervening conf flip
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return df
     nanos = _nanos_timestamp_cols(path)
     if not nanos:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(path)
-    for c in nanos:
-        df = df.withColumn(
-            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
-        )
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(path)
+        for c in nanos:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+            )
+    if key is not None:
+        if len(_TABLE_CACHE) >= 64:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = (df, bool(nanos))
     return df
 
 

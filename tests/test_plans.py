@@ -86,13 +86,34 @@ def test_minhash_has_no_pushed_filter_into_signature(spark):
     assert "IsNotNull(text)" in p, "null filter should push to the documents scan"
 
 
-def test_line_dedup_is_aggregate_not_window(spark):
+def test_line_dedup_fast_path_is_scan_speed_projection(spark):
+    """r15: with a small banned set (the structural common case) the
+    rewrite is ONE projection over the scan — InSet hash probe inside
+    the array filter, zero exchanges, no join. The banned-set build
+    (an aggregate, never a window) runs as its own bounded-collect job
+    and is pinned separately below."""
+    from sf_epa_data_ingestion_spark.operators import cleaning
+    from sf_epa_data_ingestion_spark.sources.readers import load_table
+
     p = plan_of(spark, "line_dedup")
-    # banned-line count must be a partial-aggregating groupBy, never a
-    # count-over-window (no partial agg; one reducer per distinct line)
-    assert "Window" not in p
-    assert p.count("HashAggregate") >= 2, "banned-line count lost partial aggregation"
-    assert "LeftAnti" in p, "membership test must be an anti-join"
+    assert "INSET" in p or " IN (" in p, "rewrite lost the set-probe form"
+    assert "Exchange" not in p, "fast-path rewrite must not shuffle"
+    assert "Join" not in p, "fast-path rewrite must not join"
+
+    # banned-line count: partial-aggregating groupBy, never a window
+    d = load_table(spark, SF, "documents")
+    pb = plan_of_df(cleaning.banned_lines(d, "text", max_freq=900, delimiter=" "))
+    assert "Window" not in pb
+    assert pb.count("HashAggregate") >= 2, "banned-line count lost partial aggregation"
+
+    # distributed fallback (banned set above inline_max) keeps the
+    # anti-join membership + reassembly shape
+    pf = plan_of_df(
+        cleaning.dedup_lines(d, "doc_id", "text", max_freq=900,
+                             delimiter=" ", inline_max=0)
+    )
+    assert "LeftAnti" in pf, "fallback membership test must be an anti-join"
+    assert "Window" not in pf
 
 
 def test_temperature_resample_broadcasts_rates(spark):
