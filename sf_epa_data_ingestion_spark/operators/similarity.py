@@ -702,23 +702,54 @@ def materialize_ivf_index(
         )
 
 
+#: Session-scoped memo of opened vector-index layouts (the
+#: load_search_index discipline — see operators/search.py): a serving
+#: tier holds its frames open; reopening a parquet reader per query is
+#: ~90 ms of pure driver time. Keyed by (application, real path,
+#: _meta.json mtime_ns) so a rebuilt layout is reopened, never stale.
+_VINDEX_CACHE: dict = {}
+
+
+def _memo_layout(spark, path: str, build):
+    import os
+
+    meta_path = os.path.join(path, "_meta.json")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(path),
+        os.stat(meta_path).st_mtime_ns,
+    )
+    hit = _VINDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = build()
+    if len(_VINDEX_CACHE) >= 8:
+        _VINDEX_CACHE.pop(next(iter(_VINDEX_CACHE)))
+    _VINDEX_CACHE[key] = out
+    return out
+
+
 def load_ivf_index(spark, path: str):
     """Read a ``materialize_ivf_index`` layout: (index, cents, meta).
     A no-model layout (empty/all-NULL corpus at build time) loads as an
     EMPTY index frame + cents None, so downstream searches return empty
-    results instead of dereferencing None."""
+    results instead of dereferencing None. Opened layouts are memoized
+    per session (``_VINDEX_CACHE``)."""
     import json
     import os
 
-    with open(os.path.join(path, "_meta.json")) as f:
-        meta = json.load(f)
-    if meta["cents"] is None:
-        index = spark.createDataFrame(
-            [], f"{meta['corpus_id']} long, __u array<double>, cid int"
-        )
-    else:
-        index = spark.read.parquet(os.path.join(path, "index"))
-    return index, meta["cents"], meta
+    def build():
+        with open(os.path.join(path, "_meta.json")) as f:
+            meta = json.load(f)
+        if meta["cents"] is None:
+            index = spark.createDataFrame(
+                [], f"{meta['corpus_id']} long, __u array<double>, cid int"
+            )
+        else:
+            index = spark.read.parquet(os.path.join(path, "index"))
+        return index, meta["cents"], meta
+
+    return _memo_layout(spark, path, build)
 
 
 def _round6_halfup(x: float) -> float:
@@ -1894,19 +1925,24 @@ def load_vector_index(spark, path: str):
     probe's literal IN predicate prunes directories), ``coarse``/``cq``
     the frozen model (None on an all-invalid corpus), ``meta`` the param
     dict. Rename the id column to match the serving corpus when the two
-    differ (e.g. doc_id vs vec_id over the same id/vector pairs)."""
+    differ (e.g. doc_id vs vec_id over the same id/vector pairs).
+    Opened layouts are memoized per session (``_VINDEX_CACHE``)."""
     import json
     import os
 
-    with open(os.path.join(path, "_meta.json")) as f:
-        meta = json.load(f)
-    coarse = meta["coarse"]
-    cq = meta["cq"]
-    if coarse is None:  # no-model layout: empty index, not None (callers
-        # pass this straight to ivfpq_search — empty results, no crash)
-        index = spark.createDataFrame(
-            [], f"{meta['corpus_id']} long, codes array<int>, cid int"
-        )
-    else:
-        index = spark.read.parquet(os.path.join(path, "index"))
-    return index, coarse, cq, meta
+    def build():
+        with open(os.path.join(path, "_meta.json")) as f:
+            meta = json.load(f)
+        coarse = meta["coarse"]
+        cq = meta["cq"]
+        if coarse is None:  # no-model layout: empty index, not None
+            # (callers pass this straight to ivfpq_search — empty
+            # results, no crash)
+            index = spark.createDataFrame(
+                [], f"{meta['corpus_id']} long, codes array<int>, cid int"
+            )
+        else:
+            index = spark.read.parquet(os.path.join(path, "index"))
+        return index, coarse, cq, meta
+
+    return _memo_layout(spark, path, build)

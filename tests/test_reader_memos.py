@@ -55,6 +55,22 @@ def test_load_table_nanos_conf_reasserted_on_hit(spark, tmp_path):
     assert hit.count() == 1
 
 
+def test_load_ivf_index_memoizes_and_reopens(spark, tmp_path):
+    from sf_epa_data_ingestion_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    root = str(tmp_path / "ivf")
+    similarity.materialize_ivf_index(vecs, root, n_centroids=2)
+    a = similarity.load_ivf_index(spark, root)
+    assert similarity.load_ivf_index(spark, root) is a
+    meta = os.path.join(root, "_meta.json")
+    st = os.stat(meta)
+    os.utime(meta, ns=(st.st_atime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+    assert similarity.load_ivf_index(spark, root) is not a
+
+
 def test_load_search_index_memoizes_and_reopens(spark, tmp_path):
     docs = spark.createDataFrame(
         [(1, "alpha beta"), (2, "beta gamma")], "id long, text string"
