@@ -222,3 +222,76 @@ def test_bench_rejects_malformed_load_bound_with_structured_error():
     assert "malformed SPARK_GRAFT_LOAD_BOUND" in doc["error"]
     assert doc["value"] == "not-a-float"
     assert "Traceback" not in r.stderr
+
+
+def test_bench_cooldown_gives_up_at_deadline_then_gate_refuses(tmp_path):
+    """r15 deep-cooldown: on a box that never reaches deep quiet, the
+    bounded wait must give up at the deadline and hand off to the
+    refusal gate — the wait must never bypass the gate's verdict. The
+    fake loadavg file (SPARK_GRAFT_LOADAVG_PATH) pins the load the
+    gate sees."""
+    import os
+
+    fake = tmp_path / "loadavg"
+    fake.write_text("9.00 9.00 9.00 1/100 1\n")
+    env = {**os.environ,
+           "SPARK_GRAFT_REQUIRE_QUIET": "1",
+           "SPARK_GRAFT_COOLDOWN_SECS": "1",
+           "SPARK_GRAFT_LOADAVG_PATH": str(fake),
+           "SPARK_GRAFT_SF_DIR": "/nonexistent/sf0.1"}
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/bench.py"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=60,
+    )
+    assert r.returncode == 2, r.stdout + r.stderr
+    doc = json.loads(r.stdout.strip().splitlines()[-1])
+    assert doc["error"].startswith("box not quiet")
+    assert doc["loadavg_start"] == 9.0  # gate read the staged file
+
+
+def test_bench_cooldown_returns_immediately_on_deep_quiet_box(tmp_path):
+    """r15 deep-cooldown: a box already below both thresholds
+    (1-min < 0.5, 5-min < 1.5) must not wait out the budget. A 300 s
+    budget with a deep-quiet staged loadavg must clear the gate and
+    fail on the nonexistent SF dir well before the budget elapses —
+    proving the poll loop exits on the threshold check, not the
+    deadline."""
+    import os
+    import time as _time
+
+    fake = tmp_path / "loadavg"
+    fake.write_text("0.10 0.90 1.00 1/100 1\n")
+    env = {**os.environ,
+           "SPARK_GRAFT_REQUIRE_QUIET": "1",
+           "SPARK_GRAFT_COOLDOWN_SECS": "300",
+           "SPARK_GRAFT_LOADAVG_PATH": str(fake),
+           "SPARK_GRAFT_SF_DIR": "/nonexistent/sf0.1"}
+    t0 = _time.monotonic()
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/bench.py"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=240,
+    )
+    elapsed = _time.monotonic() - t0
+    # past the gate (no refusal), into the run, dead on the missing dir
+    assert r.returncode != 0
+    assert "box not quiet" not in r.stdout
+    assert elapsed < 200, f"cooldown appears to have waited: {elapsed:.0f}s"
+
+
+def test_bench_rejects_malformed_cooldown_secs_with_structured_error():
+    """r15 deep-cooldown follows the gate's structured-error contract
+    for malformed env values (the r14 ADVICE pattern)."""
+    import os
+
+    env = {**os.environ,
+           "SPARK_GRAFT_COOLDOWN_SECS": "soon",
+           "SPARK_GRAFT_SF_DIR": "/nonexistent/sf0.1"}
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/bench.py"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=60,
+    )
+    assert r.returncode == 2, r.stdout + r.stderr
+    doc = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "malformed SPARK_GRAFT_COOLDOWN_SECS" in doc["error"]
+    assert doc["value"] == "soon"
+    assert "Traceback" not in r.stderr
