@@ -1574,6 +1574,31 @@ def q_neardup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_replay_sig_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a registry row: bench-time decomposition probe (r15 — the
+    semdedup ``assign_stage`` recipe applied to the one remaining
+    undecomposed >5 s sf1 heavy). neardup_stream_replay = the Arrow
+    MinHash signature stage over the corpus (this sub-plan — the SAME
+    ``minhash_signature_rows``-via-``spread`` path the monitor's
+    ``_signatures`` runs per batch, at the monitor's defaults) + the
+    banded state-probe/verify joins + three sink invocations' txlog
+    fixed cost. The signature stage is the data-proportional part; if a
+    flagged number or a scale derivative moves, the artifact now shows
+    whether signatures grew (data/host) or the fixed cost did
+    (plan/commit regression)."""
+    from sf_epa_data_ingestion_spark.operators.dedup import minhash_signature_rows
+    from sf_epa_data_ingestion_spark.partitioning import spread
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_signature_rows(
+        spread(docs.filter(F.col("text").isNotNull()), F.col("doc_id")),
+        "text",
+        "doc_id",
+        64,
+        8,
+    )
+
+
 ORACLE_NEARDUP_STREAM_REPLAY = """
 WITH docs AS (
   SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL

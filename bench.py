@@ -49,6 +49,15 @@ STAGE_PROBES: dict[str, list] = {
         ("bm25_leg", entrymod.q_search_bm25_batch),
         ("hybrid_leg", entrymod.q_search_hybrid_batch),
     ],
+    # Arrow signature stage vs banded probe/verify + txlog fixed cost
+    # (r15: the last undecomposed >5 s sf1 heavy). ngram_jaccard needs
+    # no probe of its own: dedup_clusters' pairs_stage IS
+    # ngram_jaccard_pairs(k=12, threshold=0.30) — the same plan minus a
+    # projection — so its decomposition already rides every artifact
+    # once, without paying the ~4 s probe twice.
+    "neardup_stream_replay": [
+        ("sig_stage", entrymod.q_neardup_replay_sig_stage)
+    ],
 }
 
 
