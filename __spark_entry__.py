@@ -2658,6 +2658,35 @@ SELECT MIN(doc_id) AS doc_id, text_hash FROM kept GROUP BY text_hash
 """
 
 
+def q_training_ingest_gate_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only stage probe (NOT a registry row): the GATE half of
+    q_training_ingest_replay — C4 keep expression + normalized-text md5
+    digest + pre-trained LR score semi-join over the FULL corpus, with
+    none of the window dedup / cross-batch anti-join / txlog commits /
+    replay no-op probe. The two real micro-batches together gate ~1.2
+    corpus passes (halves + planted copies), so this probe bounds the
+    per-row compute share of the replay's 3.5 s; the remainder is
+    micro-batch fixed cost (state reads, two commits, the replayed
+    batch's txn probe). Same gate chain as streaming/ingest.write_batch,
+    pinned by test_training_gate_stage_probe_matches_appender_gate."""
+    from sf_epa_data_ingestion_spark.functions.refhash import QLR_ONE
+    from sf_epa_data_ingestion_spark.operators.cleaning import c4_keep_expr
+    from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
+    from sf_epa_data_ingestion_spark.operators.quality_model import score_docs_lr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights, bias = _qlr_model(spark, sf_dir)
+    kept = docs.filter(c4_keep_expr("text")).withColumn(
+        "text_hash", F.md5(normalized_text(F.col("text")))
+    )
+    scores = score_docs_lr(kept, weights, bias, "text", "doc_id").filter(
+        F.col("score_fp") >= F.lit(QLR_ONE // 2)
+    )
+    return kept.join(
+        scores.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (north star)
 # ---------------------------------------------------------------------------

@@ -58,6 +58,12 @@ STAGE_PROBES: dict[str, list] = {
     "neardup_stream_replay": [
         ("sig_stage", entrymod.q_neardup_replay_sig_stage)
     ],
+    # full-corpus gate pass (C4 + digest + LR semi-join) vs window dedup
+    # + anti-join + txlog commits + replay no-op probe (r15: the last
+    # undecomposed replay row above 3 s)
+    "training_ingest_replay": [
+        ("gate_stage", entrymod.q_training_ingest_gate_stage)
+    ],
 }
 
 
