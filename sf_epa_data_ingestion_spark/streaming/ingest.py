@@ -41,7 +41,6 @@ per-batch join against the full table.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Window
 
 from sf_epa_data_ingestion_spark.operators.cleaning import c4_keep_expr
 from sf_epa_data_ingestion_spark.operators.dedup import normalized_text
@@ -144,12 +143,19 @@ def training_doc_appender(
             kept = kept.join(
                 scores.select(F.col("id").alias(id_col)), id_col, "left_semi"
             )
-        # in-batch dedup: deterministic keep-lowest-id per digest
-        w = Window.partitionBy("text_hash").orderBy(id_col)
+        # in-batch dedup: deterministic keep-lowest-id per digest (ids are
+        # unique within a batch, so min_by has no ties — same contract the
+        # previous row_number(orderBy id) window had). The aggregate form
+        # does map-side PARTIAL aggregation: at most one surviving row per
+        # (map partition, digest) reaches the exchange and nothing is
+        # sorted, where the window shipped AND sorted every duplicate —
+        # the guide's "aggregate before you shuffle" shape, and the same
+        # form operators/dedup.exact_dedup has always used.
+        payload = [c for c in kept.columns if c != "text_hash"]
         kept = (
-            kept.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            kept.groupBy("text_hash")
+            .agg(F.min_by(F.struct(*payload), F.col(id_col)).alias("__keep"))
+            .select(*[F.col(f"__keep.{c}").alias(c) for c in payload], "text_hash")
         )
         # cross-batch dedup: the table IS the state (digest column only).
         # A brand-new table (row_count() == 0 — metadata-only) skips the

@@ -195,3 +195,31 @@ def test_stream_ingest_bloom_probe_path_equivalent_and_pruned(spark, tmp_path):
     live = t_bloom.read_files()
     kept = t_bloom.read_files(filters=[("text_hash", "in", [digest])])
     assert len(live) >= 2 and len(kept) < len(live)
+
+
+def test_inbatch_dedup_keeps_whole_lowest_id_row_atomically(spark, tmp_path):
+    """r15: the in-batch dedup moved from a row_number window to
+    groupBy(digest).agg(min_by(struct(payload), id)) — map-side partial
+    aggregation instead of shipping+sorting every duplicate. The one new
+    hazard of the aggregate form is atomicity: a per-column min would mix
+    fields from DIFFERENT duplicate rows. Three same-digest rows with
+    pairwise-distinct payloads: the admitted row must be id 1's payload
+    end to end, and payload column order must survive the rewrite."""
+    body = "word " * 60  # passes the C4 gate (60 words, mean len 4)
+    rows = [(3, body, "en", "c", 300), (1, body, "en", "a", 100),
+            (2, body, "en", "b", 200)]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, src string, n long"
+    )
+    t = TxTable(spark, str(tmp_path / "tbl")).create(
+        batch.withColumn("text_hash", F.lit("")).limit(0)
+    )
+    sink = training_doc_appender(t, "dedup-pin")
+    sink(batch, 0)
+    out = t.read().collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert (r["doc_id"], r["src"], r["n"]) == (1, "a", 100)
+    assert t.read().columns == [
+        "doc_id", "text", "lang", "src", "n", "text_hash"
+    ]
