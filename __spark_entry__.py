@@ -367,11 +367,16 @@ def q_multiway_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # distinct-in-aggregate (collect_set): the old dropDuplicates
+    # pre-pass shuffled lineitem a second time keyed (orderkey, flag)
+    # before the collect's own (orderkey) exchange — one corpus-sized
+    # Exchange removed, values identical (guide §2.4)
     flags = relational.group_collect(
-        _t(spark, sf_dir, "lineitem").dropDuplicates(["l_orderkey", "l_returnflag"]),
+        _t(spark, sf_dir, "lineitem"),
         ["l_orderkey"],
         "l_returnflag",
         "return_flags",
+        distinct=True,
     )
     out = relational.enrich_left_joins(
         o,
@@ -502,8 +507,11 @@ QUALIFY row_number() OVER (PARTITION BY l_orderkey
 def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: ARRAY_AGG per key (sorted for determinism; string-joined for the
     driver comparator, which cannot canonicalize list cells)."""
-    p = _t(spark, sf_dir, "part").dropDuplicates(["p_brand", "p_type"])
-    collected = relational.group_collect(p, ["p_brand"], "p_type", "types")
+    # distinct-in-aggregate: same one-exchange rewrite as
+    # multiway_left_enrich's flags rollup (guide §2.4)
+    collected = relational.group_collect(
+        _t(spark, sf_dir, "part"), ["p_brand"], "p_type", "types", distinct=True
+    )
     return (
         collected.withColumn("types", F.array_join("types", ","))
         .join(

@@ -107,14 +107,26 @@ def group_collect(
     collect_col: str,
     alias: str,
     sort: bool = True,
+    distinct: bool = False,
 ) -> DataFrame:
     """A1: ARRAY_AGG(col) GROUP BY keys (epa_ingestion.py:818-823).
 
     ``collect_list`` order is nondeterministic under parallelism (true in
     the reference engine too), so by default the array is sorted to make
     results reproducible and oracle-comparable.
+
+    ``distinct``: ARRAY_AGG(DISTINCT col) in ONE aggregate
+    (``collect_set``), replacing the ``dropDuplicates(keys + [col])``
+    pre-pass callers otherwise need — which costs a second Exchange of
+    the whole relation keyed (keys, col) before the collect's own
+    (keys) Exchange. ``collect_set`` dedups inside the aggregation
+    buffer with map-side partial merge, so the relation shuffles ONCE.
+    Value-identical to the pre-pass form: both drop NULLs
+    (collect_list and collect_set ignore null input), both keep one
+    copy per (group, value), and ``sort`` canonicalizes the order
+    either way.
     """
-    agg = F.collect_list(collect_col)
+    agg = F.collect_set(collect_col) if distinct else F.collect_list(collect_col)
     if sort:
         agg = F.sort_array(agg)
     return df.groupBy(*group_by).agg(agg.alias(alias))

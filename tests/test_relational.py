@@ -59,3 +59,28 @@ def test_group_collect_sorted(spark):
     df = spark.createDataFrame([("a", "z"), ("a", "m"), ("b", "q")], ["k", "v"])
     out = {r["k"]: r["vals"] for r in relational.group_collect(df, ["k"], "v", "vals").collect()}
     assert out == {"a": ["m", "z"], "b": ["q"]}
+
+
+def test_group_collect_distinct_equals_dropdup_prepass(spark):
+    """distinct=True (one-exchange collect_set) must equal the old
+    dropDuplicates(keys+[col]) + collect_list form on every edge the two
+    could diverge on: duplicate values per group, NULL values (both
+    aggregates drop them), a group whose only value is NULL (row kept by
+    the pre-pass but collects to an empty array either way)."""
+    df = spark.createDataFrame(
+        [("a", "z"), ("a", "z"), ("a", "m"), ("a", None), ("b", "q"), ("c", None)],
+        ["k", "v"],
+    )
+    new = {
+        r["k"]: r["vals"]
+        for r in relational.group_collect(
+            df, ["k"], "v", "vals", distinct=True
+        ).collect()
+    }
+    old = {
+        r["k"]: r["vals"]
+        for r in relational.group_collect(
+            df.dropDuplicates(["k", "v"]), ["k"], "v", "vals"
+        ).collect()
+    }
+    assert new == old == {"a": ["m", "z"], "b": ["q"], "c": []}
