@@ -4997,9 +4997,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     d = _t(spark, sf_dir, "documents")
     weights, bias = _qlr_model(spark, sf_dir)
-    labels = quality_model.weak_stopword_labels(d)
-    scores = quality_model.score_docs_lr(d, weights, bias)
-    return labels.join(scores, "id").select("id", "label", "score_fp")
+    # fused serving pass (r15): labels + scores from ONE tokenize pass
+    # and ONE exchange (score_and_label_docs_lr), where the
+    # weak_stopword_labels + score_docs_lr + join form tokenized the
+    # corpus twice and shuffled four times — values identical (pinned
+    # by test_score_and_label_fused_parity and the golden fixture)
+    return quality_model.score_and_label_docs_lr(d, weights, bias)
 
 
 ORACLE_QUALITY_CLASSIFIER = r"""

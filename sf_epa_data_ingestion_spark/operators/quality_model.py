@@ -138,13 +138,20 @@ def _fit(
     # fused groupBy halves the front cost). Semantics are identical:
     # collect_set == dropDuplicates per doc, count(DISTINCT stopword)
     # ignores the NULLs the when() leaves on non-stopwords.
+    # size(collect_set), not countDistinct: the distinct aggregate would
+    # re-plan this single groupBy as a two-phase expand with an extra
+    # Exchange keyed (id, tok); collect_set dedups in the aggregation
+    # buffer (same null-dropping, same distinct count) and keeps the
+    # front ONE exchange (r15; same rewrite as score_and_label_docs_lr)
     per_doc = (
         _tokens(df, text_col, id_col)
         .groupBy("id")
         .agg(
             F.collect_set(F.pmod(F.xxhash64("tok"), F.lit(dim))).alias("buckets"),
-            F.countDistinct(
-                F.when(F.col("tok").isin(*QLR_STOPWORDS), F.col("tok"))
+            F.size(
+                F.collect_set(
+                    F.when(F.col("tok").isin(*QLR_STOPWORDS), F.col("tok"))
+                )
             ).alias("n_stop"),
         )
     )
@@ -280,6 +287,36 @@ def train_quality_lr(
     return weights, bias
 
 
+def _doc_sum_one_exchange(
+    toks: DataFrame, wdf: DataFrame, dim: int, extra_aggs: list | None = None
+) -> DataFrame:
+    """(id, s[, extras...]) weight sums over DISTINCT presence buckets in
+    ONE exchange: ``collect_set`` per doc (map-side partial merge)
+    replaces the ``dropDuplicates(id, bucket)`` pre-shuffle, and the
+    explode + broadcast weight join PRESERVE the aggregate's
+    hashpartitioning(id), so the re-group back to per-doc sums needs no
+    second exchange (guide §2.4: operations keyed the same way share one
+    exchange). Same int sums as the two-shuffle form: presence rows are
+    distinct buckets either way, and int addition is order-free."""
+    per_doc = toks.groupBy("id").agg(
+        F.collect_set(F.pmod(F.xxhash64("tok"), F.lit(dim))).alias("buckets"),
+        *(extra_aggs or []),
+    )
+    carried = [c for c in per_doc.columns if c not in ("id", "buckets")]
+    # LEFT weight join + coalesce-0 (the _fit err_frame shape): an inner
+    # join would drop a doc entirely when NONE of its buckets carry a
+    # weight, losing any carried per-doc aggregate (n_stop) with it
+    return (
+        per_doc.select("id", *carried, F.explode("buckets").alias("bucket"))
+        .join(F.broadcast(wdf), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(F.coalesce("w", F.lit(0))).alias("s"),
+            *[F.first(c).alias(c) for c in carried],
+        )
+    )
+
+
 def score_docs_lr(
     df: DataFrame,
     weights: dict[int, int],
@@ -294,20 +331,67 @@ def score_docs_lr(
     labels, no persisted state — the per-micro-batch shape the streaming
     ingestion gate needs. Identical arithmetic to score_quality_lr's
     final pass (presence rows are distinct buckets either way; the
-    missing sentinel row only ever contributed coalesce-0)."""
+    missing sentinel row only ever contributed coalesce-0). One
+    exchange since r15 (``_doc_sum_one_exchange``; was
+    dropDuplicates + re-group = two)."""
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         list(weights.items()) or [(0, 0)], "bucket long, w long"
     )
-    doc_sum = (
-        hashed_presence_features(df, text_col, id_col, dim)
-        .join(F.broadcast(wdf), "bucket")
-        .groupBy("id")
-        .agg(F.sum("w").alias("s"))
-    )
+    doc_sum = _doc_sum_one_exchange(_tokens(df, text_col, id_col), wdf, dim)
     spine = df.filter(F.col(text_col).isNotNull()).select(F.col(id_col).alias("id"))
     return (
         spine.join(doc_sum, "id", "left")
         .withColumn("logit", F.coalesce("s", F.lit(0)) + F.lit(bias))
         .select("id", _hard_sigmoid_fp("logit").alias("score_fp"))
+    )
+
+
+def score_and_label_docs_lr(
+    df: DataFrame,
+    weights: dict[int, int],
+    bias: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = QLR_DIM,
+) -> DataFrame:
+    """``score_docs_lr`` and ``weak_stopword_labels`` fused over ONE
+    tokenize pass and ONE exchange — the serving-side twin of ``_fit``'s
+    fused front (which already established collect_set == dropDuplicates
+    per doc and countDistinct-of-when == the stopword filter+dedup).
+    Returns (id, label, score_fp), value-identical to joining the two
+    standalone helpers on id: both spines are the non-NULL-text docs,
+    and a tokenless doc lands label 0 / bias-only logit either way."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        list(weights.items()) or [(0, 0)], "bucket long, w long"
+    )
+    # collect_set + size, NOT countDistinct: a distinct aggregate mixed
+    # into the groupBy plans as a two-phase expand (an extra Exchange
+    # keyed (id, tok)); collect_set dedups in the aggregation buffer
+    # (same null-dropping, same distinct count) and keeps the whole
+    # per-doc front a single-phase, one-exchange aggregate
+    doc_sum = _doc_sum_one_exchange(
+        _tokens(df, text_col, id_col),
+        wdf,
+        dim,
+        extra_aggs=[
+            F.size(
+                F.collect_set(
+                    F.when(F.col("tok").isin(*QLR_STOPWORDS), F.col("tok"))
+                )
+            ).alias("n_stop")
+        ],
+    )
+    spine = df.filter(F.col(text_col).isNotNull()).select(F.col(id_col).alias("id"))
+    return (
+        spine.join(doc_sum, "id", "left")
+        .withColumn("logit", F.coalesce("s", F.lit(0)) + F.lit(bias))
+        .select(
+            "id",
+            F.when(F.coalesce("n_stop", F.lit(0)) >= QLR_STOP_MIN, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("label"),
+            _hard_sigmoid_fp("logit").alias("score_fp"),
+        )
     )

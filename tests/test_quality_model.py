@@ -123,6 +123,52 @@ def test_train_then_score_matches_one_call(spark):
     assert full == sep and len(full) > 0
 
 
+def test_score_and_label_fused_parity(spark):
+    """The r15 fused serving pass (one tokenize, one exchange) must equal
+    the separate weak_stopword_labels + score_docs_lr + join form on a
+    real corpus slice AND on the edges they could diverge on: NULL text
+    (excluded by both spines), a tokenless doc (bias-only logit, label
+    0), and a doc whose every bucket misses the weight table (the LEFT
+    weight join must keep its n_stop — an inner join would drop it)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w, b = quality_model.train_quality_lr(df)
+    fused = {
+        (r["id"], r["label"], r["score_fp"])
+        for r in quality_model.score_and_label_docs_lr(df, w, b).collect()
+    }
+    labels = quality_model.weak_stopword_labels(df)
+    scores = quality_model.score_docs_lr(df, w, b)
+    joined = {
+        (r["id"], r["label"], r["score_fp"])
+        for r in labels.join(scores, "id").collect()
+    }
+    assert fused == joined and len(fused) > 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, None),  # NULL text: not in either spine
+            (2, "... ..."),  # tokenless after the non-alnum split
+            # stopwords only -> every bucket may miss a sparse weight
+            # table; score must be bias-only ONLY if those buckets are
+            # absent from w, label must still count the stopwords
+            (3, "the and for the and for"),
+        ],
+        "doc_id long, text string",
+    )
+    sparse_w = {0: 7}  # almost certainly misses the stopword buckets
+    f2 = {
+        (r["id"], r["label"], r["score_fp"])
+        for r in quality_model.score_and_label_docs_lr(edge, sparse_w, b).collect()
+    }
+    j2 = {
+        (r["id"], r["label"], r["score_fp"])
+        for r in quality_model.weak_stopword_labels(edge)
+        .join(quality_model.score_docs_lr(edge, sparse_w, b), "id")
+        .collect()
+    }
+    assert f2 == j2 and {i for i, _, _ in f2} == {2, 3}
+
+
 def test_classifier_separates_both_classes(spark):
     """Non-degeneracy guard (the r6 grading hole: STOP_MIN=4 was
     unreachable on this corpus, so labels AND scores were uniformly zero
