@@ -149,6 +149,15 @@ def bigram_lm_scores(
         ),
         "id",
     ).select("id", toks.alias("__t"))
+    # persist the token arrays: the vocab-size branch (V counts every
+    # distinct word, including final words that never open a bigram)
+    # otherwise re-runs the scan + split over the whole corpus — the
+    # second-most-expensive expression in the plan — just to explode one
+    # extra token per document (r15; measured 1.42 -> 1.20 s min-of-6
+    # same-session at sf0.1, values identical). The vocab collect below
+    # is the first action, so it materializes this cache and the bigram
+    # persist build then reads token arrays instead of raw text.
+    docs = docs.persist()
     bigrams = docs.filter(F.size("__t") >= 2).select(
         "id",
         F.explode(
