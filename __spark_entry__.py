@@ -1359,6 +1359,47 @@ GROUP BY user_id
 """
 
 
+def q_userstats_replay_feed_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a registry row: bench-time decomposition probe (r15 VERDICT
+    next-round #4 — running_user_stats_replay was the #2 row with no
+    probe). This is the feed DERIVATION sub-plan: both micro-batch
+    projections of the events table, unioned — what the replay's
+    ``_arrival_feed`` computes before its two coalesce(1) parquet
+    writes (the write IO itself is not probe-able through the noop
+    sink and rides in the remainder)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    return e.filter(F.col("event_id") % 2 == 0).drop("event_id").unionAll(
+        e.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    )
+
+
+def q_userstats_replay_fold_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT a registry row: bench-time decomposition probe. One batch
+    pass of the SAME per-user fold the stateful operator runs per
+    micro-batch (shuffle by user_id + per-group Python boundary + numpy
+    fold + template emit), with no state store — the data-proportional
+    part of running_user_stats_replay. The replay runs this shape twice
+    (two micro-batches over half the rows each) plus the state
+    envelope (json+pickle per group) and per-batch commits; if the
+    row's number moves, this probe says whether the fold grew
+    (data/host) or the fixed cost did."""
+    from sf_epa_data_ingestion_spark.streaming.stateful import (
+        user_stats_batch_fold,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    return user_stats_batch_fold(e)
+
+
 def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup (dropDuplicatesWithinWatermark —
     streaming/dedup.dedup_stream) graded end-to-end: the last streaming

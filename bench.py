@@ -64,7 +64,37 @@ STAGE_PROBES: dict[str, list] = {
     "training_ingest_replay": [
         ("gate_stage", entrymod.q_training_ingest_gate_stage)
     ],
+    # feed derivation vs one batch pass of the per-user fold vs
+    # state-store/micro-batch fixed cost (r15 VERDICT next-round #4:
+    # the #2 row had no probe; its cost decomposed per-worker in r16 as
+    # ~2.9 ms/group of Python-boundary time, most of it timestamp
+    # conversion — now shipped as epoch micros)
+    "running_user_stats_replay": [
+        ("feed_stage", entrymod.q_userstats_replay_feed_stage),
+        ("fold_stage", entrymod.q_userstats_replay_fold_stage),
+    ],
 }
+
+
+#: Rows whose sf0.1 wall-clock the stage probes show to be mostly
+#: per-micro-batch / per-serving-call DRIVER fixed cost rather than
+#: task compute — echoed in the stdout summary so a core-scaling sweep
+#: at sf0.1 can tell "knob ignored" apart from "nothing here scales
+#: with cores at this feed size" (r15 VERDICT next-round #2).
+FIXED_COST_BOUND_ROWS = sorted(
+    [
+        "semdedup_stream_replay",
+        "neardup_stream_replay",
+        "training_ingest_replay",
+        "running_user_stats_replay",
+        "late_data_replay",
+        "dedup_stream_replay",
+        "profile_stream_replay",
+        "search_bm25_wand_tx",
+        "search_bm25_wand_tx_fresh",
+        "search_hybrid_ann_tx",
+    ]
+)
 
 
 #: Deep-quiet thresholds for the opt-in cooldown wait (r15): the
@@ -98,6 +128,16 @@ def _loadavg1() -> float | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # Echo the core-count contract in the artifact AND the one-line
+    # summary (r15 VERDICT next-round #2): the driver's scaling check
+    # compared an 8-core and a 32-core run whose outputs were
+    # indistinguishable and concluded `suspect_cpus_ignored` — the env
+    # IS honored (session.py builds master=local[$SPARK_GRAFT_CPUS]),
+    # but nothing in stdout said so. `cpus`/`master` make the knob's
+    # effect legible; `fixed_cost_bound_rows` below names the rows whose
+    # sf0.1 cost is driver-side micro-batch/serving fixed cost, which an
+    # 8-vs-32 ratio near 1 at this scale does NOT contradict.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     # Quiet-box gate (r13 VERDICT next-round #4): two same-tree sf1 runs
     # moved 198->222 s purely on host load, and adjudicating that cost a
@@ -400,6 +440,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "cpus": cpus_env,
+        "master": spark.sparkContext.master,
         "r3_subset_total": subset,
         "r3_subset_n": len(r3_queries & set(timings)) if r3_queries else 0,
         "r3_missing_from_suite": r3_missing,
@@ -444,10 +486,25 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "cpus": cpus_env,
+                "master": spark.sparkContext.master,
                 "r3_subset_total": subset,
                 "sf": sf,
                 "queries": slowest,
                 "queries_note": "5 slowest of n_queries; full map in BENCH_LOCAL.json",
+                # Rows whose sf0.1 wall-clock is dominated by per-micro-
+                # batch / per-serving-call driver fixed cost (Catalyst
+                # planning, txlog commits, state checkpoints — probe
+                # evidence in stage_decompositions: e.g. semdedup assign
+                # 0.96 s of 4.28, training_ingest gate 1.42 of 3.09,
+                # neardup sigs 0.56 of 4.09): an 8-vs-32-core ratio near
+                # 1 on THESE rows at sf0.1 is expected, not evidence the
+                # core knob is ignored. The CPU-bound rows
+                # (dedup_clusters pairs_stage, ngram_jaccard) show the
+                # core spread at sf1.
+                "fixed_cost_bound_rows_at_this_sf": FIXED_COST_BOUND_ROWS
+                if sf <= 0.1
+                else [],
             }
         ),
         flush=True,

@@ -119,6 +119,52 @@ def _update_user_stats(
     yield out
 
 
+def _fold_user_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stateless batch twin of ``_update_user_stats``'s per-group fold:
+    same numpy reductions, same template emit, no state envelope. Used
+    by the bench's ``running_user_stats_replay`` stage probe to time the
+    data-proportional part (shuffle by user + per-group Python boundary)
+    separately from the replay's state-store/micro-batch fixed cost."""
+    out = _EMIT_TEMPLATE.copy()
+    out.iat[0, 0] = int(pdf["user_id"].iat[0])
+    out.iat[0, 1] = len(pdf)
+    out.iat[0, 2] = float(pdf["value"].to_numpy().sum())
+    out.iat[0, 3] = int(pdf["ts_us"].to_numpy().max())
+    return out
+
+
+def user_stats_batch_fold(events: DataFrame) -> DataFrame:
+    """One batch pass of the per-user fold over ``events`` (user_id, ts,
+    value) — the sub-plan each replay micro-batch runs, minus state.
+    ``ts`` may be TIMESTAMP or TIMESTAMP_NTZ (the raw events table is
+    NTZ; the replay feed round-trips it to TIMESTAMP through the feed
+    schema — both map to the same UTC microsecond count here).
+
+    ``spread`` before the groupBy (partitioning.py): the per-group
+    Python-boundary cost is ~2-3 ms/group of CPU that AQE cannot see —
+    left to byte-based coalescing, a KB-sized shuffle collapses to ONE
+    partition and every group's fold runs serially (measured 4.4 s vs
+    1.0 s for the same pass at sf0.1)."""
+    from sf_epa_data_ingestion_spark.partitioning import spread
+
+    prepped = spread(
+        events.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "value",
+        ),
+        "user_id",
+    )
+    return prepped.groupBy("user_id").applyInPandas(
+        _fold_user_stats_pdf, _BOUNDARY_OUTPUT_SCHEMA
+    ).select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.timestamp_micros("last_ts_us").alias("last_ts"),
+    )
+
+
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Streaming per-user running totals with persistent state.
 
