@@ -226,6 +226,13 @@ def banned_lines(
 #: instead.
 BANNED_INLINE_MAX = 65536
 
+#: Byte companion to the row bound (r15 VERDICT #5): 65 536 rows of
+#: UNBOUNDED line length could still bloat the plan/task binary — the
+#: InSet literal ships inside every task closure. Cap the accumulated
+#: UTF-8 payload too; an over-byte set falls through to the same
+#: distributed anti-join path as an over-row one.
+BANNED_INLINE_MAX_BYTES = 8 << 20
+
 
 def dedup_lines(
     df: DataFrame,
@@ -234,6 +241,7 @@ def dedup_lines(
     max_freq: int = 1,
     delimiter: str = "\n",
     inline_max: int = BANNED_INLINE_MAX,
+    inline_max_bytes: int = BANNED_INLINE_MAX_BYTES,
 ) -> DataFrame:
     """C4-style cross-document line deduplication: remove every line whose
     exact content occurs more than ``max_freq`` times across the whole
@@ -266,7 +274,10 @@ def dedup_lines(
       shuffle) and the doc-sized final join disappear. Measured at sf1:
       the exploded path moved the 2.7M-token relation through two
       exchanges just to reassemble strings it could rewrite in place.
-    - Fallback (banned set > ``inline_max``): the fully-distributed
+    - Fallback (banned set > ``inline_max`` rows OR >
+      ``BANNED_INLINE_MAX_BYTES`` of UTF-8 — the row guard alone would
+      let 65k unboundedly-long duplicated lines bloat the task binary,
+      r15 VERDICT #5): the fully-distributed
       explode → broadcast-able left_anti join → groupBy(id) with
       array_sort(collect_list(struct(pos, line))) reassembly — the
       shape that holds when an adversarial corpus makes the banned set
@@ -283,7 +294,8 @@ def dedup_lines(
         # sees at most inline_max + 1 rows, detects the overflow, and
         # falls through to the distributed path
         sample = [r[0] for r in banned.limit(inline_max + 1).collect()]
-        if len(sample) <= inline_max:
+        inline_bytes = sum(len(s.encode("utf-8", "ignore")) for s in sample)
+        if len(sample) <= inline_max and inline_bytes <= inline_max_bytes:
             if sample:
                 keep = lambda t: ~t.isin(sample)  # noqa: E731 — InSet probe
             else:

@@ -361,7 +361,17 @@ def score_and_label_docs_lr(
     per doc and countDistinct-of-when == the stopword filter+dedup).
     Returns (id, label, score_fp), value-identical to joining the two
     standalone helpers on id: both spines are the non-NULL-text docs,
-    and a tokenless doc lands label 0 / bias-only logit either way."""
+    and a tokenless doc lands label 0 / bias-only logit either way.
+
+    Precondition (r15 ADVICE): ``id_col`` must be unique per row — the
+    corpus contract everywhere in this engine (doc_id is the primary
+    key). Under a DUPLICATED id this fused form emits one row per INPUT
+    row, where the old ``weak_stopword_labels.join(score_docs_lr, 'id')``
+    form emitted n*n rows per id (each helper keeps a per-input-row
+    spine, so the equi-join multiplies) — the multiplicity is pinned by
+    tests/test_quality_model.py so the divergence is explicit, and the
+    per-row values are identical either way (both aggregates fold the
+    union of the duplicate rows' tokens)."""
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         list(weights.items()) or [(0, 0)], "bucket long, w long"

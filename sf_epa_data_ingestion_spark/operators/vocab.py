@@ -48,6 +48,31 @@ from ..partitioning import spread
 WORD_DELIM = "[^a-z0-9]+"
 
 
+#: Persisted frames still live from the most recent call of each operator
+#: in this module (r15 VERDICT #4 / ADVICE: ``bigram_lm_scores`` and
+#: ``dsir_log_weights`` persist shared subtrees that the RETURNED lazy
+#: plan still reads, so they cannot be unpersisted before the caller's
+#: action — but never releasing them leaks one call's token/bigram blocks
+#: per call in a long-lived session). Each new call releases the previous
+#: call's blocks first, bounding accumulation at ONE call's footprint per
+#: operator. Contract: a result DataFrame from an EARLIER call of the
+#: same operator stays value-correct after a later call (plans recompute
+#: from source when their cache is gone) — it just loses its cache.
+_LIVE_PERSISTS: dict[str, list] = {}
+
+
+def _release_previous(op: str) -> None:
+    for frame in _LIVE_PERSISTS.pop(op, []):
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # hygiene only — never fail a query over cache release
+
+
+def _register_persists(op: str, *frames: DataFrame) -> None:
+    _LIVE_PERSISTS[op] = list(frames)
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus word-frequency table: (word, count), the input to any
     tokenizer/vocab induction. ``split`` emits empty strings at text
@@ -137,6 +162,7 @@ def bigram_lm_scores(
     reused to score any number of corpora (score-only reruns skip the
     training shuffles).
     """
+    _release_previous("bigram_lm_scores")
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), WORD_DELIM), lambda w: w != F.lit("")
     )
@@ -168,8 +194,11 @@ def bigram_lm_scores(
             )
         ).alias("bg"),
     ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    # persist: training (2 aggregates) + scoring all consume the bigram rows
+    # persist: training (2 aggregates) + scoring all consume the bigram
+    # rows. Lifetime: released at the NEXT bigram_lm_scores call
+    # (_LIVE_PERSISTS above) — the returned plan still reads both caches.
     bigrams = bigrams.persist()
+    _register_persists("bigram_lm_scores", docs, bigrams)
 
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     # V counts every distinct word (including final words that never open
@@ -228,6 +257,7 @@ def dsir_log_weights(
     documents' bigrams and a per-doc sum. The feature table is
     vocabulary-sized and broadcasts when it fits.
     """
+    _release_previous("dsir_log_weights")
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), WORD_DELIM), lambda w: w != F.lit("")
     )
@@ -260,6 +290,9 @@ def dsir_log_weights(
         F.sum(F.when(F.col("__is_target"), 0).otherwise(1)).alias("cs"),
     )
     counts = counts.persist()  # totals aggregate + scoring join
+    # released at the NEXT dsir_log_weights call (_LIVE_PERSISTS): the
+    # returned scoring plan reads both caches
+    _register_persists("dsir_log_weights", bigrams, counts)
     tot = counts.agg(
         F.sum("ct").alias("nt"), F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("b")
     ).collect()[0]

@@ -189,6 +189,20 @@ def test_dedup_lines_fast_path_equals_distributed_path(spark):
                                          delimiter=" ", inline_max=0).collect()}
     assert over == ref  # 3 banned lines > inline_max=2 -> fallback ran
 
+    # byte guard (r16, r15 VERDICT #5): a banned set within the ROW
+    # bound but over the BYTE bound must fall back to the distributed
+    # path — same rows either way. 'boiler' is 6 bytes; a 4-byte cap
+    # forces the fallback, a generous one stays fast.
+    byte_over = {r["doc_id"]: r["text"]
+                 for r in cleaning.dedup_lines(docs, "doc_id", "text",
+                                               inline_max_bytes=4, **kw).collect()}
+    assert byte_over == fast
+    byte_ok = {r["doc_id"]: r["text"]
+               for r in cleaning.dedup_lines(docs, "doc_id", "text",
+                                             inline_max_bytes=1 << 20,
+                                             **kw).collect()}
+    assert byte_ok == fast
+
 
 def test_ngram_novelty_first_carrier_attribution(spark):
     from sf_epa_data_ingestion_spark.operators.cleaning import ngram_novelty

@@ -169,6 +169,31 @@ def test_score_and_label_fused_parity(spark):
     assert f2 == j2 and {i for i, _, _ in f2} == {2, 3}
 
 
+def test_score_and_label_duplicate_id_multiplicity(spark):
+    """r16 (r15 ADVICE): under a DUPLICATED doc_id the fused form emits
+    one row per INPUT row while the old join form emitted n*n rows per
+    id (each helper keeps its per-input-row spine, so the id-equi-join
+    multiplies) — doc_id uniqueness is a documented precondition, and
+    this pins both the divergence and that the VALUES agree (both
+    shapes fold the union of the duplicate rows' tokens)."""
+    dup = spark.createDataFrame(
+        [(1, "the cat and the hat"), (1, "for a dog the end"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    w, b = {3: 5, 17: -2}, 1
+    fused_rows = quality_model.score_and_label_docs_lr(dup, w, b).collect()
+    assert len(fused_rows) == 3  # one per input row
+    joined_rows = (
+        quality_model.weak_stopword_labels(dup)
+        .join(quality_model.score_docs_lr(dup, w, b), "id")
+        .collect()
+    )
+    assert len(joined_rows) == 5  # n*n per duplicated id (2*2 + 1)
+    fused_set = {(r["id"], r["label"], r["score_fp"]) for r in fused_rows}
+    joined_set = {(r["id"], r["label"], r["score_fp"]) for r in joined_rows}
+    assert fused_set == joined_set  # values identical; only multiplicity differs
+
+
 def test_classifier_separates_both_classes(spark):
     """Non-degeneracy guard (the r6 grading hole: STOP_MIN=4 was
     unreachable on this corpus, so labels AND scores were uniformly zero
