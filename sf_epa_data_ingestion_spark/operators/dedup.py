@@ -37,7 +37,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from sf_epa_data_ingestion_spark.functions.binding import let
-from sf_epa_data_ingestion_spark.partitioning import spread
+from sf_epa_data_ingestion_spark.partitioning import (
+    adaptive_factor,
+    persist_keyed,
+    spread,
+)
 
 # MinHash universe: (a*h + b) mod P over a base 32-bit hash, P Mersenne prime.
 _P = (1 << 31) - 1
@@ -887,7 +891,22 @@ def ngram_jaccard_pairs(
     # real web corpus unique shingles are the MAJORITY of rows, which
     # makes this the cheapest shuffle cut in the plan at 100 TB.
     full = ordered.select("id", "n_sh", "n_u", F.posexplode("shs").alias("pos", "sh"))
-    full = spread(full.filter(F.col("pos") >= F.col("n_u")).drop("n_u"), "sh", factor=4).persist()
+    # persist_keyed, not persist: the sh-keyed self-join below must SEE
+    # this cache's hashpartitioning so neither join side re-exchanges
+    # (r16; the two avoided shuffles are the two largest relations in
+    # the query - probe prefixes and the full position index)
+    full = persist_keyed(
+        spread(
+            full.filter(F.col("pos") >= F.col("n_u")).drop("n_u"),
+            "sh",
+            # skew oversubscription only when the corpus is big enough to
+            # amortize the extra tasks (adaptive_factor: plan-size gated;
+            # with the cache partitioning visible, downstream stages run
+            # at exactly this count - no AQE coalescing to rescue a
+            # constant tuned for the wrong scale)
+            factor=adaptive_factor(df, 4),
+        )
+    )
     # PROBE prefix (valid for the larger record x of any qualifying pair:
     # overlap o >= t*|x|, so the smallest common shingle sits within the
     # first n - ceil(t*n) + 1 positions).
@@ -1082,7 +1101,10 @@ def duplicate_spans(
             ).alias("sh"),
         )
     )
-    spans = spread(spans, "sh").persist()  # two consumers: df filter + self-join
+    # persist_keyed: the span_df groupBy AND both self-join sides are
+    # keyed sh - exposing the cache's hashpartitioning lets all three
+    # consumers skip their re-exchange (r16)
+    spans = persist_keyed(spread(spans, "sh"))  # two consumers: df filter + self-join
     eligible = (
         spans.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("span_df"))
@@ -1154,7 +1176,7 @@ def strip_duplicate_spans(
         ).alias("pos"),
         "t",
     ).select("id", "pos", F.xxhash64(F.col("t").substr(F.col("pos"), F.lit(span))).alias("sh"))
-    occ = spread(occ, "sh").persist()  # grouping + removal join
+    occ = persist_keyed(spread(occ, "sh"))  # grouping + removal join (both keyed sh)
     grp = (
         occ.groupBy("sh")
         .agg(F.countDistinct("id").alias("span_df"), F.min("id").alias("canon"))

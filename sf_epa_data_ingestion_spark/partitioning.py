@@ -33,6 +33,79 @@ def spread(df: DataFrame, *cols: Column | str, factor: int = 1) -> DataFrame:
     return df.repartition(parallelism(df, factor), *cols)
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate for ``df`` (for a parquet scan:
+    the sum of input file sizes). Cheap — no job runs. None when the
+    estimate is unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+#: Plan-estimate size (for a parquet scan: compressed file bytes) above
+#: which CPU-skew oversubscription (spread factor > 1) pays for itself.
+#: Below it the extra partitions are pure task/scheduler overhead: with
+#: the partitioning now visible through persist_keyed caches, downstream
+#: stages run at the cache's partition count with no AQE coalescing, so a
+#: factor tuned for big inputs costs small ones real time. Measured on
+#: the PPJoin pairs stage: factor 4 on the 0.6 MB (compressed) sf0.1
+#: corpus was ~1 s SLOWER than factor 1; on the 7.5 MB sf1 corpus it was
+#: ~1.4 s FASTER (hot-key skew needs the headroom once per-partition work
+#: is substantial). 4 MiB is the same fixture-vs-real boundary the replay
+#: conf uses (REPLAY_FIXTURE_FEED_BYTES); any production corpus clears it.
+SPREAD_FACTOR_MIN_BYTES = 4 << 20
+
+
+def adaptive_factor(df: DataFrame, factor: int) -> int:
+    """``factor`` when ``df``'s plan-time size estimate says the input is
+    big enough for oversubscription to beat its task overhead, else 1
+    (guide §2: derive partitioning from input size, don't pin a constant
+    tuned for one scale). Unknown size keeps ``factor`` — at 100 TB the
+    cost of under-parallelizing dwarfs task overhead."""
+    if factor <= 1:
+        return factor
+    size = plan_size_bytes(df)
+    if size is not None and size < SPREAD_FACTOR_MIN_BYTES:
+        return 1
+    return factor
+
+
+def persist_keyed(df: DataFrame) -> DataFrame:
+    """``persist()`` whose cached hash partitioning stays VISIBLE to
+    consumers (r16, guide §2.4: two operations keyed the same way should
+    share one exchange).
+
+    With AQE on, ``persist()`` wraps the cached plan in an
+    AdaptiveSparkPlan whose output partitioning is unknown until runtime,
+    so a downstream join/groupBy on the SAME key the frame was
+    ``spread()`` by re-shuffles it anyway (measured on the PPJoin
+    candidate join: both sides of the sh-keyed self-join re-exchanged
+    hashpartitioning(sh, 128) -> hashpartitioning(sh, 32),
+    ENSURE_REQUIREMENTS, even though both read the one cache). Scoping
+    ``spark.sql.adaptive.enabled=false`` around the ``persist()`` call —
+    InMemoryRelation compiles its cached plan with the session state at
+    cache REGISTRATION, not first materialization — keeps the cached
+    plan non-adaptive, so InMemoryTableScan exposes the explicit
+    repartition's hashpartitioning and every same-key consumer reuses it
+    exchange-free.
+
+    Cost: the cached subtree itself loses AQE (no runtime coalescing /
+    skew handling INSIDE the cache build — its shuffle widths come from
+    ``spark.sql.shuffle.partitions`` and any explicit ``spread``).
+    Use ONLY on frames built with an explicit ``spread(df, key)`` whose
+    downstream consumers re-key on that same key; AQE stays on for the
+    rest of the query.
+    """
+    conf = df.sparkSession.conf
+    old = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.persist()
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

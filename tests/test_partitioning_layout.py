@@ -74,3 +74,62 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+def test_persist_keyed_exposes_cache_partitioning(spark):
+    """r16: persist() under AQE wraps the cached plan in an
+    AdaptiveSparkPlan whose partitioning is invisible, so a same-key
+    self-join re-exchanges BOTH sides; persist_keyed must keep the
+    cache's hashpartitioning visible so the join runs exchange-free."""
+    from sf_epa_data_ingestion_spark.partitioning import persist_keyed
+
+    base = spark.range(0, 2000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("v")
+    )
+    # distinct lineages: the CacheManager dedups by logical plan, so an
+    # identical plan would silently reuse the FIRST (AQE-wrapped) cache
+    plain = base.repartition(8, "k").persist()
+    keyed = persist_keyed(
+        spark.range(0, 2000)
+        .select((F.col("id") % 37).alias("k"), F.col("id").alias("v"))
+        .where(F.col("v") >= 0)
+        .repartition(8, "k")
+    )
+    try:
+
+        def join_plan(full):
+            probe = full.filter(F.col("v") % 3 == 0)
+            j = probe.alias("a").join(
+                full.hint("SHUFFLE_HASH").alias("b"),
+                (F.col("a.k") == F.col("b.k")) & (F.col("a.v") < F.col("b.v")),
+            )
+            return _plan(j)
+
+        assert "ENSURE_REQUIREMENTS" in join_plan(plain)  # the AQE-cache trap
+        assert "ENSURE_REQUIREMENTS" not in join_plan(keyed)
+        # AQE stays ON for the session after the scoped persist
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        # and values are the plain-persist values
+        got = keyed.groupBy("k").count().orderBy("k").collect()
+        want = plain.groupBy("k").count().orderBy("k").collect()
+        assert got == want
+    finally:
+        plain.unpersist()
+        keyed.unpersist()
+
+
+def test_adaptive_factor_gates_on_plan_size(spark):
+    """r16: spread oversubscription is derived from the input's plan-size
+    estimate, not pinned — tiny inputs get factor 1 (task overhead
+    dominates), big ones keep the requested skew headroom."""
+    from sf_epa_data_ingestion_spark.partitioning import (
+        SPREAD_FACTOR_MIN_BYTES,
+        adaptive_factor,
+        plan_size_bytes,
+    )
+
+    small = spark.range(0, 10).select(F.col("id"))
+    sz = plan_size_bytes(small)
+    assert sz is not None and sz < SPREAD_FACTOR_MIN_BYTES
+    assert adaptive_factor(small, 4) == 1
+    assert adaptive_factor(small, 1) == 1  # factor 1 is never raised
