@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-from ..partitioning import spread
+from ..partitioning import persist_keyed, spread
 
 
 #: Word delimiter: anything outside [a-z0-9] after lowercasing. Shared by
@@ -183,7 +183,12 @@ def bigram_lm_scores(
     # same-session at sf0.1, values identical). The vocab collect below
     # is the first action, so it materializes this cache and the bigram
     # persist build then reads token arrays instead of raw text.
-    docs = docs.persist()
+    # persist_keyed (r16): docs carries spread(id); bigrams below is a
+    # narrow transform of it, so with BOTH caches' partitioning visible
+    # the final per-doc scoring aggregate reuses hashpartitioning(id)
+    # and the corpus-bigram-sized ENSURE_REQUIREMENTS exchange in front
+    # of it disappears (the model joins broadcast either way)
+    docs = persist_keyed(docs)
     bigrams = docs.filter(F.size("__t") >= 2).select(
         "id",
         F.explode(
@@ -197,7 +202,7 @@ def bigram_lm_scores(
     # persist: training (2 aggregates) + scoring all consume the bigram
     # rows. Lifetime: released at the NEXT bigram_lm_scores call
     # (_LIVE_PERSISTS above) — the returned plan still reads both caches.
-    bigrams = bigrams.persist()
+    bigrams = persist_keyed(bigrams)
     _register_persists("bigram_lm_scores", docs, bigrams)
 
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -283,7 +288,10 @@ def dsir_log_weights(
             ).alias("f"),
         )
     )
-    bigrams = bigrams.persist()  # counts + totals + the scoring join
+    # persist_keyed: same id-partitioning argument as bigram_lm_scores -
+    # the per-doc scoring groupBy reuses the spread(id) carried through
+    # the narrow bigram transform (feats broadcasts)
+    bigrams = persist_keyed(bigrams)  # counts + totals + the scoring join
 
     counts = bigrams.groupBy("f").agg(
         F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("ct"),
